@@ -1,0 +1,168 @@
+"""Encoder parameters — the analog of x264's `x264_param_t` (x264.h:310-620)
+with the same 4-layer resolution order: defaults -> preset/tune -> user ->
+profile (x264.h:680-691, common/base.c:344-886).
+
+Round-1 scope implements the fields the current pipeline consumes; the full
+~130-field surface is being filled in as capabilities land.  Every field name
+mirrors the reference option it corresponds to.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+# -- enums (x264.h:190-280) ---------------------------------------------------
+RC_CQP, RC_CRF, RC_ABR = 0, 1, 2
+ME_DIA, ME_HEX, ME_UMH, ME_ESA, ME_TESA = 0, 1, 2, 3, 4
+PROFILE_BASELINE, PROFILE_MAIN, PROFILE_HIGH = 66, 77, 100
+TYPE_AUTO, TYPE_IDR, TYPE_I, TYPE_P, TYPE_BREF, TYPE_B = 0, 1, 2, 3, 4, 5
+AQ_NONE, AQ_VARIANCE, AQ_AUTOVARIANCE = 0, 1, 2
+CSP_I420, CSP_I422, CSP_I444 = 1, 2, 3
+
+
+@dataclass
+class EncoderParams:
+    # frame geometry
+    width: int = 352
+    height: int = 288
+    csp: int = CSP_I420
+    bit_depth: int = 8
+    fps_num: int = 25
+    fps_den: int = 1
+
+    # GOP structure
+    keyint_max: int = 250           # --keyint
+    keyint_min: int = 25
+    bframes: int = 0                # round-1: 0 (P-only); B support later
+    scenecut_threshold: int = 40
+    intra_refresh: bool = False
+
+    # rate control
+    rc_method: int = RC_CQP
+    qp: int = 26                    # CQP
+    crf: float = 23.0
+    bitrate: int = 0                # kbit/s for ABR
+    qp_min: int = 10
+    qp_max: int = 51
+    chroma_qp_offset: int = 0
+    aq_mode: int = AQ_NONE
+    aq_strength: float = 1.0
+
+    # analysis
+    me_method: int = ME_ESA         # TPU-first default: batched exhaustive
+    me_range: int = 16
+    subpel: int = 1                 # 0=fpel, 1=hpel, 2=qpel (x264 subme analog)
+    ref_frames: int = 1
+    i4x4: bool = True               # enable intra 4x4 analysis
+    i16x16: bool = True
+    p16x16: bool = True
+    p8x8: bool = False              # partitions beyond 16x16: later round
+    deadzone_intra: int = 11        # x264 default deadzones (21/32, 11/32)
+    deadzone_inter: int = 21
+
+    # entropy / syntax
+    cabac: bool = False             # round-1: CAVLC
+    deblock: bool = True
+    deblock_alpha: int = 0
+    deblock_beta: int = 0
+    constrained_intra: bool = False
+
+    # parallelism
+    slices: int = 1
+    row_bands: int = 1              # MB-row bands sharded across chips
+    gop_parallel: int = 1           # GOP pipeline depth across hosts
+
+    # output
+    repeat_headers: bool = True
+    annexb: bool = True
+    level_idc: int = 0              # 0 = auto
+
+    # misc x264-parity knobs
+    deterministic: bool = True
+    threads: int = 1
+    log_level: int = 2
+
+    def clone(self, **kw) -> "EncoderParams":
+        return dataclasses.replace(self, **kw)
+
+    # -- derived ------------------------------------------------------------
+    @property
+    def mb_width(self) -> int:
+        return (self.width + 15) // 16
+
+    @property
+    def mb_height(self) -> int:
+        return (self.height + 15) // 16
+
+    @property
+    def profile_idc(self) -> int:
+        if self.cabac or self.bframes:
+            return PROFILE_MAIN
+        return PROFILE_BASELINE
+
+    def validate(self) -> "EncoderParams":
+        """Constraint propagation (analog of encoder.c validate_parameters)."""
+        p = self
+        assert p.bit_depth == 8, "10-bit: later round"
+        assert p.csp == CSP_I420, "4:2:2/4:4:4: later round"
+        assert p.width > 0 and p.height > 0
+        assert p.width % 2 == 0 and p.height % 2 == 0
+        if p.qp_min > p.qp:
+            p = p.clone(qp_min=p.qp)
+        if p.bframes:
+            raise NotImplementedError("B-frames land in a later round")
+        return p
+
+
+# -- presets (common/base.c:489-609) -----------------------------------------
+# Speed/quality ladder re-expressed for the TPU pipeline: the knobs that
+# matter on TPU are batch-shape ones (search range, subpel taps, partitions),
+# not the CPU ones (trellis threads etc.).
+_PRESETS = {
+    "ultrafast": dict(me_range=8, subpel=0, i4x4=False, deblock=False,
+                      scenecut_threshold=0, ref_frames=1),
+    "veryfast": dict(me_range=16, subpel=1, i4x4=False, ref_frames=1),
+    "fast": dict(me_range=16, subpel=1, i4x4=True, ref_frames=1),
+    "medium": dict(me_range=16, subpel=2, i4x4=True, ref_frames=1),
+    "slow": dict(me_range=24, subpel=2, i4x4=True, ref_frames=2),
+}
+
+
+def param_default_preset(preset: str = "medium", tune: str | None = None) -> EncoderParams:
+    p = EncoderParams()
+    if preset not in _PRESETS:
+        raise ValueError(f"unknown preset {preset!r}")
+    p = p.clone(**_PRESETS[preset])
+    if tune == "psnr":
+        p = p.clone(aq_mode=AQ_NONE)
+    elif tune == "zerolatency":
+        p = p.clone(bframes=0)
+    elif tune is not None:
+        raise ValueError(f"unknown tune {tune!r}")
+    return p
+
+
+def param_parse(p: EncoderParams, name: str, value: str) -> EncoderParams:
+    """String option front-end (analog of x264_param_parse, common/base.c:886)."""
+    name = name.replace("-", "_")
+    alias = {
+        "keyint": "keyint_max", "min_keyint": "keyint_min",
+        "qp_step": None, "merange": "me_range", "subme": "subpel",
+        "ref": "ref_frames",
+    }
+    name = alias.get(name, name)
+    if name is None:
+        return p
+    if not hasattr(p, name):
+        raise ValueError(f"unknown option {name!r}")
+    cur = getattr(p, name)
+    if isinstance(cur, bool):
+        v: object = value.lower() in ("1", "true", "yes", "on")
+    elif isinstance(cur, int):
+        v = int(value)
+    elif isinstance(cur, float):
+        v = float(value)
+    else:
+        v = value
+    return p.clone(**{name: v})
