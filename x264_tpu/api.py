@@ -1,0 +1,139 @@
+"""Public encoder API — the analog of x264.h's 11 encoder entry points
+(x264.h:930-1019): open/headers/encode/flush/close, adapted to Python idiom.
+
+Round-1 surface: Encoder(params) -> .headers() -> .encode(frame) per frame
+-> .close().  Each encode() returns the Annex-B bytes for that frame
+(zero-latency: no B-frames yet, so no reordering delay).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from x264_tpu.bitstream.bits import BitWriter
+from x264_tpu.bitstream.headers import (
+    SLICE_I,
+    SLICE_P,
+    sps_from_params,
+    wrap_slice_nal,
+    write_pps,
+    write_slice_header,
+    write_sps,
+)
+from x264_tpu.bitstream.slice_writer import write_slice_data
+from x264_tpu.models import intra_frame
+from x264_tpu.params import EncoderParams
+from x264_tpu.utils.yuv import Frame420, pad_to_mb
+
+
+@dataclass
+class ReconFrame:
+    y: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
+    frame_num: int = 0
+    poc: int = 0
+
+
+@dataclass
+class FrameStats:
+    frame_type: str = "I"
+    bits: int = 0
+    qp: float = 0.0
+
+
+class Encoder:
+    """Capability anchor: x264_encoder_open (encoder/encoder.c:1507) +
+    x264_encoder_encode (:3323), restructured: all pixel work is batched
+    per-frame; entropy serialization on host."""
+
+    def __init__(self, params: EncoderParams):
+        self.p = params.validate()
+        self.sps = sps_from_params(self.p)
+        self._sps_bytes = write_sps(self.sps)
+        self._pps_bytes = write_pps(self.p)
+        self.frame_idx = 0
+        self.frame_num = 0
+        self.idr_pic_id = 0
+        self.dpb: list[ReconFrame] = []
+        self.stats: list[FrameStats] = []
+        self.last_recon: ReconFrame | None = None
+
+    # -- x264_encoder_headers ------------------------------------------------
+    def headers(self) -> bytes:
+        return self._sps_bytes + self._pps_bytes
+
+    def _pad(self, fr: Frame420):
+        y = pad_to_mb(fr.y, 16)
+        u = pad_to_mb(fr.u, 8)
+        v = pad_to_mb(fr.v, 8)
+        return y, u, v
+
+    def _decide_type(self) -> str:
+        if self.frame_idx == 0 or (self.p.keyint_max > 0
+                                   and self.frame_idx % self.p.keyint_max == 0):
+            return "IDR"
+        return "P"
+
+    def encode(self, fr: Frame420) -> bytes:
+        y, u, v = self._pad(fr)
+        ftype = self._decide_type()
+        qp = self.p.qp
+
+        out = b""
+        if ftype == "IDR":
+            self.frame_num = 0
+            if self.p.repeat_headers:
+                out += self.headers()
+
+        if ftype == "IDR" or not self.dpb:
+            ry, ru, rv, syn = intra_frame.encode_iframe(
+                y, u, v, qp, self.p.chroma_qp_offset)
+            slice_type = SLICE_I
+            idr = True
+        else:
+            from x264_tpu.models import inter_frame
+            ref = self.dpb[-1]
+            ry, ru, rv, syn = inter_frame.encode_pframe(
+                y, u, v, ref, qp, self.p)
+            slice_type = SLICE_P
+            idr = False
+
+        bs = BitWriter()
+        write_slice_header(bs, self.p, self.sps, slice_type=slice_type,
+                           idr=idr, frame_num=self.frame_num,
+                           idr_pic_id=self.idr_pic_id, qp=qp, num_ref=1)
+        write_slice_data(bs, syn, slice_type)
+        out += wrap_slice_nal(bs.to_rbsp(), idr)
+
+        recon = ReconFrame(ry, ru, rv, frame_num=self.frame_num)
+        self.last_recon = recon
+        self.dpb = [recon]  # sliding window, 1 ref in round 1
+        if idr:
+            self.idr_pic_id = (self.idr_pic_id + 1) % 65536
+        self.frame_num = (self.frame_num + 1) % (1 << self.sps.log2_max_frame_num)
+        self.frame_idx += 1
+        self.stats.append(FrameStats(ftype, len(out) * 8, qp))
+        return out
+
+    def close(self) -> dict:
+        """Summary stats (analog of encoder_close's log summary)."""
+        if not self.stats:
+            return {}
+        bits = sum(s.bits for s in self.stats)
+        fps = self.p.fps_num / max(1, self.p.fps_den)
+        return {
+            "frames": len(self.stats),
+            "kbps": bits * fps / max(1, len(self.stats)) / 1000.0,
+            "avg_qp": float(np.mean([s.qp for s in self.stats])),
+        }
+
+
+def encode_sequence(frames, params: EncoderParams) -> bytes:
+    enc = Encoder(params)
+    out = b""
+    for fr in frames:
+        out += enc.encode(fr)
+    return out
