@@ -1,0 +1,91 @@
+"""End-to-end conformance tests — the analog of the reference's
+regression test (doc/regression_test.txt): encode, decode with a real
+decoder (libavcodec oracle), require bit-exact reconstruction."""
+
+import numpy as np
+import pytest
+
+from x264_tpu.api import Encoder
+from x264_tpu.params import EncoderParams
+from x264_tpu.utils.oracle import decode_annexb
+from x264_tpu.utils.yuv import Frame420
+
+
+def synth_frames(W, H, n, motion=True, seed=3):
+    yy, xx = np.mgrid[0:H * 2, 0:W * 2]
+    tex = (110 + 70 * np.sin(xx / 11) * np.cos(yy / 8)
+           + 20 * np.sin((xx + 2 * yy) / 23)).astype(np.uint8)
+    frames = []
+    for t in range(n):
+        ox, oy = (3 * t, 2 * t) if motion else (0, 0)
+        y = tex[oy:oy + H, ox:ox + W]
+        u = tex[oy // 2:oy // 2 + H // 2, ox // 2:ox // 2 + W // 2] // 2 + 64
+        v = tex[oy // 2 + 5:oy // 2 + 5 + H // 2, ox // 2 + 7:ox // 2 + 7 + W // 2] // 2 + 64
+        frames.append(Frame420(y.copy(), u.copy(), v.copy()))
+    return frames
+
+
+def encode_and_check(frames, p: EncoderParams):
+    W, H = p.width, p.height
+    enc = Encoder(p)
+    stream = b""
+    recons = []
+    for fr in frames:
+        stream += enc.encode(fr)
+        recons.append((enc.last_recon.y.copy(), enc.last_recon.u.copy(),
+                       enc.last_recon.v.copy()))
+    dec = decode_annexb(stream, W, H)
+    assert len(dec) == len(frames)
+    for i, (d, r) in enumerate(zip(dec, recons)):
+        np.testing.assert_array_equal(d[0], r[0][:H, :W], err_msg=f"frame {i} luma")
+        np.testing.assert_array_equal(d[1], r[1][:H // 2, :W // 2], err_msg=f"frame {i} cb")
+        np.testing.assert_array_equal(d[2], r[2][:H // 2, :W // 2], err_msg=f"frame {i} cr")
+    return stream
+
+
+@pytest.mark.parametrize("qp", [0, 18, 30, 44, 51])
+def test_iframes_bitexact(qp):
+    frames = synth_frames(64, 48, 2)
+    p = EncoderParams(width=64, height=48, qp=qp, keyint_max=1, deblock=False)
+    encode_and_check(frames, p)
+
+
+def test_odd_size_cropping():
+    frames = synth_frames(50, 38, 1)
+    p = EncoderParams(width=50, height=38, qp=26, keyint_max=1, deblock=False)
+    encode_and_check(frames, p)
+
+
+@pytest.mark.parametrize("qp", [14, 28, 40])
+def test_pframes_bitexact(qp):
+    frames = synth_frames(96, 64, 4)
+    p = EncoderParams(width=96, height=64, qp=qp, keyint_max=250,
+                      deblock=False, me_range=8)
+    encode_and_check(frames, p)
+
+
+def test_pframes_static_all_skip():
+    frames = [Frame420(np.full((48, 64), 100, np.uint8),
+                       np.full((24, 32), 110, np.uint8),
+                       np.full((24, 32), 120, np.uint8)) for _ in range(4)]
+    p = EncoderParams(width=64, height=48, qp=30, keyint_max=250, deblock=False)
+    stream = encode_and_check(frames, p)
+    assert len(stream) < 200  # P frames must collapse to skip runs
+
+
+def test_periodic_idr():
+    frames = synth_frames(64, 48, 5)
+    p = EncoderParams(width=64, height=48, qp=30, keyint_max=2,
+                      deblock=False, me_range=8)
+    encode_and_check(frames, p)
+
+
+def test_noise_content_low_qp():
+    rng = np.random.default_rng(1)
+    frames = [Frame420(rng.integers(0, 256, (48, 64)).astype(np.uint8),
+                       rng.integers(0, 256, (24, 32)).astype(np.uint8),
+                       rng.integers(0, 256, (24, 32)).astype(np.uint8))
+              for _ in range(2)]
+    p = EncoderParams(width=64, height=48, qp=8, keyint_max=250,
+                      deblock=False, me_range=4)
+    encode_and_check(frames, p)

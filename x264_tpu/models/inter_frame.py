@@ -1,0 +1,190 @@
+"""P-frame encoding: batched full-search ME + motion compensation +
+residual path, with the normative sequential part (skip classification,
+MVP/mvd) as a host scan.
+
+Capability parity: encoder/me.c (ESA full search is the TPU-native choice:
+batched exhaustive SAD maps to the vector units; x264's DIA/HEX/UMH exist
+to save CPU cycles, not quality), encoder/analyse.c inter 16x16 path,
+encoder/macroblock.c P-MB encode.
+
+This is the NumPy reference tier; models/inter_jax.py mirrors it on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from x264_tpu.bitstream.tables import chroma_qp
+from x264_tpu.models import mvpred
+from x264_tpu.models.intra_frame import encode_chroma_mb, zigzag
+from x264_tpu.models.syntax import MB_P16, MB_PSKIP, FrameSyntax, empty_syntax
+from x264_tpu.ops.reference import mc, quant, transform
+from x264_tpu.utils.yuv import expand_border
+
+PAD = 32  # luma search+interp padding (PADH/PADV analog, common/frame.h:32)
+
+# x264 lambda table shape: lambda = 0.85 * 2^((qp-12)/3)
+def me_lambda(qp: int) -> int:
+    return max(1, round(0.85 * 2.0 ** ((qp - 12) / 3.0)))
+
+
+def mv_bits(d: int) -> int:
+    """Bits of se(d) exp-Golomb."""
+    k = 2 * abs(d) - (1 if d > 0 else 0)
+    return 2 * int(k + 1).bit_length() - 1
+
+
+_MVBITS_CACHE: dict[int, np.ndarray] = {}
+
+
+def mv_bits_arr(max_abs: int) -> np.ndarray:
+    """Lookup d -> bits for d in [-max_abs, max_abs] (index d + max_abs)."""
+    if max_abs not in _MVBITS_CACHE:
+        _MVBITS_CACHE[max_abs] = np.array(
+            [mv_bits(d) for d in range(-max_abs, max_abs + 1)], np.int64)
+    return _MVBITS_CACHE[max_abs]
+
+
+def full_search_16x16(src_y: np.ndarray, ref_pad: np.ndarray, me_range: int,
+                      lam: int):
+    """Exhaustive fullpel search over +-me_range for every MB.
+
+    src_y: (H, W) padded-to-MB source. ref_pad: (H+2PAD, W+2PAD).
+    Returns mv (N, 2) in qpel units and sad (N,)."""
+    h, w = src_y.shape
+    mbw, mbh = w // 16, h // 16
+    n = mbw * mbh
+    r = me_range
+    src = src_y.astype(np.int64)
+
+    def mb_sums(x):
+        return x.reshape(mbh, 16, mbw, 16).sum((1, 3)).reshape(n)
+
+    bits = mv_bits_arr(4 * r)
+    best = np.full(n, 1 << 60, np.int64)
+    best_mv = np.zeros((n, 2), np.int32)
+    for dy in range(-r, r + 1):
+        cost_y = lam * bits[4 * dy + 4 * r]
+        for dx in range(-r, r + 1):
+            shifted = ref_pad[PAD + dy: PAD + dy + h, PAD + dx: PAD + dx + w]
+            sad = mb_sums(np.abs(src - shifted))
+            cost = sad + cost_y + lam * bits[4 * dx + 4 * r]
+            better = cost < best
+            best = np.where(better, cost, best)
+            best_mv[better] = (4 * dx, 4 * dy)
+    return best_mv, best
+
+
+def mc_luma_16x16(ref_pad: np.ndarray, mv: np.ndarray, mbw: int, mbh: int):
+    """Fullpel-grid gather of 16x16 predictions for all MBs (mv qpel,
+    multiples of 4 in the fullpel round-1 path)."""
+    n = mbw * mbh
+    preds = np.zeros((n, 16, 16), np.int64)
+    for i in range(n):
+        mby, mbx = divmod(i, mbw)
+        y0 = PAD + mby * 16 + (int(mv[i, 1]) >> 2)
+        x0 = PAD + mbx * 16 + (int(mv[i, 0]) >> 2)
+        preds[i] = ref_pad[y0:y0 + 16, x0:x0 + 16]
+    return preds
+
+
+def encode_p_luma_mb(src: np.ndarray, pred: np.ndarray, qp: int):
+    """Inter luma residual path: 4x4 DCT/quant, quadrant cbp.
+    Returns (recon, ac_zz(16,16), nnz(16,), cbp_luma)."""
+    res = src.astype(np.int64) - pred.astype(np.int64)
+    blocks = transform.mb_luma_to_blocks(res)
+    coefs = transform.dct4x4(blocks)
+    lv = quant.quant4x4(coefs, qp, intra=False)
+    nnz = np.count_nonzero(lv.reshape(16, 16), axis=1).astype(np.int32)
+    # quadrant of raster block r: (y4>=2)*2 + (x4>=2)
+    quad = (np.arange(16) // 4 // 2) * 2 + (np.arange(16) % 4) // 2
+    cbp = 0
+    for q in range(4):
+        if nnz[quad == q].any():
+            cbp |= 1 << q
+    ac_zz = zigzag(lv)
+    deq = quant.dequant4x4(lv, qp)
+    res_rec = transform.idct4x4(deq)
+    recon = np.clip(pred.astype(np.int64) + transform.blocks_to_mb_luma(res_rec),
+                    0, 255).astype(np.uint8)
+    return recon, ac_zz.astype(np.int32), nnz, cbp
+
+
+def encode_pframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                  ref, qp: int, params):
+    """ref: ReconFrame with .y/.u/.v (padded planes). Returns
+    (recon_y, recon_u, recon_v, FrameSyntax)."""
+    h, w = y.shape
+    mbw, mbh = w // 16, h // 16
+    n = mbw * mbh
+    qpc = chroma_qp(qp, params.chroma_qp_offset)
+
+    ref_y_pad = expand_border(ref.y, PAD)
+    ref_u_pad = expand_border(ref.u, PAD // 2)
+    ref_v_pad = expand_border(ref.v, PAD // 2)
+
+    lam = me_lambda(qp)
+    mv, _ = full_search_16x16(y, ref_y_pad, params.me_range, lam)
+
+    preds = mc_luma_16x16(ref_y_pad, mv, mbw, mbh)
+
+    syn = empty_syntax(mbw, mbh)
+    syn.qp[:] = qp
+    syn.mv[:] = mv
+    syn.ref[:] = 0
+
+    ry = np.zeros_like(y)
+    ru = np.zeros_like(u)
+    rv = np.zeros_like(v)
+
+    # batched-ish per-MB residual pass (the JAX tier batches this for real)
+    cbp_l = np.zeros(n, np.int32)
+    cbp_c = np.zeros(n, np.int32)
+    for i in range(n):
+        mby, mbx = divmod(i, mbw)
+        y0, x0 = mby * 16, mbx * 16
+        src = y[y0:y0 + 16, x0:x0 + 16]
+        recon, ac_zz, nnz, cl = encode_p_luma_mb(src, preds[i], qp)
+        ry[y0:y0 + 16, x0:x0 + 16] = recon
+        syn.luma_ac[i] = ac_zz
+        syn.luma_nnz[i] = nnz
+        cbp_l[i] = cl
+
+        # chroma: prediction via normative 1/8-pel bilinear at the luma mv
+        cy0, cx0 = mby * 8, mbx * 8
+        cpred_u = mc.chroma_mc(ref_u_pad, int(mv[i, 0]), int(mv[i, 1]),
+                               PAD // 2 + cy0, PAD // 2 + cx0, 8, 8)
+        cpred_v = mc.chroma_mc(ref_v_pad, int(mv[i, 0]), int(mv[i, 1]),
+                               PAD // 2 + cy0, PAD // 2 + cx0, 8, 8)
+        csrc = [u[cy0:cy0 + 8, cx0:cx0 + 8], v[cy0:cy0 + 8, cx0:cx0 + 8]]
+        crecons, cdc, cac, cnnz, cc = encode_chroma_mb(
+            csrc, [cpred_u, cpred_v], qpc, intra=False)
+        ru[cy0:cy0 + 8, cx0:cx0 + 8] = crecons[0]
+        rv[cy0:cy0 + 8, cx0:cx0 + 8] = crecons[1]
+        syn.chroma_dc[i] = cdc
+        syn.chroma_ac[i] = cac
+        syn.chroma_nnz[i] = cnnz
+        cbp_c[i] = cc
+
+    syn.cbp_luma[:] = cbp_l
+    syn.cbp_chroma[:] = cbp_c
+
+    # ---- sequential host scan: skip classification + normative mvd ----
+    mv_dec = np.zeros((n, 2), np.int32)   # decoded-state mvs
+    ref_dec = np.full(n, -1, np.int32)
+    for i in range(n):
+        mby, mbx = divmod(i, mbw)
+        skip_mv = mvpred.pskip_mv(mv_dec, ref_dec, mbx, mby, mbw)
+        if (cbp_l[i] == 0 and cbp_c[i] == 0
+                and mv[i, 0] == skip_mv[0] and mv[i, 1] == skip_mv[1]):
+            syn.mb_class[i] = MB_PSKIP
+            mv_dec[i] = skip_mv
+            ref_dec[i] = 0
+            continue
+        mvp = mvpred.predict_mv_16x16(mv_dec, ref_dec, mbx, mby, mbw, 0)
+        syn.mb_class[i] = MB_P16
+        syn.mvd[i] = mv[i] - mvp
+        mv_dec[i] = mv[i]
+        ref_dec[i] = 0
+
+    return ry, ru, rv, syn
