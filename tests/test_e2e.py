@@ -89,3 +89,17 @@ def test_noise_content_low_qp():
     p = EncoderParams(width=64, height=48, qp=8, keyint_max=250,
                       deblock=False, me_range=4)
     encode_and_check(frames, p)
+
+
+@pytest.mark.parametrize("qp,ao,bo", [(20, 0, 0), (32, 0, 0), (44, 0, 0), (32, 2, -1)])
+def test_deblock_bitexact(qp, ao, bo):
+    frames = synth_frames(96, 64, 3)
+    p = EncoderParams(width=96, height=64, qp=qp, keyint_max=250, deblock=True,
+                      deblock_alpha=ao, deblock_beta=bo, me_range=8)
+    encode_and_check(frames, p)
+
+
+def test_deblock_iframes_high_qp():
+    frames = synth_frames(64, 48, 2)
+    p = EncoderParams(width=64, height=48, qp=48, keyint_max=1, deblock=True)
+    encode_and_check(frames, p)

@@ -108,6 +108,12 @@ class Encoder:
         write_slice_data(bs, syn, slice_type)
         out += wrap_slice_nal(bs.to_rbsp(), idr)
 
+        if self.p.deblock:
+            from x264_tpu.ops.reference.deblock import deblock_frame
+            ry, ru, rv = deblock_frame(ry, ru, rv, syn,
+                                       self.p.deblock_alpha, self.p.deblock_beta,
+                                       self.p.chroma_qp_offset)
+
         recon = ReconFrame(ry, ru, rv, frame_num=self.frame_num)
         self.last_recon = recon
         self.dpb = [recon]  # sliding window, 1 ref in round 1
