@@ -1,0 +1,152 @@
+"""Device (JAX) tier vs NumPy reference tier — the checkasm analog for the
+TPU 'architecture' (SURVEY §4.1): every device kernel must match the
+reference kernels bit-exactly on random inputs, and whole-frame device
+pipelines must produce byte-identical bitstreams."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from x264_tpu.ops.reference import pixel as rpixel  # noqa: E402
+from x264_tpu.ops.reference import predict as rpredict  # noqa: E402
+from x264_tpu.ops.reference import quant as rquant  # noqa: E402
+from x264_tpu.ops.reference import transform as rtransform  # noqa: E402
+from x264_tpu.ops.device import pixel as dpixel  # noqa: E402
+from x264_tpu.ops.device import predict as dpredict  # noqa: E402
+from x264_tpu.ops.device import transform as dtransform  # noqa: E402
+
+QPS = [0, 1, 11, 17, 26, 35, 36, 43, 51]
+
+
+def _eq(dev, ref):
+    np.testing.assert_array_equal(np.asarray(dev), np.asarray(ref))
+
+
+class TestTransforms:
+    def test_dct_idct(self, rng):
+        res = rng.integers(-255, 256, (64, 4, 4))
+        _eq(dtransform.dct4x4(jnp.asarray(res)), rtransform.dct4x4(res))
+        coefs = rng.integers(-2048, 2048, (64, 4, 4))
+        _eq(dtransform.idct4x4(jnp.asarray(coefs)), rtransform.idct4x4(coefs))
+
+    def test_hadamard(self, rng):
+        dc = rng.integers(-4080, 4081, (32, 4, 4))
+        _eq(dtransform.hadamard4x4_fwd(jnp.asarray(dc)),
+            rtransform.hadamard4x4_fwd(dc))
+        _eq(dtransform.hadamard4x4_inv(jnp.asarray(dc)),
+            rtransform.hadamard4x4_inv(dc))
+        c2 = rng.integers(-4080, 4081, (32, 2, 2))
+        _eq(dtransform.hadamard2x2(jnp.asarray(c2)), rtransform.hadamard2x2(c2))
+
+    @pytest.mark.parametrize("qp", QPS)
+    def test_quant_roundtrip(self, rng, qp):
+        coefs = rng.integers(-9180, 9181, (64, 4, 4))
+        for intra in (True, False):
+            lv_r = rquant.quant4x4(coefs, qp, intra)
+            _eq(dtransform.quant4x4(jnp.asarray(coefs), jnp.int32(qp), intra),
+                lv_r)
+            _eq(dtransform.dequant4x4(jnp.asarray(lv_r), jnp.int32(qp)),
+                rquant.dequant4x4(lv_r, qp))
+
+    @pytest.mark.parametrize("qp", QPS)
+    def test_dc_paths(self, rng, qp):
+        fdc = rng.integers(-32640, 32641, (16, 4, 4))
+        lv = rquant.quant_dc4(fdc, qp, True)
+        _eq(dtransform.quant_dc4(jnp.asarray(fdc), jnp.int32(qp), True), lv)
+        _eq(dtransform.dequant_dc4(jnp.asarray(lv), jnp.int32(qp)),
+            rquant.dequant_dc4(lv, qp))
+        c2 = rng.integers(-8160, 8161, (16, 2, 2))
+        for intra in (True, False):
+            lv2 = rquant.quant_dc2(c2, qp, intra)
+            _eq(dtransform.quant_dc2(jnp.asarray(c2), jnp.int32(qp), intra), lv2)
+            _eq(dtransform.dequant_dc2(jnp.asarray(lv2), jnp.int32(qp)),
+                rquant.dequant_dc2(lv2, qp))
+
+    def test_layout(self, rng):
+        mb = rng.integers(0, 256, (5, 16, 16))
+        _eq(dtransform.mb_luma_to_blocks(jnp.asarray(mb)),
+            rtransform.mb_luma_to_blocks(mb))
+        blk = rng.integers(-99, 99, (5, 16, 4, 4))
+        _eq(dtransform.blocks_to_mb_luma(jnp.asarray(blk)),
+            rtransform.blocks_to_mb_luma(blk))
+        blocks = rng.integers(-9, 9, (7, 4, 4))
+        from x264_tpu.bitstream.tables import ZIGZAG_4x4
+        zz_d = dtransform.zigzag(jnp.asarray(blocks))
+        _eq(zz_d, blocks.reshape(7, 16)[:, ZIGZAG_4x4])
+        _eq(dtransform.unzigzag(zz_d), blocks)
+
+
+class TestPixel:
+    def test_sad_ssd_satd(self, rng):
+        a = rng.integers(0, 256, (10, 16, 16))
+        b = rng.integers(0, 256, (10, 16, 16))
+        _eq(dpixel.sad(jnp.asarray(a), jnp.asarray(b)), rpixel.sad(a, b))
+        _eq(dpixel.ssd(jnp.asarray(a), jnp.asarray(b)), rpixel.ssd(a, b))
+        _eq(dpixel.satd(jnp.asarray(a), jnp.asarray(b)), rpixel.satd(a, b))
+        a8 = rng.integers(0, 256, (10, 8, 8))
+        b8 = rng.integers(0, 256, (10, 8, 8))
+        _eq(dpixel.satd(jnp.asarray(a8), jnp.asarray(b8)), rpixel.satd(a8, b8))
+
+
+class TestPredict:
+    def test_i16x16_chroma_modes(self, rng):
+        n = 16
+        top = rng.integers(0, 256, (n, 16))
+        left = rng.integers(0, 256, (n, 16))
+        tl = rng.integers(0, 256, (n,))
+        at = rng.integers(0, 2, (n,)).astype(bool)
+        al = rng.integers(0, 2, (n,)).astype(bool)
+        _eq(dpredict.predict_16x16_all(jnp.asarray(top), jnp.asarray(left),
+                                       jnp.asarray(tl), jnp.asarray(at),
+                                       jnp.asarray(al)),
+            rpredict.predict_16x16_all(top, left, tl, at, al))
+        ctop = rng.integers(0, 256, (n, 8))
+        cleft = rng.integers(0, 256, (n, 8))
+        _eq(dpredict.predict_chroma_all(jnp.asarray(ctop), jnp.asarray(cleft),
+                                        jnp.asarray(tl), jnp.asarray(at),
+                                        jnp.asarray(al)),
+            rpredict.predict_chroma_all(ctop, cleft, tl, at, al))
+        _eq(dpredict.i16x16_mode_avail(jnp.asarray(at), jnp.asarray(al),
+                                       jnp.asarray(at & al)),
+            rpredict.i16x16_mode_avail(at, al, at & al))
+        _eq(dpredict.chroma_mode_avail(jnp.asarray(at), jnp.asarray(al),
+                                       jnp.asarray(at & al)),
+            rpredict.chroma_mode_avail(at, al, at & al))
+
+
+def _test_clip(rng, w, h, n):
+    """Smooth-ish moving test clip (same generator family as test_e2e)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        y = (128 + 64 * np.sin(xx / 17.0 + t * 0.4)
+             * np.cos(yy / 23.0 - t * 0.2)).astype(np.uint8)
+        y += (rng.integers(0, 6, (h, w))).astype(np.uint8)
+        u = (128 + 32 * np.sin((xx[::2, ::2] + 4 * t) / 31.0)).astype(np.uint8)
+        v = (128 + 32 * np.cos((yy[::2, ::2] - 3 * t) / 29.0)).astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+class TestFramePipelines:
+    """Whole-frame device vs reference: byte-identical bitstreams."""
+
+    @pytest.mark.parametrize("qp", [16, 26, 38])
+    def test_bitstream_identical(self, rng, qp):
+        from x264_tpu.api import Encoder
+        from x264_tpu.params import EncoderParams
+        from x264_tpu.utils.yuv import Frame420
+
+        w, h = 96, 64
+        frames = _test_clip(rng, w, h, 5)
+        outs = []
+        for backend in ("reference", "device"):
+            p = EncoderParams(width=w, height=h, qp=qp, keyint_max=4,
+                              me_range=8, backend=backend)
+            enc = Encoder(p)
+            data = b"".join(enc.encode(Frame420(y, u, v))
+                            for (y, u, v) in frames)
+            outs.append(data)
+        assert outs[0] == outs[1]

@@ -65,6 +65,17 @@ class Encoder:
     def headers(self) -> bytes:
         return self._sps_bytes + self._pps_bytes
 
+    def _use_device(self) -> bool:
+        if self.p.backend == "reference":
+            return False
+        if self.p.backend == "device":
+            return True
+        try:
+            import jax  # noqa: F401
+            return True
+        except ImportError:
+            return False
+
     def _pad(self, fr: Frame420):
         y = pad_to_mb(fr.y, 16)
         u = pad_to_mb(fr.u, 8)
@@ -88,16 +99,27 @@ class Encoder:
             if self.p.repeat_headers:
                 out += self.headers()
 
+        use_device = self._use_device()
         if ftype == "IDR" or not self.dpb:
-            ry, ru, rv, syn = intra_frame.encode_iframe(
-                y, u, v, qp, self.p.chroma_qp_offset)
+            if use_device:
+                from x264_tpu.models import intra_device
+                ry, ru, rv, syn = intra_device.encode_iframe_device(
+                    y, u, v, qp, self.p.chroma_qp_offset)
+            else:
+                ry, ru, rv, syn = intra_frame.encode_iframe(
+                    y, u, v, qp, self.p.chroma_qp_offset)
             slice_type = SLICE_I
             idr = True
         else:
-            from x264_tpu.models import inter_frame
             ref = self.dpb[-1]
-            ry, ru, rv, syn = inter_frame.encode_pframe(
-                y, u, v, ref, qp, self.p)
+            if use_device:
+                from x264_tpu.models import inter_device
+                ry, ru, rv, syn = inter_device.encode_pframe_device(
+                    y, u, v, ref, qp, self.p)
+            else:
+                from x264_tpu.models import inter_frame
+                ry, ru, rv, syn = inter_frame.encode_pframe(
+                    y, u, v, ref, qp, self.p)
             slice_type = SLICE_P
             idr = False
 

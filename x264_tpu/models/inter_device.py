@@ -1,0 +1,135 @@
+"""P-frame device model: the whole per-frame pixel pipeline — exhaustive
+fullpel ME, luma/chroma MC, residual transform/quant, reconstruction — as
+ONE jitted JAX program over all MBs; only the normative skip/MVP
+classification (a tiny sequential scan) and entropy coding stay on host.
+
+This is the TPU-first restructuring of x264's slice_write MB loop
+(reference encoder/encoder.c:2752): what x264 does per-MB with a neighbor
+cache, we do frame-batched, because the only *normative* sequential
+dependencies of a P16x16 frame are the decoded-MV prediction chain
+(host scan) and the entropy coder (host).  Bit-exact vs the NumPy tier.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
+from x264_tpu.models import mvpred
+from x264_tpu.models.inter_frame import PAD, me_lambda
+from x264_tpu.models.residual_device import encode_chroma, encode_p_luma
+from x264_tpu.models.syntax import MB_P16, MB_PSKIP, empty_syntax
+from x264_tpu.ops.device import transform as T
+from x264_tpu.ops.device.mc import mc_chroma, mc_luma_fullpel
+from x264_tpu.ops.device.me import full_search_16x16
+
+_CHROMA_QP = jnp.asarray(CHROMA_QP_TABLE.astype(np.int32))
+
+
+def _pad_edge(p, pad):
+    return jnp.pad(p, pad, mode="edge")
+
+
+def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
+                     mbw: int, mbh: int, me_range: int, cqp_off: int):
+    """All-device P-frame pixel pipeline on *pre-padded* reference planes
+    (so the sharded band path can hand in halo slices — parallel/sliced.py).
+    y/u/v: source planes (uint8, H=16*mbh x W=16*mbw); ref_*_pad: reference
+    planes padded by PAD (luma) / PAD//2 (chroma); qp/lam: traced int32.
+    Returns a dict of per-MB syntax tensors + pre-deblock recon planes."""
+    qp = jnp.asarray(qp, jnp.int32)
+    qpc = _CHROMA_QP[jnp.clip(qp + cqp_off, 0, 51)]
+
+    mv, _cost = full_search_16x16(y, ref_y_pad, lam,
+                                  me_range=me_range, mbw=mbw, mbh=mbh)
+
+    pred = mc_luma_fullpel(ref_y_pad, mv, mbw, mbh, PAD)
+    src_mbs = T.plane_to_mbs(y.astype(jnp.int32), mbh, mbw, 16)
+    recon_y_mbs, ac_zz, nnz, cbp_l = encode_p_luma(src_mbs, pred, qp)
+
+    pred_u = mc_chroma(ref_u_pad, mv, mbw, mbh, PAD // 2)
+    pred_v = mc_chroma(ref_v_pad, mv, mbw, mbh, PAD // 2)
+    src_u = T.plane_to_mbs(u.astype(jnp.int32), mbh, mbw, 8)
+    src_v = T.plane_to_mbs(v.astype(jnp.int32), mbh, mbw, 8)
+    ru_mbs, rv_mbs, cdc, cac, cnnz, cbp_c = encode_chroma(
+        src_u, src_v, pred_u, pred_v, qpc, intra=False)
+
+    return dict(
+        mv=mv,
+        luma_ac=ac_zz, luma_nnz=nnz, cbp_luma=cbp_l,
+        chroma_dc=cdc, chroma_ac=cac, chroma_nnz=cnnz, cbp_chroma=cbp_c,
+        recon_y=T.mbs_to_plane(recon_y_mbs, mbh, mbw, 16).astype(jnp.uint8),
+        recon_u=T.mbs_to_plane(ru_mbs, mbh, mbw, 8).astype(jnp.uint8),
+        recon_v=T.mbs_to_plane(rv_mbs, mbh, mbw, 8).astype(jnp.uint8),
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mbw", "mbh", "me_range", "cqp_off"))
+def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
+                 mbw: int, mbh: int, me_range: int, cqp_off: int):
+    """Single-chip entry: edge-pad the references on device, run the
+    pipeline (see p_frame_pipeline for the contract)."""
+    return p_frame_pipeline(y, u, v,
+                            _pad_edge(ref_y, PAD),
+                            _pad_edge(ref_u, PAD // 2),
+                            _pad_edge(ref_v, PAD // 2),
+                            qp, lam, mbw=mbw, mbh=mbh,
+                            me_range=me_range, cqp_off=cqp_off)
+
+
+def classify_pframe(syn, mv: np.ndarray, cbp_l: np.ndarray, cbp_c: np.ndarray):
+    """Host sequential scan: P_Skip classification + normative mvd
+    (8.4.1) over decoded-so-far state.  Shared by both backends."""
+    mbw, mbh = syn.mb_width, syn.mb_height
+    n = mbw * mbh
+    mv_dec = np.zeros((n, 2), np.int32)
+    ref_dec = np.full(n, -1, np.int32)
+    for i in range(n):
+        mby, mbx = divmod(i, mbw)
+        skip_mv = mvpred.pskip_mv(mv_dec, ref_dec, mbx, mby, mbw)
+        if (cbp_l[i] == 0 and cbp_c[i] == 0
+                and mv[i, 0] == skip_mv[0] and mv[i, 1] == skip_mv[1]):
+            syn.mb_class[i] = MB_PSKIP
+            mv_dec[i] = skip_mv
+            ref_dec[i] = 0
+            continue
+        mvp = mvpred.predict_mv_16x16(mv_dec, ref_dec, mbx, mby, mbw, 0)
+        syn.mb_class[i] = MB_P16
+        syn.mvd[i] = mv[i] - mvp
+        mv_dec[i] = mv[i]
+        ref_dec[i] = 0
+
+
+def encode_pframe_device(y, u, v, ref, qp: int, params):
+    """Host wrapper: run the device core, assemble FrameSyntax, run the
+    host skip/mvd scan.  Drop-in replacement for
+    inter_frame.encode_pframe."""
+    h, w = y.shape
+    mbw, mbh = w // 16, h // 16
+    out = p_frame_core(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                       jnp.asarray(ref.y), jnp.asarray(ref.u),
+                       jnp.asarray(ref.v),
+                       np.int32(qp), np.int32(me_lambda(qp)),
+                       mbw=mbw, mbh=mbh, me_range=params.me_range,
+                       cqp_off=params.chroma_qp_offset)
+    out = {k: np.asarray(val) for k, val in out.items()}
+
+    syn = empty_syntax(mbw, mbh)
+    syn.qp[:] = qp
+    syn.mv[:] = out["mv"]
+    syn.ref[:] = 0
+    syn.luma_ac[:] = out["luma_ac"]
+    syn.luma_nnz[:] = out["luma_nnz"]
+    syn.cbp_luma[:] = out["cbp_luma"]
+    syn.chroma_dc[:] = out["chroma_dc"]
+    syn.chroma_ac[:] = out["chroma_ac"]
+    syn.chroma_nnz[:] = out["chroma_nnz"]
+    syn.cbp_chroma[:] = out["cbp_chroma"]
+
+    classify_pframe(syn, out["mv"], out["cbp_luma"], out["cbp_chroma"])
+    return out["recon_y"], out["recon_u"], out["recon_v"], syn

@@ -1,0 +1,111 @@
+"""Batched device residual paths (JAX) shared by the I- and P-frame device
+models — transform/quant/reconstruct for all MBs at once.
+
+Bit-exact counterparts of models/intra_frame.encode_i16x16_mb /
+encode_chroma_mb and models/inter_frame.encode_p_luma_mb (parity anchors:
+reference encoder/macroblock.c x264_mb_encode_i16x16 and the inter residual
+path of x264_macroblock_encode).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from x264_tpu.ops.device import transform as T
+
+# one-hot map raster-4x4-block -> 8x8 quadrant ((y4>=2)*2 + (x4>=2))
+_QUAD_1HOT = jnp.asarray(np.eye(4, dtype=np.int32)[
+    (np.arange(16) // 4 // 2) * 2 + (np.arange(16) % 4) // 2])  # (16,4)
+
+
+def encode_i16_luma(src, pred, qp):
+    """src/pred (N,16,16) -> (recon, dc_zz (N,16), ac_zz (N,16,16),
+    nnz (N,16), cbp_luma (N,))."""
+    res = src.astype(jnp.int32) - pred.astype(jnp.int32)
+    blocks = T.mb_luma_to_blocks(res)                  # (N,16,4,4)
+    coefs = T.dct4x4(blocks)
+
+    dc = coefs[:, :, 0, 0].reshape(-1, 4, 4)
+    fdc = T.hadamard4x4_fwd(dc)
+    dc_lv = T.quant_dc4(fdc, qp, intra=True)
+    dc_zz = T.zigzag(dc_lv)
+    fi = T.hadamard4x4_inv(dc_lv)
+    dc_deq = T.dequant_dc4(fi, qp).reshape(-1, 16)
+
+    ac_lv = T.quant4x4(coefs, qp, intra=True)
+    ac_lv = ac_lv.at[:, :, 0, 0].set(0)
+    nnz = jnp.count_nonzero(ac_lv.reshape(-1, 16, 16), axis=2).astype(jnp.int32)
+    cbp_luma = jnp.where(nnz.any(axis=1), 15, 0).astype(jnp.int32)
+    ac_zz = T.zigzag(ac_lv)
+
+    deq = T.dequant4x4(ac_lv, qp)
+    deq = deq.at[:, :, 0, 0].set(dc_deq)
+    res_rec = T.idct4x4(deq)
+    recon = jnp.clip(pred.astype(jnp.int32) + T.blocks_to_mb_luma(res_rec),
+                     0, 255)
+    return recon, dc_zz, ac_zz, nnz, cbp_luma
+
+
+def encode_p_luma(src, pred, qp):
+    """Inter luma residual: (N,16,16) -> (recon, ac_zz, nnz, cbp_luma) with
+    per-8x8-quadrant cbp bits."""
+    res = src.astype(jnp.int32) - pred.astype(jnp.int32)
+    blocks = T.mb_luma_to_blocks(res)
+    coefs = T.dct4x4(blocks)
+    lv = T.quant4x4(coefs, qp, intra=False)
+    nnz = jnp.count_nonzero(lv.reshape(-1, 16, 16), axis=2).astype(jnp.int32)
+    quad_counts = (nnz > 0).astype(jnp.int32) @ _QUAD_1HOT        # (N,4)
+    cbp = ((quad_counts > 0).astype(jnp.int32)
+           * (1 << jnp.arange(4, dtype=jnp.int32))[None, :]).sum(1)
+    ac_zz = T.zigzag(lv)
+    deq = T.dequant4x4(lv, qp)
+    res_rec = T.idct4x4(deq)
+    recon = jnp.clip(pred.astype(jnp.int32) + T.blocks_to_mb_luma(res_rec),
+                     0, 255)
+    return recon, ac_zz, nnz, cbp
+
+
+def _chroma_blocks(res):
+    """(N,8,8) -> (N,4,4,4) raster 4x4 blocks."""
+    n = res.shape[0]
+    return res.reshape(n, 2, 4, 2, 4).transpose(0, 1, 3, 2, 4).reshape(n, 4, 4, 4)
+
+
+def _chroma_plane(blocks):
+    n = blocks.shape[0]
+    return blocks.reshape(n, 2, 2, 4, 4).transpose(0, 1, 3, 2, 4).reshape(n, 8, 8)
+
+
+def encode_chroma(src_u, src_v, pred_u, pred_v, qp_c, intra: bool):
+    """(N,8,8) x4 -> (recon_u, recon_v, dc (N,2,4), ac (N,2,4,16),
+    nnz (N,2,4), cbp_chroma (N,)).  Joint U+V cbp per MB (normative)."""
+    n = src_u.shape[0]
+    srcs = jnp.stack([src_u, src_v], axis=1).astype(jnp.int32)    # (N,2,8,8)
+    preds = jnp.stack([pred_u, pred_v], axis=1).astype(jnp.int32)
+    res = srcs - preds
+    blocks = _chroma_blocks(res.reshape(n * 2, 8, 8)).reshape(n, 2, 4, 4, 4)
+    coefs = T.dct4x4(blocks)
+
+    dc = coefs[:, :, :, 0, 0].reshape(n, 2, 2, 2)
+    fdc = T.hadamard2x2(dc)
+    dc_lv = T.quant_dc2(fdc, qp_c, intra)
+    dcs = dc_lv.reshape(n, 2, 4)
+
+    ac_lv = T.quant4x4(coefs, qp_c, intra)
+    ac_lv = ac_lv.at[:, :, :, 0, 0].set(0)
+    acs = T.zigzag(ac_lv)                                          # (N,2,4,16)
+    nnz = jnp.count_nonzero(acs, axis=3).astype(jnp.int32)
+
+    any_ac = (acs != 0).any(axis=(1, 2, 3))
+    any_dc = (dcs != 0).any(axis=(1, 2))
+    cbp_chroma = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0)).astype(jnp.int32)
+
+    fi = T.hadamard2x2(dc_lv)
+    dc_deq = T.dequant_dc2(fi, qp_c).reshape(n, 2, 4)
+    deq = T.dequant4x4(ac_lv, qp_c)
+    deq = deq.at[:, :, :, 0, 0].set(dc_deq)
+    res_rec = T.idct4x4(deq)
+    planes = _chroma_plane(res_rec.reshape(n * 2, 4, 4, 4)).reshape(n, 2, 8, 8)
+    recons = jnp.clip(preds + planes, 0, 255)
+    return (recons[:, 0], recons[:, 1], dcs, acs, nnz, cbp_chroma)

@@ -1,0 +1,166 @@
+"""Device (JAX) integer transforms + quantization — bit-exact counterparts of
+ops/reference/{transform,quant}.py (parity anchors: reference common/dct.c,
+common/quant.c), batched over leading dims, int32 throughout (TPU-native;
+value-range analysis in comments shows int32 suffices at every step).
+
+QP enters as a *traced* scalar: quant tables are gathered by qp%6 and shift
+amounts are computed on device, so a single compiled program covers qp 0..51.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x264_tpu.bitstream.tables import DEQUANT4, QUANT4_MF, ZIGZAG_4x4
+
+_CF = jnp.array([[1, 1, 1, 1],
+                 [2, 1, -1, -2],
+                 [1, -1, -1, 1],
+                 [1, -2, 2, -1]], dtype=jnp.int32)
+_H4 = jnp.array([[1, 1, 1, 1],
+                 [1, 1, -1, -1],
+                 [1, -1, -1, 1],
+                 [1, -1, 1, -1]], dtype=jnp.int32)
+_H2 = jnp.array([[1, 1], [1, -1]], dtype=jnp.int32)
+
+_QUANT4_MF = jnp.asarray(QUANT4_MF.astype(np.int32))    # (6,4,4)
+_DEQUANT4 = jnp.asarray(DEQUANT4.astype(np.int32))      # (6,4,4)
+_ZZ = jnp.asarray(ZIGZAG_4x4.astype(np.int32))          # (16,)
+_UNZZ = jnp.asarray(np.argsort(ZIGZAG_4x4).astype(np.int32))
+
+
+def _mat2(m, x):
+    """m @ x @ m.T batched over leading dims, integer exact."""
+    return jnp.einsum("ij,...jk,lk->...il", m, x, m,
+                      preferred_element_type=jnp.int32)
+
+
+def dct4x4(residual):
+    """Forward 4x4 core transform Cf.X.Cf^T.  |res|<=255 -> |coef|<=9180."""
+    return _mat2(_CF, residual.astype(jnp.int32))
+
+
+def idct4x4(d):
+    """Normative inverse transform (8.5.12.2) incl. final (x+32)>>6."""
+    d = d.astype(jnp.int32)
+    e0 = d[..., :, 0] + d[..., :, 2]
+    e1 = d[..., :, 0] - d[..., :, 2]
+    e2 = (d[..., :, 1] >> 1) - d[..., :, 3]
+    e3 = d[..., :, 1] + (d[..., :, 3] >> 1)
+    f = jnp.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-1)
+    g0 = f[..., 0, :] + f[..., 2, :]
+    g1 = f[..., 0, :] - f[..., 2, :]
+    g2 = (f[..., 1, :] >> 1) - f[..., 3, :]
+    g3 = f[..., 1, :] + (f[..., 3, :] >> 1)
+    h = jnp.stack([g0 + g3, g1 + g2, g1 - g2, g0 - g3], axis=-2)
+    return (h + 32) >> 6
+
+
+def hadamard4x4_fwd(dc):
+    y = _mat2(_H4, dc.astype(jnp.int32))
+    return (y + 1) >> 1
+
+
+def hadamard4x4_inv(c):
+    return _mat2(_H4, c.astype(jnp.int32))
+
+
+def hadamard2x2(dc):
+    return _mat2(_H2, dc.astype(jnp.int32))
+
+
+# -- quant (traced qp) --------------------------------------------------------
+
+def _qparams(qp, intra: bool):
+    qbits = 15 + qp // 6
+    f = jnp.where(jnp.bool_(intra), (1 << qbits) // 3, (1 << qbits) // 6)
+    return qbits, f
+
+
+def quant4x4(coefs, qp, intra: bool):
+    """Deadzone quant; max |coef|*mf = 9180*13107 < 2^31."""
+    qbits, f = _qparams(qp, intra)
+    mf = _QUANT4_MF[qp % 6]
+    c = coefs.astype(jnp.int32)
+    level = (jnp.abs(c) * mf + f) >> qbits
+    return jnp.where(c < 0, -level, level)
+
+
+def dequant4x4(levels, qp):
+    v = _DEQUANT4[qp % 6]
+    return (levels.astype(jnp.int32) * v) << (qp // 6)
+
+
+def quant_dc4(coefs, qp, intra: bool = True):
+    """Luma DC quant (pairs with hadamard4x4_fwd's >>1): qbits+1, deadzone 2f.
+    |fdc| <= (255*16*16)>>1 = 32640; 32640*13107 < 2^31."""
+    qbits, f = _qparams(qp, intra)
+    mf = _QUANT4_MF[qp % 6, 0, 0]
+    c = coefs.astype(jnp.int32)
+    level = (jnp.abs(c) * mf + 2 * f) >> (qbits + 1)
+    return jnp.where(c < 0, -level, level)
+
+
+def dequant_dc4(f_had, qp):
+    """Normative luma-DC scaling (8.5.10); both qp-regime branches computed
+    with clamped shifts and selected elementwise."""
+    ls16 = _DEQUANT4[qp % 6, 0, 0] * 16
+    f_had = f_had.astype(jnp.int32)
+    q6 = qp // 6
+    hi = (f_had * ls16) << jnp.maximum(q6 - 6, 0)
+    lo = (f_had * ls16 + (1 << jnp.maximum(5 - q6, 0))) >> jnp.maximum(6 - q6, 0)
+    return jnp.where(qp >= 36, hi, lo)
+
+
+def quant_dc2(coefs, qp, intra: bool):
+    qbits, f = _qparams(qp, intra)
+    mf = _QUANT4_MF[qp % 6, 0, 0]
+    c = coefs.astype(jnp.int32)
+    level = (jnp.abs(c) * mf + 2 * f) >> (qbits + 1)
+    return jnp.where(c < 0, -level, level)
+
+
+def dequant_dc2(f_had, qp):
+    ls16 = _DEQUANT4[qp % 6, 0, 0] * 16
+    return ((f_had.astype(jnp.int32) * ls16) << (qp // 6)) >> 5
+
+
+# -- layout helpers -----------------------------------------------------------
+
+def zigzag(blocks4):
+    """(..., 4, 4) -> (..., 16) in zigzag order."""
+    return blocks4.reshape(*blocks4.shape[:-2], 16)[..., _ZZ]
+
+
+def unzigzag(scan):
+    return scan[..., _UNZZ].reshape(*scan.shape[:-1], 4, 4)
+
+
+def mb_luma_to_blocks(mb):
+    """(..., 16, 16) -> (..., 16, 4, 4) raster 4x4 blocks."""
+    sh = mb.shape[:-2]
+    nd = len(sh)
+    return (mb.reshape(*sh, 4, 4, 4, 4)
+              .transpose(*range(nd), nd, nd + 2, nd + 1, nd + 3)
+              .reshape(*sh, 16, 4, 4))
+
+
+def blocks_to_mb_luma(blocks):
+    sh = blocks.shape[:-3]
+    nd = len(sh)
+    return (blocks.reshape(*sh, 4, 4, 4, 4)
+                  .transpose(*range(nd), nd, nd + 2, nd + 1, nd + 3)
+                  .reshape(*sh, 16, 16))
+
+
+def plane_to_mbs(plane, mbh: int, mbw: int, s: int = 16):
+    """(H, W) -> (mbh*mbw, s, s) raster MB order."""
+    return (plane.reshape(mbh, s, mbw, s).transpose(0, 2, 1, 3)
+                 .reshape(mbh * mbw, s, s))
+
+
+def mbs_to_plane(mbs, mbh: int, mbw: int, s: int = 16):
+    return (mbs.reshape(mbh, mbw, s, s).transpose(0, 2, 1, 3)
+               .reshape(mbh * s, mbw * s))

@@ -83,6 +83,11 @@ class EncoderParams:
     threads: int = 1
     log_level: int = 2
 
+    # compute backend: "device" = JAX/XLA (TPU) pipeline, "reference" =
+    # NumPy bit-exact tier (plays the role of x264's C kernels vs asm),
+    # "auto" = device when JAX is importable.
+    backend: str = "auto"
+
     def clone(self, **kw) -> "EncoderParams":
         return dataclasses.replace(self, **kw)
 
