@@ -19,4 +19,24 @@ Layer map (mirrors SURVEY.md §1, re-architected TPU-first):
 
 __version__ = "0.1.0"
 
+
+def _enable_jax_compile_cache() -> None:
+    """Persistent XLA compile cache: our frame pipelines are large programs
+    (wavefront scan + unrolled CAVLC), so first-compile latency matters —
+    especially through a remote-compile TPU tunnel.  Cache keyed per shape;
+    every later process reuses it."""
+    try:
+        import os
+        import jax
+        cache = os.environ.get("X264_TPU_JAX_CACHE",
+                               os.path.expanduser("~/.cache/x264_tpu_jax"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_jax_compile_cache()
+
 from x264_tpu.params import EncoderParams  # noqa: F401

@@ -22,7 +22,7 @@ from x264_tpu.bitstream.headers import (
     write_slice_header,
     write_sps,
 )
-from x264_tpu.bitstream.slice_writer import write_slice_data
+from x264_tpu.bitstream.slice_writer_vec import write_slice_data_vec as write_slice_data
 from x264_tpu.models import intra_frame
 from x264_tpu.params import EncoderParams
 from x264_tpu.utils.yuv import Frame420, pad_to_mb
@@ -131,10 +131,26 @@ class Encoder:
         out += wrap_slice_nal(bs.to_rbsp(), idr)
 
         if self.p.deblock:
-            from x264_tpu.ops.reference.deblock import deblock_frame
-            ry, ru, rv = deblock_frame(ry, ru, rv, syn,
-                                       self.p.deblock_alpha, self.p.deblock_beta,
-                                       self.p.chroma_qp_offset)
+            if use_device:
+                from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
+                from x264_tpu.models.syntax import MB_I4, MB_I16
+                from x264_tpu.ops.device.deblock import deblock_core
+                intra_mb = np.isin(syn.mb_class, (MB_I16, MB_I4))
+                qpc = CHROMA_QP_TABLE[np.clip(
+                    syn.qp + self.p.chroma_qp_offset, 0, 51)].astype(np.int32)
+                ry, ru, rv = deblock_core(
+                    ry, ru, rv, intra_mb, syn.luma_nnz.astype(np.int32),
+                    syn.mv.astype(np.int32), syn.ref.astype(np.int32),
+                    syn.qp.astype(np.int32), qpc,
+                    np.int32(self.p.deblock_alpha * 2),
+                    np.int32(self.p.deblock_beta * 2),
+                    mbw=syn.mb_width, mbh=syn.mb_height)
+                ry, ru, rv = (np.asarray(ry), np.asarray(ru), np.asarray(rv))
+            else:
+                from x264_tpu.ops.reference.deblock import deblock_frame
+                ry, ru, rv = deblock_frame(
+                    ry, ru, rv, syn, self.p.deblock_alpha,
+                    self.p.deblock_beta, self.p.chroma_qp_offset)
 
         recon = ReconFrame(ry, ru, rv, frame_num=self.frame_num)
         self.last_recon = recon

@@ -83,41 +83,52 @@ class BitWriter:
     def bit_length(self) -> int:
         return int(self._lens[:self._n].astype(np.int64).sum())
 
-    def pack_bits(self) -> np.ndarray:
-        """Return the bit string as a uint8 array of 0/1 (MSB first)."""
+    def _pack(self) -> tuple[np.ndarray, int]:
+        """Pack all codes to a byte array (MSB-first bit order).  Returns
+        (bytes uint8, total_bits).
+
+        Fast path: each code's bits are blitted into a 7-byte window at its
+        byte offset; windows of adjacent codes overlap only in bytes, never
+        in *set bits*, so summing the per-byte contributions (np.bincount
+        with weights) equals the OR — one C-speed pass, no Python loop."""
         lens = self._lens[:self._n].astype(np.int64)
         vals = self._vals[:self._n]
+        live = lens > 0
+        lens = lens[live]
+        vals = vals[live]
         total = int(lens.sum())
         if total == 0:
-            return np.zeros(0, dtype=np.uint8)
-        # Expand each code into its bits: for code i with length L at offset
-        # off[i], bit j (0=MSB) is (val >> (L-1-j)) & 1.
+            return np.zeros(0, dtype=np.uint8), 0
         offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
-        out = np.zeros(total, dtype=np.uint8)
-        # Positions grid: max length M; mask invalid.
-        m = int(lens.max()) if len(lens) else 0
-        j = np.arange(m, dtype=np.int64)
-        shift = lens[:, None] - 1 - j[None, :]          # (n, m)
-        valid = shift >= 0
-        bits = (vals[:, None] >> shift.clip(min=0).astype(np.uint64)) & np.uint64(1)
-        tgt = offs[:, None] + j[None, :]
-        out[tgt[valid]] = bits[valid].astype(np.uint8)
-        return out
+        starts = offs >> 3
+        bitpos = offs & 7
+        # span = bitpos + len <= 7 + 48 = 55 bits -> 7-byte window
+        word = vals << (56 - bitpos - lens).astype(np.uint64)
+        nbytes = (total + 7) >> 3
+        jj = np.arange(7, dtype=np.int64)
+        pos = (starts[:, None] + jj[None, :]).reshape(-1)
+        byts = ((word[:, None] >> ((48 - 8 * jj)[None, :].astype(np.uint64)))
+                & np.uint64(0xFF)).reshape(-1)
+        buf = np.bincount(pos, weights=byts, minlength=nbytes + 7)[:nbytes]
+        return buf.astype(np.uint8), total
+
+    def pack_bits(self) -> np.ndarray:
+        """Return the bit string as a uint8 array of 0/1 (MSB first)."""
+        buf, total = self._pack()
+        return np.unpackbits(buf)[:total]
 
     def to_rbsp(self) -> bytes:
         """rbsp_trailing_bits: append stop bit '1', pad with zeros to byte."""
-        bits = self.pack_bits()
-        bits = np.concatenate([bits, np.ones(1, dtype=np.uint8)])
-        pad = (-len(bits)) % 8
-        if pad:
-            bits = np.concatenate([bits, np.zeros(pad, dtype=np.uint8)])
-        return np.packbits(bits).tobytes()
+        self.put1(1)
+        buf, total = self._pack()
+        self._n -= 1  # leave writer state unchanged
+        return buf.tobytes()
 
     def to_bytes_aligned(self) -> bytes:
         """Pack without trailing bits; caller guarantees byte alignment."""
-        bits = self.pack_bits()
-        assert len(bits) % 8 == 0, "bitstream not byte aligned"
-        return np.packbits(bits).tobytes()
+        buf, total = self._pack()
+        assert total % 8 == 0, "bitstream not byte aligned"
+        return buf.tobytes()
 
 
 class BitReader:

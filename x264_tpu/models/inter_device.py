@@ -22,6 +22,7 @@ from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
 from x264_tpu.models import mvpred
 from x264_tpu.models.inter_frame import PAD, me_lambda
 from x264_tpu.models.residual_device import encode_chroma, encode_p_luma
+from x264_tpu.ops.device.cavlc import residual_slots
 from x264_tpu.models.syntax import MB_P16, MB_PSKIP, empty_syntax
 from x264_tpu.ops.device import transform as T
 from x264_tpu.ops.device.mc import mc_chroma, mc_luma_fullpel
@@ -58,7 +59,12 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
     ru_mbs, rv_mbs, cdc, cac, cnnz, cbp_c = encode_chroma(
         src_u, src_v, pred_u, pred_v, qpc, intra=False)
 
+    res_vals, res_lens = residual_slots(
+        jnp.zeros((mbw * mbh, 16), jnp.int32), ac_zz, nnz, cdc, cac, cnnz,
+        cbp_l, cbp_c, jnp.zeros(mbw * mbh, bool), mbw, mbh)
+
     return dict(
+        res_vals=res_vals, res_lens=res_lens,
         mv=mv,
         luma_ac=ac_zz, luma_nnz=nnz, cbp_luma=cbp_l,
         chroma_dc=cdc, chroma_ac=cac, chroma_nnz=cnnz, cbp_chroma=cbp_c,
@@ -80,6 +86,70 @@ def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
                             _pad_edge(ref_v, PAD // 2),
                             qp, lam, mbw=mbw, mbh=mbh,
                             me_range=me_range, cqp_off=cqp_off)
+
+
+def classify_pframe_vec(syn, mv: np.ndarray, cbp_l: np.ndarray,
+                        cbp_c: np.ndarray):
+    """Vectorized P_Skip classification + normative mvd (8.4.1).
+
+    x264 runs this as part of the serial MB scan because its decoded state
+    evolves MB by MB — but for P16x16-only frames the decoded mv of EVERY
+    MB equals its chosen mv (a skip's mv is the skip mv by definition) and
+    every ref is 0, so MVP/skip for all MBs are pure functions of the mv
+    field and compute in parallel.  Bit-identical to classify_pframe (the
+    scan version, kept as the test oracle)."""
+    mbw, mbh = syn.mb_width, syn.mb_height
+    m = mv.astype(np.int64).reshape(mbh, mbw, 2)
+    zeros = np.zeros_like(m)
+
+    def shifted(dy, dx):
+        """Neighbor mv grid + availability mask."""
+        mvn = np.zeros_like(m)
+        av = np.zeros((mbh, mbw), bool)
+        ys = slice(max(dy, 0), mbh + min(dy, 0))
+        xs = slice(max(dx, 0), mbw + min(dx, 0))
+        yd = slice(max(-dy, 0), mbh + min(-dy, 0))
+        xd = slice(max(-dx, 0), mbw + min(-dx, 0))
+        mvn[yd, xd] = m[ys, xs]
+        av[yd, xd] = True
+        return mvn, av
+
+    mva, av_a = shifted(0, -1)
+    mvb, av_b = shifted(-1, 0)
+    mvc, av_c = shifted(-1, 1)
+    mvd_, av_d = shifted(-1, -1)
+    # C substitution by D when C out of frame (8.4.1.3 neighbor derivation)
+    use_d = ~av_c
+    mvc = np.where(use_d[..., None], mvd_, mvc)
+    av_c = np.where(use_d, av_d, av_c)
+
+    # rule 1: only A available among {B, C} missing -> mva
+    only_a = av_a & ~av_b & ~av_c
+    # rule 2: exactly one neighbor with ref==cur_ref (avail => ref 0 here)
+    n_av = av_a.astype(np.int64) + av_b + av_c
+    one = n_av == 1
+    one_mv = (mva * av_a[..., None] + mvb * av_b[..., None]
+              + mvc * av_c[..., None])
+    med = (np.sort(np.stack([mva * av_a[..., None], mvb * av_b[..., None],
+                             mvc * av_c[..., None]], axis=0), axis=0)[1])
+    mvp = np.where(only_a[..., None], mva,
+                   np.where(one[..., None], one_mv, med))
+
+    # P_Skip mv (8.4.1.1)
+    yy = np.arange(mbh)[:, None]
+    xx = np.arange(mbw)[None, :]
+    edge = (yy == 0) | (xx == 0)
+    a_zero = av_a & (mva == 0).all(-1)
+    b_zero = av_b & (mvb == 0).all(-1)
+    skip_mv = np.where((edge | a_zero | b_zero)[..., None], zeros, mvp)
+
+    flat_mv = m.reshape(-1, 2)
+    flat_skip = skip_mv.reshape(-1, 2)
+    flat_mvp = mvp.reshape(-1, 2)
+    is_skip = ((cbp_l == 0) & (cbp_c == 0)
+               & (flat_mv == flat_skip).all(1))
+    syn.mb_class[:] = np.where(is_skip, MB_PSKIP, MB_P16)
+    syn.mvd[:] = np.where(is_skip[:, None], 0, flat_mv - flat_mvp)
 
 
 def classify_pframe(syn, mv: np.ndarray, cbp_l: np.ndarray, cbp_c: np.ndarray):
@@ -130,6 +200,8 @@ def encode_pframe_device(y, u, v, ref, qp: int, params):
     syn.chroma_ac[:] = out["chroma_ac"]
     syn.chroma_nnz[:] = out["chroma_nnz"]
     syn.cbp_chroma[:] = out["cbp_chroma"]
+    syn.res_vals = out["res_vals"]
+    syn.res_lens = out["res_lens"]
 
-    classify_pframe(syn, out["mv"], out["cbp_luma"], out["cbp_chroma"])
+    classify_pframe_vec(syn, out["mv"], out["cbp_luma"], out["cbp_chroma"])
     return out["recon_y"], out["recon_u"], out["recon_v"], syn

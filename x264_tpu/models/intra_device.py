@@ -20,6 +20,7 @@ import numpy as np
 
 from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
 from x264_tpu.models.residual_device import encode_chroma, encode_i16_luma
+from x264_tpu.ops.device.cavlc import residual_slots
 from x264_tpu.models.syntax import MB_I16, empty_syntax
 from x264_tpu.ops.device import pixel as P
 from x264_tpu.ops.device import predict as PR
@@ -165,6 +166,11 @@ def i_frame_core(y, u, v, qp, mbw: int, mbh: int, cqp_off: int):
         jnp.arange(n_diag, dtype=jnp.int32))
 
     out = dict(acc)
+    out["res_vals"], out["res_lens"] = residual_slots(
+        acc["luma_dc"], acc["luma_ac"], acc["luma_nnz"],
+        acc["chroma_dc"], acc["chroma_ac"], acc["chroma_nnz"],
+        acc["cbp_luma"], acc["cbp_chroma"],
+        jnp.ones(n, bool), mbw, mbh)
     out["recon_y"] = ry.astype(jnp.uint8)
     out["recon_u"] = ru.astype(jnp.uint8)
     out["recon_v"] = rv.astype(jnp.uint8)
@@ -187,4 +193,6 @@ def encode_iframe_device(y, u, v, qp: int, chroma_qp_offset: int = 0):
               "luma_dc", "luma_ac", "luma_nnz",
               "chroma_dc", "chroma_ac", "chroma_nnz"):
         getattr(syn, k)[:] = out[k]
+    syn.res_vals = out["res_vals"]
+    syn.res_lens = out["res_lens"]
     return out["recon_y"], out["recon_u"], out["recon_v"], syn

@@ -39,6 +39,10 @@ class FrameSyntax:
     # nnz for CAVLC context (raster block order within MB)
     luma_nnz: np.ndarray = None          # (N,16)
     chroma_nnz: np.ndarray = None        # (N,2,4)
+    # device-computed CAVLC residual slot grids (ops/device/cavlc.py):
+    # (N, 27*36) value/length pairs; None -> host computes them
+    res_vals: np.ndarray | None = None
+    res_lens: np.ndarray | None = None
 
     @property
     def n_mbs(self) -> int:

@@ -1,0 +1,256 @@
+"""Device (JAX) in-loop deblocking (spec 8.7; parity: reference
+common/deblock.c x264_frame_deblock_row + x264_macroblock_deblock_strength).
+
+TPU-first split:
+  * boundary strengths are a pure function of (mb class, nnz, mv, ref) —
+    computed for every edge of the frame in one batched pass (bs_grids);
+  * pixel filtering has the classic MB wavefront dependency
+    (V(x,y) <- H(x-1,y); H(x,y) <- V(x+1,y-1), H(x,y-1)), so MBs on the
+    knight diagonal t = x + 2y are independent: a lax.scan over t filters
+    each diagonal's MBs as a batch, each MB working on a 20x20 halo window
+    (12x12 chroma) with disjoint scatter-backs.
+Bit-exact vs ops/reference/deblock.py (MB raster order), because every MB
+reads only finalized neighbor pixels under this schedule.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x264_tpu.ops.reference.deblock import ALPHA, BETA, TC0
+
+_ALPHA = jnp.asarray(ALPHA.astype(np.int32))
+_BETA = jnp.asarray(BETA.astype(np.int32))
+_TC0 = jnp.asarray(TC0.astype(np.int32))
+
+
+def bs_grids(mb_intra, luma_nnz, mv, ref, mbw: int, mbh: int):
+    """Boundary strengths for every 4-px edge.
+
+    mb_intra (N,) bool; luma_nnz (N,16) raster-block; mv (N,2); ref (N,).
+    Returns (bs_v, bs_h) (4*mbh, 4*mbw) int32: bs_v[gy,gx] = strength of
+    the vertical edge left of block (gy,gx); frame-boundary edges are 0."""
+    gh, gw = 4 * mbh, 4 * mbw
+    nnz = (luma_nnz.reshape(mbh, mbw, 4, 4).transpose(0, 2, 1, 3)
+           .reshape(gh, gw))
+    intra_mb = mb_intra.reshape(mbh, mbw)
+    intra_g = jnp.repeat(jnp.repeat(intra_mb, 4, 0), 4, 1)
+    mv_g = jnp.repeat(jnp.repeat(mv.reshape(mbh, mbw, 2), 4, 0), 4, 1)
+    ref_g = jnp.repeat(jnp.repeat(ref.reshape(mbh, mbw), 4, 0), 4, 1)
+
+    col = jnp.arange(gw)[None, :]
+    row = jnp.arange(gh)[:, None]
+
+    def one_dir(shift_axis):
+        if shift_axis == 1:     # vertical edges: p = left neighbor
+            p_nnz = jnp.pad(nnz[:, :-1], ((0, 0), (1, 0)))
+            p_intra = jnp.pad(intra_g[:, :-1], ((0, 0), (1, 0)))
+            p_mv = jnp.pad(mv_g[:, :-1], ((0, 0), (1, 0), (0, 0)))
+            p_ref = jnp.pad(ref_g[:, :-1], ((0, 0), (1, 0)))
+            mb_edge = (col % 4) == 0
+            exists = col > 0
+        else:                   # horizontal edges: p = top neighbor
+            p_nnz = jnp.pad(nnz[:-1, :], ((1, 0), (0, 0)))
+            p_intra = jnp.pad(intra_g[:-1, :], ((1, 0), (0, 0)))
+            p_mv = jnp.pad(mv_g[:-1, :], ((1, 0), (0, 0), (0, 0)))
+            p_ref = jnp.pad(ref_g[:-1, :], ((1, 0), (0, 0)))
+            mb_edge = (row % 4) == 0
+            exists = row > 0
+
+        nz = (nnz > 0) | (p_nnz > 0)
+        mvdiff = ((ref_g != p_ref)
+                  | (jnp.abs(mv_g[..., 0] - p_mv[..., 0]) >= 4)
+                  | (jnp.abs(mv_g[..., 1] - p_mv[..., 1]) >= 4))
+        bs = jnp.where(mb_edge & (intra_g | p_intra), 4,
+             jnp.where(intra_g, 3,
+             jnp.where(nz, 2, jnp.where(mvdiff, 1, 0))))
+        return jnp.where(exists, bs, 0).astype(jnp.int32)
+
+    return one_dir(1), one_dir(0)
+
+
+def _luma_filter(p3, p2, p1, p0, q0, q1, q2, q3, bs, qp_av, off_a, off_b):
+    """Normative luma edge filter on L parallel lines (8.7.2.2/.3)."""
+    idx_a = jnp.clip(qp_av + off_a, 0, 51)
+    idx_b = jnp.clip(qp_av + off_b, 0, 51)
+    alpha = _ALPHA[idx_a]
+    beta = _BETA[idx_b]
+    tc0 = _TC0[idx_a, jnp.clip(bs, 1, 3) - 1]
+
+    filt = (bs > 0) & (jnp.abs(p0 - q0) < alpha) & \
+           (jnp.abs(p1 - p0) < beta) & (jnp.abs(q1 - q0) < beta)
+    ap = jnp.abs(p2 - p0) < beta
+    aq = jnp.abs(q2 - q0) < beta
+
+    tc = tc0 + ap.astype(jnp.int32) + aq.astype(jnp.int32)
+    delta = jnp.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    p0_n = jnp.clip(p0 + delta, 0, 255)
+    q0_n = jnp.clip(q0 - delta, 0, 255)
+    p1_n = jnp.where(ap, p1 + jnp.clip(
+        (p2 + ((p0 + q0 + 1) >> 1) - (p1 << 1)) >> 1, -tc0, tc0), p1)
+    q1_n = jnp.where(aq, q1 + jnp.clip(
+        (q2 + ((p0 + q0 + 1) >> 1) - (q1 << 1)) >> 1, -tc0, tc0), q1)
+
+    strong = jnp.abs(p0 - q0) < ((alpha >> 2) + 2)
+    sp = ap & strong
+    sq = aq & strong
+    p0_s = jnp.where(sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                     (2 * p1 + p0 + q1 + 2) >> 2)
+    p1_s = jnp.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+    p2_s = jnp.where(sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+    q0_s = jnp.where(sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                     (2 * q1 + q0 + p1 + 2) >> 2)
+    q1_s = jnp.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+    q2_s = jnp.where(sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
+
+    bs4 = bs == 4
+    return (jnp.where(filt & bs4, p2_s, p2),
+            jnp.where(filt, jnp.where(bs4, p1_s, p1_n), p1),
+            jnp.where(filt, jnp.where(bs4, p0_s, p0_n), p0),
+            jnp.where(filt, jnp.where(bs4, q0_s, q0_n), q0),
+            jnp.where(filt, jnp.where(bs4, q1_s, q1_n), q1),
+            jnp.where(filt & bs4, q2_s, q2))
+
+
+def _chroma_filter(p1, p0, q0, q1, bs, qp_av, off_a, off_b):
+    idx_a = jnp.clip(qp_av + off_a, 0, 51)
+    idx_b = jnp.clip(qp_av + off_b, 0, 51)
+    alpha = _ALPHA[idx_a]
+    beta = _BETA[idx_b]
+    tc0 = _TC0[idx_a, jnp.clip(bs, 1, 3) - 1]
+    filt = (bs > 0) & (jnp.abs(p0 - q0) < alpha) & \
+           (jnp.abs(p1 - p0) < beta) & (jnp.abs(q1 - q0) < beta)
+    tc = tc0 + 1
+    delta = jnp.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    p0_n = jnp.clip(p0 + delta, 0, 255)
+    q0_n = jnp.clip(q0 - delta, 0, 255)
+    p0_s = (2 * p1 + p0 + q1 + 2) >> 2
+    q0_s = (2 * q1 + q0 + p1 + 2) >> 2
+    bs4 = bs == 4
+    return (jnp.where(filt, jnp.where(bs4, p0_s, p0_n), p0),
+            jnp.where(filt, jnp.where(bs4, q0_s, q0_n), q0))
+
+
+def _filter_mb_luma(w, bsv4, bsh4, qp_c, qp_l, qp_t, off_a, off_b):
+    """w (20,20) int32 window (4-px top/left halo); bsv4/bsh4 (4,4):
+    [block-row, edge] / [edge, block-col]."""
+    for e in range(4):
+        wc = 4 + 4 * e
+        cols = [w[4:20, wc - 4 + i] for i in range(8)]
+        bs16 = jnp.repeat(bsv4[:, e], 4)
+        nb_qp = qp_l if e == 0 else qp_c
+        qp_av = (qp_c + nb_qp + 1) >> 1
+        res = _luma_filter(*cols, bs16, qp_av, off_a, off_b)
+        w = w.at[4:20, wc - 3:wc + 3].set(jnp.stack(res, axis=1))
+    for e in range(4):
+        wr = 4 + 4 * e
+        rows = [w[wr - 4 + i, 4:20] for i in range(8)]
+        bs16 = jnp.repeat(bsh4[e, :], 4)
+        nb_qp = qp_t if e == 0 else qp_c
+        qp_av = (qp_c + nb_qp + 1) >> 1
+        res = _luma_filter(*rows, bs16, qp_av, off_a, off_b)
+        w = w.at[wr - 3:wr + 3, 4:20].set(jnp.stack(res, axis=0))
+    return w
+
+
+def _filter_mb_chroma(w, bsv4, bsh4, qpc_c, qpc_l, qpc_t, off_a, off_b):
+    """w (12,12) chroma window (2-px halo); edges e in {0,2} only."""
+    for e in (0, 2):
+        wc = 2 + 2 * e
+        bs8 = jnp.repeat(bsv4[:, e], 2)
+        nb = qpc_l if e == 0 else qpc_c
+        qp_av = (qpc_c + nb + 1) >> 1
+        p1, p0 = w[2:10, wc - 2], w[2:10, wc - 1]
+        q0, q1 = w[2:10, wc], w[2:10, wc + 1]
+        np0, nq0 = _chroma_filter(p1, p0, q0, q1, bs8, qp_av, off_a, off_b)
+        w = w.at[2:10, wc - 1].set(np0).at[2:10, wc].set(nq0)
+    for e in (0, 2):
+        wr = 2 + 2 * e
+        bs8 = jnp.repeat(bsh4[e, :], 2)
+        nb = qpc_t if e == 0 else qpc_c
+        qp_av = (qpc_c + nb + 1) >> 1
+        p1, p0 = w[wr - 2, 2:10], w[wr - 1, 2:10]
+        q0, q1 = w[wr, 2:10], w[wr + 1, 2:10]
+        np0, nq0 = _chroma_filter(p1, p0, q0, q1, bs8, qp_av, off_a, off_b)
+        w = w.at[wr - 1, 2:10].set(np0).at[wr, 2:10].set(nq0)
+    return w
+
+
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh"))
+def deblock_core(y, u, v, mb_intra, luma_nnz, mv, ref, qp_mb, qpc_mb,
+                 off_a, off_b, mbw: int, mbh: int):
+    """Filter recon planes in-place-equivalent.  y/u/v uint8 planes;
+    qp_mb/qpc_mb (N,) int32; off_a/off_b traced int32 (2*offset_div2).
+    Returns filtered (y, u, v) uint8."""
+    h, w = mbh * 16, mbw * 16
+    bs_v, bs_h = bs_grids(mb_intra, luma_nnz, mv, ref, mbw, mbh)
+
+    # luma windows (20x20 at 16 spacing) exactly fit a 4-px top/left pad;
+    # chroma windows (12x12 at 8 spacing) also overhang 2 px right/bottom —
+    # pad both sides there or dynamic_slice clamps and shifts the gather.
+    yp = jnp.pad(y.astype(jnp.int32), ((4, 0), (4, 0)))
+    up = jnp.pad(u.astype(jnp.int32), ((2, 2), (2, 2)))
+    vp = jnp.pad(v.astype(jnp.int32), ((2, 2), (2, 2)))
+
+    lanes = min(mbh, (mbw + 1) // 2 + 1)
+    n_steps = mbw + 2 * mbh - 2
+    lane = jnp.arange(lanes, dtype=jnp.int32)
+    r20 = jnp.arange(20, dtype=jnp.int32)
+    r12 = jnp.arange(12, dtype=jnp.int32)
+
+    def step(carry, t):
+        yp, up, vp = carry
+        ymin = jnp.maximum(0, -(-(t - (mbw - 1)) // 2))
+        ys = ymin + lane
+        xs = t - 2 * ys
+        valid = (ys < mbh) & (xs >= 0) & (xs < mbw)
+        ysv = jnp.where(valid, ys, 0)
+        xsv = jnp.where(valid, xs, 0)
+        mb = ysv * mbw + xsv
+        mb_l = jnp.maximum(mb - 1, 0)
+        mb_t = jnp.maximum(mb - mbw, 0)
+
+        wy = jax.vmap(lambda a, b: jax.lax.dynamic_slice(
+            yp, (a * 16, b * 16), (20, 20)))(ysv, xsv)
+        bsv4 = jax.vmap(lambda a, b: jax.lax.dynamic_slice(
+            bs_v, (a * 4, b * 4), (4, 4)))(ysv, xsv)
+        bsh4 = jax.vmap(lambda a, b: jax.lax.dynamic_slice(
+            bs_h, (a * 4, b * 4), (4, 4)))(ysv, xsv)
+        wy = jax.vmap(_filter_mb_luma,
+                      in_axes=(0, 0, 0, 0, 0, 0, None, None))(
+            wy, bsv4, bsh4, qp_mb[mb], qp_mb[mb_l], qp_mb[mb_t],
+            off_a, off_b)
+
+        oob = jnp.where(valid, ysv * 16, jnp.int32(16 * mbh * mbw + 64))
+        yy = oob[:, None, None] + r20[None, :, None]
+        xx = (xsv * 16)[:, None, None] + r20[None, None, :]
+        yp = yp.at[yy, xx].set(wy, mode="drop")
+
+        wu = jax.vmap(lambda a, b: jax.lax.dynamic_slice(
+            up, (a * 8, b * 8), (12, 12)))(ysv, xsv)
+        wv = jax.vmap(lambda a, b: jax.lax.dynamic_slice(
+            vp, (a * 8, b * 8), (12, 12)))(ysv, xsv)
+        wu = jax.vmap(_filter_mb_chroma,
+                      in_axes=(0, 0, 0, 0, 0, 0, None, None))(
+            wu, bsv4, bsh4, qpc_mb[mb], qpc_mb[mb_l], qpc_mb[mb_t],
+            off_a, off_b)
+        wv = jax.vmap(_filter_mb_chroma,
+                      in_axes=(0, 0, 0, 0, 0, 0, None, None))(
+            wv, bsv4, bsh4, qpc_mb[mb], qpc_mb[mb_l], qpc_mb[mb_t],
+            off_a, off_b)
+        oc = jnp.where(valid, ysv * 8, jnp.int32(8 * mbh * mbw + 64))
+        cyy = oc[:, None, None] + r12[None, :, None]
+        cxx = (xsv * 8)[:, None, None] + r12[None, None, :]
+        up = up.at[cyy, cxx].set(wu, mode="drop")
+        vp = vp.at[cyy, cxx].set(wv, mode="drop")
+        return (yp, up, vp), None
+
+    (yp, up, vp), _ = jax.lax.scan(
+        step, (yp, up, vp), jnp.arange(n_steps, dtype=jnp.int32))
+    return (yp[4:, 4:].astype(jnp.uint8),
+            up[2:-2, 2:-2].astype(jnp.uint8),
+            vp[2:-2, 2:-2].astype(jnp.uint8))

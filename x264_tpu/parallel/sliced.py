@@ -30,6 +30,11 @@ from x264_tpu.models.inter_frame import PAD
 def make_band_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"need {n_devices} devices, have {len(devs)} "
+                "(for CPU testing set XLA_FLAGS="
+                "--xla_force_host_platform_device_count=N)")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), ("band",))
 
@@ -63,6 +68,7 @@ def build_sliced_p_step(mesh: Mesh, mbw: int, mbh_per_band: int,
                                 me_range=me_range, cqp_off=cqp_off)
 
     out_specs = dict(
+        res_vals=PS("band", None), res_lens=PS("band", None),
         mv=PS("band", None),
         luma_ac=PS("band", None, None), luma_nnz=PS("band", None),
         cbp_luma=PS("band"),
