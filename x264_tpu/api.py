@@ -68,13 +68,91 @@ class Encoder:
     def _use_device(self) -> bool:
         if self.p.backend == "reference":
             return False
-        if self.p.backend == "device":
+        if self.p.backend in ("device", "device_host_entropy"):
             return True
         try:
             import jax  # noqa: F401
             return True
         except ImportError:
             return False
+
+    # -- fast path: device-resident DPB + device-packed slice body ----------
+    def _encode_device_fast(self, y, u, v, ftype: str, qp: int):
+        """Steady-state path: per-MB bitstrings packed on device; host does
+        slice header + one bit-merge; recon/DPB stay on device."""
+        import jax.numpy as jnp
+
+        from x264_tpu.bitstream.slice_assemble import (
+            append_payload,
+            merge_mb_strings,
+        )
+        from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
+        from x264_tpu.models.inter_frame import me_lambda
+        from x264_tpu.models.syntax import MB_PSKIP
+        from x264_tpu.ops.device.deblock import deblock_core
+
+        h, w = y.shape
+        mbw, mbh = w // 16, h // 16
+        n = mbw * mbh
+        idr = ftype == "IDR"
+        # n_words ladder: CAVLC-overflow fallback pattern
+        # (reference encoder/encoder.c:2893 re-encodes on overflow)
+        ladder = [24, 64, 160, 416] if qp >= 16 else [64, 160, 416]
+
+        yd, ud, vd = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
+        for n_words in ladder:
+            if idr or not self.dpb:
+                from x264_tpu.models.intra_device import i_frame_core
+                out = i_frame_core(yd, ud, vd, np.int32(qp),
+                                   mbw=mbw, mbh=mbh,
+                                   cqp_off=self.p.chroma_qp_offset,
+                                   n_words=n_words)
+                slice_type = SLICE_I
+            else:
+                from x264_tpu.models.inter_device import p_frame_core
+                ref = self.dpb[-1]
+                out = p_frame_core(yd, ud, vd, ref.y, ref.u, ref.v,
+                                   np.int32(qp), np.int32(me_lambda(qp)),
+                                   mbw=mbw, mbh=mbh,
+                                   me_range=self.p.me_range,
+                                   cqp_off=self.p.chroma_qp_offset,
+                                   n_words=n_words)
+                slice_type = SLICE_P
+            nbits = np.asarray(out["nbits"])
+            if int(nbits.max(initial=0)) <= 32 * n_words:
+                break
+
+        words = np.asarray(out["words"])
+        mb_class = np.asarray(out["mb_class"])
+
+        bs = BitWriter()
+        write_slice_header(bs, self.p, self.sps, slice_type=slice_type,
+                           idr=idr, frame_num=self.frame_num,
+                           idr_pic_id=self.idr_pic_id, qp=qp, num_ref=1)
+        payload, total = merge_mb_strings(words, nbits)
+        append_payload(bs, payload, total)
+        if slice_type == SLICE_P:
+            coded = mb_class != MB_PSKIP
+            trailing = int(n - 1 - (np.nonzero(coded)[0][-1]
+                                    if coded.any() else -1))
+            if trailing:
+                bs.ue(trailing)
+        data = wrap_slice_nal(bs.to_rbsp(), idr)
+
+        ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
+        if self.p.deblock:
+            qpc = jnp.asarray(CHROMA_QP_TABLE.astype(np.int32))[
+                np.clip(qp + self.p.chroma_qp_offset, 0, 51)]
+            qp_mb = jnp.full(n, qp, jnp.int32)
+            qpc_mb = jnp.full(n, qpc, jnp.int32)
+            intra_mb = jnp.asarray(mb_class == 0)
+            ry, ru, rv = deblock_core(
+                ry, ru, rv, intra_mb, out["luma_nnz"], out["mv"]
+                if "mv" in out else jnp.zeros((n, 2), jnp.int32),
+                jnp.zeros(n, jnp.int32), qp_mb, qpc_mb,
+                np.int32(self.p.deblock_alpha * 2),
+                np.int32(self.p.deblock_beta * 2), mbw=mbw, mbh=mbh)
+        return data, ReconFrame(ry, ru, rv, frame_num=self.frame_num)
 
     def _pad(self, fr: Frame420):
         y = pad_to_mb(fr.y, 16)
@@ -100,6 +178,19 @@ class Encoder:
                 out += self.headers()
 
         use_device = self._use_device()
+        if use_device and self.p.backend != "device_host_entropy":
+            data, recon = self._encode_device_fast(y, u, v, ftype, qp)
+            out += data
+            self.last_recon = recon
+            self.dpb = [recon]
+            if ftype == "IDR":
+                self.idr_pic_id = (self.idr_pic_id + 1) % 65536
+            self.frame_num = (self.frame_num + 1) % (
+                1 << self.sps.log2_max_frame_num)
+            self.frame_idx += 1
+            self.stats.append(FrameStats(ftype, len(out) * 8, qp))
+            return out
+
         if ftype == "IDR" or not self.dpb:
             if use_device:
                 from x264_tpu.models import intra_device

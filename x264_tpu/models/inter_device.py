@@ -22,6 +22,8 @@ from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
 from x264_tpu.models import mvpred
 from x264_tpu.models.inter_frame import PAD, me_lambda
 from x264_tpu.models.residual_device import encode_chroma, encode_p_luma
+from x264_tpu.ops.device import header as dheader
+from x264_tpu.ops.device.bitpack import pack_tokens
 from x264_tpu.ops.device.cavlc import residual_slots
 from x264_tpu.models.syntax import MB_P16, MB_PSKIP, empty_syntax
 from x264_tpu.ops.device import transform as T
@@ -36,7 +38,8 @@ def _pad_edge(p, pad):
 
 
 def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
-                     mbw: int, mbh: int, me_range: int, cqp_off: int):
+                     mbw: int, mbh: int, me_range: int, cqp_off: int,
+                     n_words: int = 24):
     """All-device P-frame pixel pipeline on *pre-padded* reference planes
     (so the sharded band path can hand in halo slices — parallel/sliced.py).
     y/u/v: source planes (uint8, H=16*mbh x W=16*mbw); ref_*_pad: reference
@@ -63,8 +66,21 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
         jnp.zeros((mbw * mbh, 16), jnp.int32), ac_zz, nnz, cdc, cac, cnnz,
         cbp_l, cbp_c, jnp.zeros(mbw * mbh, bool), mbw, mbh)
 
+    # device MB classification + header codes + per-MB bit packing: the
+    # host only bit-merges N packed strings (bitstream/slice_assemble.py)
+    mb_class, mvd = dheader.classify_p(mv, cbp_l, cbp_c, mbw, mbh)
+    qp_mb = jnp.full(mbw * mbh, qp, jnp.int32)
+    hv, hl = dheader.header_slots(
+        mb_class, jnp.zeros(mbw * mbh, jnp.int32),
+        jnp.zeros(mbw * mbh, jnp.int32), mvd, cbp_l, cbp_c, qp_mb,
+        is_p_slice=True)
+    words, nbits = pack_tokens(jnp.concatenate([hv, res_vals], axis=1),
+                               jnp.concatenate([hl, res_lens], axis=1),
+                               n_words)
+
     return dict(
         res_vals=res_vals, res_lens=res_lens,
+        words=words, nbits=nbits, mb_class=mb_class, mvd=mvd,
         mv=mv,
         luma_ac=ac_zz, luma_nnz=nnz, cbp_luma=cbp_l,
         chroma_dc=cdc, chroma_ac=cac, chroma_nnz=cnnz, cbp_chroma=cbp_c,
@@ -75,9 +91,11 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mbw", "mbh", "me_range", "cqp_off"))
+                   static_argnames=("mbw", "mbh", "me_range", "cqp_off",
+                                    "n_words"))
 def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
-                 mbw: int, mbh: int, me_range: int, cqp_off: int):
+                 mbw: int, mbh: int, me_range: int, cqp_off: int,
+                 n_words: int = 24):
     """Single-chip entry: edge-pad the references on device, run the
     pipeline (see p_frame_pipeline for the contract)."""
     return p_frame_pipeline(y, u, v,
@@ -85,7 +103,8 @@ def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
                             _pad_edge(ref_u, PAD // 2),
                             _pad_edge(ref_v, PAD // 2),
                             qp, lam, mbw=mbw, mbh=mbh,
-                            me_range=me_range, cqp_off=cqp_off)
+                            me_range=me_range, cqp_off=cqp_off,
+                            n_words=n_words)
 
 
 def classify_pframe_vec(syn, mv: np.ndarray, cbp_l: np.ndarray,

@@ -20,6 +20,8 @@ import numpy as np
 
 from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
 from x264_tpu.models.residual_device import encode_chroma, encode_i16_luma
+from x264_tpu.ops.device import header as dheader
+from x264_tpu.ops.device.bitpack import pack_tokens
 from x264_tpu.ops.device.cavlc import residual_slots
 from x264_tpu.models.syntax import MB_I16, empty_syntax
 from x264_tpu.ops.device import pixel as P
@@ -42,8 +44,10 @@ def _gather_block(plane, y0, x0, s):
     return jax.lax.dynamic_slice(plane, (y0, x0), (s, s))
 
 
-@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "cqp_off"))
-def i_frame_core(y, u, v, qp, mbw: int, mbh: int, cqp_off: int):
+@functools.partial(jax.jit,
+                   static_argnames=("mbw", "mbh", "cqp_off", "n_words"))
+def i_frame_core(y, u, v, qp, mbw: int, mbh: int, cqp_off: int,
+                 n_words: int = 32):
     """All-device I-frame pipeline.  Returns per-MB syntax tensors (raster
     MB order) + recon planes (pre-deblock)."""
     n = mbw * mbh
@@ -171,6 +175,17 @@ def i_frame_core(y, u, v, qp, mbw: int, mbh: int, cqp_off: int):
         acc["chroma_dc"], acc["chroma_ac"], acc["chroma_nnz"],
         acc["cbp_luma"], acc["cbp_chroma"],
         jnp.ones(n, bool), mbw, mbh)
+
+    mb_class = jnp.full(n, dheader.MB_I16_D, jnp.int32)
+    qp_mb = jnp.full(n, qp, jnp.int32)
+    hv, hl = dheader.header_slots(
+        mb_class, acc["i16_mode"], acc["chroma_mode"],
+        jnp.zeros((n, 2), jnp.int32), acc["cbp_luma"], acc["cbp_chroma"],
+        qp_mb, is_p_slice=False)
+    out["words"], out["nbits"] = pack_tokens(
+        jnp.concatenate([hv, out["res_vals"]], axis=1),
+        jnp.concatenate([hl, out["res_lens"]], axis=1), n_words)
+    out["mb_class"] = mb_class
     out["recon_y"] = ry.astype(jnp.uint8)
     out["recon_u"] = ru.astype(jnp.uint8)
     out["recon_v"] = rv.astype(jnp.uint8)

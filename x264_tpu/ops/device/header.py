@@ -1,0 +1,158 @@
+"""Device (JAX) MB-header syntax: P_Skip/MVP classification and the per-MB
+header codes, so the entire slice body is device-resident (parity:
+reference common/mvpred.c x264_mb_predict_mv / x264_mb_predict_mv_pskip
+and encoder/cavlc.c macroblock header writing; bit-exact ports of
+models/inter_device.classify_pframe_vec and
+bitstream/slice_writer_vec.header_slots)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x264_tpu.bitstream.tables import CBP_TO_GOLOMB
+
+_CBP2G = jnp.asarray(CBP_TO_GOLOMB.astype(np.int32))
+MB_P16_D, MB_PSKIP_D = 2, 3   # match models.syntax MB_P16 / MB_PSKIP
+MB_I16_D = 0
+
+HEADER_SLOTS = 7
+
+
+def bit_length(x):
+    """Exact bit_length for 0 <= x < 2^16 via comparisons."""
+    x = x.astype(jnp.int32)
+    out = jnp.zeros_like(x)
+    for k in range(16):
+        out = out + (x >= (1 << k)).astype(jnp.int32)
+    return out
+
+
+def ue_codes(v):
+    vv = v.astype(jnp.int32) + 1
+    nb = bit_length(vv)
+    return vv, 2 * nb - 1
+
+
+def se_codes(v):
+    v = v.astype(jnp.int32)
+    return ue_codes(jnp.where(v > 0, 2 * v - 1, -2 * v))
+
+
+def classify_p(mv, cbp_luma, cbp_chroma, mbw: int, mbh: int):
+    """P16x16 skip/MVP classification (8.4.1), fully parallel (see
+    classify_pframe_vec for why).  mv (N,2) int32 qpel.
+    Returns (mb_class (N,), mvd (N,2))."""
+    m = mv.astype(jnp.int32).reshape(mbh, mbw, 2)
+
+    def shifted(dy, dx):
+        mvn = jnp.zeros_like(m)
+        av = jnp.zeros((mbh, mbw), bool)
+        ys = slice(max(dy, 0), mbh + min(dy, 0))
+        xs = slice(max(dx, 0), mbw + min(dx, 0))
+        yd = slice(max(-dy, 0), mbh + min(-dy, 0))
+        xd = slice(max(-dx, 0), mbw + min(-dx, 0))
+        mvn = mvn.at[yd, xd].set(m[ys, xs])
+        av = av.at[yd, xd].set(True)
+        return mvn, av
+
+    mva, av_a = shifted(0, -1)
+    mvb, av_b = shifted(-1, 0)
+    mvc, av_c = shifted(-1, 1)
+    mvd_, av_d = shifted(-1, -1)
+    use_d = ~av_c
+    mvc = jnp.where(use_d[..., None], mvd_, mvc)
+    av_c = jnp.where(use_d, av_d, av_c)
+
+    only_a = av_a & ~av_b & ~av_c
+    n_av = av_a.astype(jnp.int32) + av_b + av_c
+    one = n_av == 1
+    za = mva * av_a[..., None]
+    zb = mvb * av_b[..., None]
+    zc = mvc * av_c[..., None]
+    one_mv = za + zb + zc
+    med = jnp.sort(jnp.stack([za, zb, zc], axis=0), axis=0)[1]
+    mvp = jnp.where(only_a[..., None], mva,
+                    jnp.where(one[..., None], one_mv, med))
+
+    yy = jnp.arange(mbh)[:, None]
+    xx = jnp.arange(mbw)[None, :]
+    edge = (yy == 0) | (xx == 0)
+    a_zero = av_a & (mva == 0).all(-1)
+    b_zero = av_b & (mvb == 0).all(-1)
+    skip_mv = jnp.where((edge | a_zero | b_zero)[..., None],
+                        jnp.zeros_like(m), mvp)
+
+    flat_mv = m.reshape(-1, 2)
+    is_skip = ((cbp_luma == 0) & (cbp_chroma == 0)
+               & (flat_mv == skip_mv.reshape(-1, 2)).all(1))
+    mb_class = jnp.where(is_skip, MB_PSKIP_D, MB_P16_D).astype(jnp.int32)
+    mvd = jnp.where(is_skip[:, None], 0, flat_mv - mvp.reshape(-1, 2))
+    return mb_class, mvd
+
+
+def header_slots(mb_class, i16_mode, chroma_mode, mvd, cbp_luma, cbp_chroma,
+                 qp_mb, is_p_slice: bool):
+    """Per-MB header codes [skip_run, mb_type, chroma_mode, mvd_x, mvd_y,
+    cbp, qp_delta] -> (hvals, hlens) (N,7) int32.  Bit-exact port of
+    slice_writer_vec.header_slots (I16/P16/PSKIP classes)."""
+    n = mb_class.shape[0]
+    skip = mb_class == MB_PSKIP_D
+    coded = ~skip
+    intra = mb_class == MB_I16_D
+    p16 = mb_class == MB_P16_D
+    cbp_l = cbp_luma.astype(jnp.int32)
+    cbp_c = cbp_chroma.astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    hv = [jnp.zeros(n, jnp.int32) for _ in range(HEADER_SLOTS)]
+    hl = [jnp.zeros(n, jnp.int32) for _ in range(HEADER_SLOTS)]
+
+    if is_p_slice:
+        # skip_run before each coded MB = distance to previous coded MB - 1
+        marker = jnp.where(coded, idx, -1)
+        run_max = jax.lax.cummax(marker)
+        prev_coded = jnp.concatenate([jnp.array([-1], jnp.int32),
+                                      run_max[:-1]])
+        v, ln = ue_codes(idx - prev_coded - 1)
+        hv[0] = v
+        hl[0] = jnp.where(coded, ln, 0)
+
+    mb_type = jnp.where(intra,
+                        1 + i16_mode.astype(jnp.int32) + 4 * cbp_c
+                        + 12 * (cbp_l != 0), 0)
+    if is_p_slice:
+        mb_type = mb_type + 5 * intra
+    v, ln = ue_codes(mb_type)
+    hv[1] = v
+    hl[1] = jnp.where(coded, ln, 0)
+
+    v, ln = ue_codes(chroma_mode.astype(jnp.int32))
+    hv[2] = jnp.where(intra, v, 0)
+    hl[2] = jnp.where(intra, ln, 0)
+
+    for c in range(2):
+        v, ln = se_codes(mvd[:, c])
+        hv[3 + c] = jnp.where(p16, v, 0)
+        hl[3 + c] = jnp.where(p16, ln, 0)
+
+    v, ln = ue_codes(_CBP2G[0, (cbp_c << 4) | cbp_l])
+    hv[5] = jnp.where(p16, v, 0)
+    hl[5] = jnp.where(p16, ln, 0)
+
+    # mb_qp_delta: chained over emitting MBs
+    emits = coded & ((cbp_l != 0) | (cbp_c != 0) | intra)
+    qp = qp_mb.astype(jnp.int32)
+    ordn = jnp.cumsum(emits.astype(jnp.int32)) - 1
+    qp_compact = jnp.zeros(n, jnp.int32).at[
+        jnp.where(emits, ordn, n)].set(qp, mode="drop")
+    prev_qp = jnp.where(ordn > 0, qp_compact[jnp.maximum(ordn - 1, 0)], qp[0])
+    delta = qp - prev_qp
+    delta = jnp.where(delta > 25, delta - 52,
+                      jnp.where(delta < -26, delta + 52, delta))
+    v, ln = se_codes(delta)
+    hv[6] = jnp.where(emits, v, 0)
+    hl[6] = jnp.where(emits, ln, 0)
+
+    return jnp.stack(hv, axis=1), jnp.stack(hl, axis=1)

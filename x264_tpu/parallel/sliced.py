@@ -69,6 +69,8 @@ def build_sliced_p_step(mesh: Mesh, mbw: int, mbh_per_band: int,
 
     out_specs = dict(
         res_vals=PS("band", None), res_lens=PS("band", None),
+        words=PS("band", None), nbits=PS("band"),
+        mb_class=PS("band"), mvd=PS("band", None),
         mv=PS("band", None),
         luma_ac=PS("band", None, None), luma_nnz=PS("band", None),
         cbp_luma=PS("band"),
