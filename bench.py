@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Driver benchmark: 1080p frames/s/chip vs real x264 on this host.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+
+- ours: x264_tpu device backend (single chip), CQP26, ESA fullpel ME
+  range 16, deblock on — steady-state fps after compile warmup.
+- baseline: the system libx264 (X264_BUILD 164 — the same build as the
+  reference repo, distro-compiled WITH asm) driven via tools/avenc,
+  --preset medium --qp 26, all 4 host cores.
+Diagnostics (PSNR / bitrate for both) go to stderr.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+W, H, FPS = 1920, 1080, 25
+N_FRAMES = 16
+QP = 26
+
+
+def make_clip():
+    rng = np.random.default_rng(20260816)
+    yy, xx = np.mgrid[0:H, 0:W]
+    frames = []
+    for t in range(N_FRAMES):
+        y = (128 + 64 * np.sin((xx + 4 * t) / 37.0)
+             * np.cos((yy - 3 * t) / 53.0)).astype(np.uint8)
+        y = y + rng.integers(0, 5, (H, W)).astype(np.uint8)
+        u = (128 + 32 * np.sin((xx[::2, ::2] + 4 * t) / 61.0)).astype(np.uint8)
+        v = (128 + 32 * np.cos((yy[::2, ::2] - 3 * t) / 59.0)).astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def psnr(a, b):
+    d = a.astype(np.int64) - b.astype(np.int64)
+    mse = float((d * d).mean())
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 * 255.0 / mse)
+
+
+def bench_ours(frames):
+    from x264_tpu.api import Encoder
+    from x264_tpu.params import EncoderParams
+    from x264_tpu.utils.yuv import Frame420
+
+    p = EncoderParams(width=W, height=H, qp=QP, me_range=16,
+                      backend="device", deblock=True, keyint_max=250)
+    enc = Encoder(p)
+    stream = b""
+    warm = 2
+    for i in range(warm):
+        stream += enc.encode(Frame420(*frames[i]))
+    t0 = time.perf_counter()
+    for i in range(warm, N_FRAMES):
+        stream += enc.encode(Frame420(*frames[i]))
+    dt = time.perf_counter() - t0
+    fps = (N_FRAMES - warm) / dt
+    # quality: decoded (== recon) PSNR of the last frame vs source
+    r = enc.last_recon
+    py = psnr(np.asarray(r.y)[:H, :W], frames[-1][0])
+    return fps, len(stream), py, stream
+
+
+def bench_x264(frames):
+    avenc = os.path.join(REPO, "tools", "avenc")
+    if not os.path.exists(avenc):
+        r = subprocess.run(["gcc", "-O2", avenc + ".c", "-o", avenc,
+                            "-lavcodec", "-lavutil"], capture_output=True)
+        if r.returncode != 0:
+            return None
+    raw = b"".join(y.tobytes() + u.tobytes() + v.tobytes()
+                   for (y, u, v) in frames)
+    r = subprocess.run([avenc, str(W), str(H), str(FPS), str(N_FRAMES),
+                        "medium", str(QP)],
+                       input=raw, capture_output=True)
+    if r.returncode != 0:
+        return None
+    stats = dict(kv.split("=") for kv in r.stderr.decode().split()
+                 if "=" in kv)
+    dt = float(stats["encode_s"])
+    return N_FRAMES / dt, int(stats["bytes"]), r.stdout
+
+
+def main():
+    frames = make_clip()
+    ours_fps, ours_bytes, ours_psnr, _ = bench_ours(frames)
+    base = bench_x264(frames)
+    if base is not None:
+        x264_fps, x264_bytes, x264_stream = base
+        try:
+            sys.path.insert(0, REPO)
+            from x264_tpu.utils.oracle import decode_annexb
+            dec = decode_annexb(x264_stream, W, H)
+            x264_psnr = psnr(dec[-1][0], frames[-1][0])
+        except Exception:
+            x264_psnr = float("nan")
+        vs = ours_fps / x264_fps
+        print(f"ours: {ours_fps:.2f} fps, {ours_bytes*8/N_FRAMES/1000:.0f} "
+              f"kbit/frame, last-frame Y-PSNR {ours_psnr:.2f} dB | "
+              f"x264 medium qp{QP} ({os.cpu_count()} cores): "
+              f"{x264_fps:.2f} fps, {x264_bytes*8/N_FRAMES/1000:.0f} "
+              f"kbit/frame, Y-PSNR {x264_psnr:.2f} dB", file=sys.stderr)
+    else:
+        vs = None
+        print("x264 baseline unavailable", file=sys.stderr)
+    print(json.dumps({
+        "metric": "1080p CQP26 encode fps, 1 TPU chip (vs x264 medium qp26"
+                  " on host CPU)",
+        "value": round(ours_fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
