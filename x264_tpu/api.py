@@ -99,7 +99,14 @@ class Encoder:
         # (reference encoder/encoder.c:2893 re-encodes on overflow)
         ladder = [24, 64, 160, 416] if qp >= 16 else [64, 160, 416]
 
-        yd, ud, vd = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
+        # single-buffer upload (the tunnel has ~100ms/call latency)
+        import jax
+        buf = np.empty((h + h // 2, w), np.uint8)
+        buf[:h] = y
+        buf[h:, :w // 2] = u
+        buf[h:, w // 2:] = v
+        d = jax.device_put(buf)
+        yd, ud, vd = d[:h], d[h:, :w // 2], d[h:, w // 2:]
         for n_words in ladder:
             if idr or not self.dpb:
                 from x264_tpu.models.intra_device import i_frame_core
@@ -116,14 +123,17 @@ class Encoder:
                                    mbw=mbw, mbh=mbh,
                                    me_range=self.p.me_range,
                                    cqp_off=self.p.chroma_qp_offset,
-                                   n_words=n_words)
+                                   n_words=n_words, subpel=self.p.subpel)
                 slice_type = SLICE_P
-            nbits = np.asarray(out["nbits"])
+            # enqueue deblock (device->device) before syncing on the blob
+            recon = self._deblock_device(out, qp, mbw, mbh)
+            blob = np.asarray(out["host_blob"])
+            nbits = blob[:, n_words]
             if int(nbits.max(initial=0)) <= 32 * n_words:
                 break
 
-        words = np.asarray(out["words"])
-        mb_class = np.asarray(out["mb_class"])
+        words = np.ascontiguousarray(blob[:, :n_words]).view(np.uint32)
+        mb_class = blob[:, n_words + 1]
 
         bs = BitWriter()
         write_slice_header(bs, self.p, self.sps, slice_type=slice_type,
@@ -138,21 +148,27 @@ class Encoder:
             if trailing:
                 bs.ue(trailing)
         data = wrap_slice_nal(bs.to_rbsp(), idr)
+        return data, ReconFrame(*recon, frame_num=self.frame_num)
 
+    def _deblock_device(self, out, qp, mbw, mbh):
+        """Enqueue device deblock on the core's outputs (device-resident)."""
         ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
-        if self.p.deblock:
-            qpc = jnp.asarray(CHROMA_QP_TABLE.astype(np.int32))[
-                np.clip(qp + self.p.chroma_qp_offset, 0, 51)]
-            qp_mb = jnp.full(n, qp, jnp.int32)
-            qpc_mb = jnp.full(n, qpc, jnp.int32)
-            intra_mb = jnp.asarray(mb_class == 0)
-            ry, ru, rv = deblock_core(
-                ry, ru, rv, intra_mb, out["luma_nnz"], out["mv"]
-                if "mv" in out else jnp.zeros((n, 2), jnp.int32),
-                jnp.zeros(n, jnp.int32), qp_mb, qpc_mb,
-                np.int32(self.p.deblock_alpha * 2),
-                np.int32(self.p.deblock_beta * 2), mbw=mbw, mbh=mbh)
-        return data, ReconFrame(ry, ru, rv, frame_num=self.frame_num)
+        if not self.p.deblock:
+            return ry, ru, rv
+        import jax.numpy as jnp
+
+        from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
+        from x264_tpu.ops.device.deblock import deblock_core
+        n = mbw * mbh
+        qpc = int(CHROMA_QP_TABLE[
+            min(max(qp + self.p.chroma_qp_offset, 0), 51)])
+        return deblock_core(
+            ry, ru, rv, out["mb_class"] == 0, out["luma_nnz"],
+            out["mv"] if "mv" in out else jnp.zeros((n, 2), jnp.int32),
+            jnp.zeros(n, jnp.int32),
+            jnp.full(n, qp, jnp.int32), jnp.full(n, qpc, jnp.int32),
+            np.int32(self.p.deblock_alpha * 2),
+            np.int32(self.p.deblock_beta * 2), mbw=mbw, mbh=mbh)
 
     def _pad(self, fr: Frame420):
         y = pad_to_mb(fr.y, 16)

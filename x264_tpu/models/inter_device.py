@@ -27,8 +27,13 @@ from x264_tpu.ops.device.bitpack import pack_tokens
 from x264_tpu.ops.device.cavlc import residual_slots
 from x264_tpu.models.syntax import MB_P16, MB_PSKIP, empty_syntax
 from x264_tpu.ops.device import transform as T
-from x264_tpu.ops.device.mc import mc_chroma, mc_luma_fullpel
-from x264_tpu.ops.device.me import full_search_16x16
+from x264_tpu.ops.device.mc import (
+    hpel_planes as mc_hpel_planes,
+    mc_chroma,
+    mc_luma_fullpel,
+    mc_luma_qpel,
+)
+from x264_tpu.ops.device.me import full_search_16x16, subpel_refine
 
 _CHROMA_QP = jnp.asarray(CHROMA_QP_TABLE.astype(np.int32))
 
@@ -39,7 +44,7 @@ def _pad_edge(p, pad):
 
 def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                      mbw: int, mbh: int, me_range: int, cqp_off: int,
-                     n_words: int = 24):
+                     n_words: int = 24, subpel: int = 0):
     """All-device P-frame pixel pipeline on *pre-padded* reference planes
     (so the sharded band path can hand in halo slices — parallel/sliced.py).
     y/u/v: source planes (uint8, H=16*mbh x W=16*mbw); ref_*_pad: reference
@@ -51,8 +56,14 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
     mv, _cost = full_search_16x16(y, ref_y_pad, lam,
                                   me_range=me_range, mbw=mbw, mbh=mbh)
 
-    pred = mc_luma_fullpel(ref_y_pad, mv, mbw, mbh, PAD)
     src_mbs = T.plane_to_mbs(y.astype(jnp.int32), mbh, mbw, 16)
+    if subpel > 0:
+        planes4 = mc_hpel_planes(ref_y_pad)
+        mv = subpel_refine(src_mbs, planes4, mv, lam, me_range, subpel,
+                           mbw, mbh)
+        pred = mc_luma_qpel(planes4, mv, mbw, mbh, PAD)
+    else:
+        pred = mc_luma_fullpel(ref_y_pad, mv, mbw, mbh, PAD)
     recon_y_mbs, ac_zz, nnz, cbp_l = encode_p_luma(src_mbs, pred, qp)
 
     pred_u = mc_chroma(ref_u_pad, mv, mbw, mbh, PAD // 2)
@@ -78,9 +89,14 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                                jnp.concatenate([hl, res_lens], axis=1),
                                n_words)
 
+    host_blob = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(words, jnp.int32),
+         nbits[:, None], mb_class[:, None]], axis=1)
+
     return dict(
         res_vals=res_vals, res_lens=res_lens,
         words=words, nbits=nbits, mb_class=mb_class, mvd=mvd,
+        host_blob=host_blob,
         mv=mv,
         luma_ac=ac_zz, luma_nnz=nnz, cbp_luma=cbp_l,
         chroma_dc=cdc, chroma_ac=cac, chroma_nnz=cnnz, cbp_chroma=cbp_c,
@@ -92,10 +108,10 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
 
 @functools.partial(jax.jit,
                    static_argnames=("mbw", "mbh", "me_range", "cqp_off",
-                                    "n_words"))
+                                    "n_words", "subpel"))
 def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
                  mbw: int, mbh: int, me_range: int, cqp_off: int,
-                 n_words: int = 24):
+                 n_words: int = 24, subpel: int = 0):
     """Single-chip entry: edge-pad the references on device, run the
     pipeline (see p_frame_pipeline for the contract)."""
     return p_frame_pipeline(y, u, v,
@@ -104,7 +120,7 @@ def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
                             _pad_edge(ref_v, PAD // 2),
                             qp, lam, mbw=mbw, mbh=mbh,
                             me_range=me_range, cqp_off=cqp_off,
-                            n_words=n_words)
+                            n_words=n_words, subpel=subpel)
 
 
 def classify_pframe_vec(syn, mv: np.ndarray, cbp_l: np.ndarray,
@@ -205,7 +221,8 @@ def encode_pframe_device(y, u, v, ref, qp: int, params):
                        jnp.asarray(ref.v),
                        np.int32(qp), np.int32(me_lambda(qp)),
                        mbw=mbw, mbh=mbh, me_range=params.me_range,
-                       cqp_off=params.chroma_qp_offset)
+                       cqp_off=params.chroma_qp_offset,
+                       subpel=params.subpel)
     out = {k: np.asarray(val) for k, val in out.items()}
 
     syn = empty_syntax(mbw, mbh)

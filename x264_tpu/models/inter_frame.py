@@ -75,6 +75,39 @@ def full_search_16x16(src_y: np.ndarray, ref_pad: np.ndarray, me_range: int,
     return best_mv, best
 
 
+# subpel refinement candidate order — MUST match ops/device/me._DIAMOND8
+_DIAMOND8 = ((-1, -1), (-1, 0), (-1, 1), (0, -1),
+             (0, 1), (1, -1), (1, 0), (1, 1))
+
+
+def subpel_refine(src_mbs, planes4, mv0, lam, me_range: int, steps: int,
+                  mbw: int, mbh: int):
+    """NumPy mirror of ops/device/me.subpel_refine (SATD + lambda*mvbits,
+    hpel then qpel 8-neighbourhoods, identical order and tie-breaking)."""
+    from x264_tpu.ops.reference.mc import mc_luma_qpel_batched
+    from x264_tpu.ops.reference.pixel import satd
+
+    off = 4 * me_range + 4
+    bits = mv_bits_arr(off)
+
+    def cost_of(mv):
+        pred = mc_luma_qpel_batched(planes4, mv, mbw, mbh, PAD)
+        return (satd(src_mbs, pred)
+                + lam * (bits[mv[:, 0] + off] + bits[mv[:, 1] + off]))
+
+    best_mv = mv0.astype(np.int64)
+    best = cost_of(best_mv)
+    for step in ([2, 1] if steps >= 2 else [2])[:max(steps, 0)] or []:
+        for (dy, dx) in _DIAMOND8:
+            cand = best_mv + np.array([dx * step, dy * step])
+            cand = np.clip(cand, -off + 1, off - 1)
+            c = cost_of(cand)
+            better = c < best
+            best = np.where(better, c, best)
+            best_mv = np.where(better[:, None], cand, best_mv)
+    return best_mv.astype(np.int32)
+
+
 def mc_luma_16x16(ref_pad: np.ndarray, mv: np.ndarray, mbw: int, mbh: int):
     """Fullpel-grid gather of 16x16 predictions for all MBs (mv qpel,
     multiples of 4 in the fullpel round-1 path)."""
@@ -126,7 +159,16 @@ def encode_pframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     lam = me_lambda(qp)
     mv, _ = full_search_16x16(y, ref_y_pad, params.me_range, lam)
 
-    preds = mc_luma_16x16(ref_y_pad, mv, mbw, mbh)
+    if params.subpel > 0:
+        from x264_tpu.ops.reference.mc import mc_luma_qpel_batched
+        planes4 = np.stack(mc.hpel_planes(ref_y_pad))
+        src_mbs = (y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3)
+                    .reshape(n, 16, 16).astype(np.int64))
+        mv = subpel_refine(src_mbs, planes4, mv, lam, params.me_range,
+                           params.subpel, mbw, mbh)
+        preds = mc_luma_qpel_batched(planes4, mv, mbw, mbh, PAD)
+    else:
+        preds = mc_luma_16x16(ref_y_pad, mv, mbw, mbh)
 
     syn = empty_syntax(mbw, mbh)
     syn.qp[:] = qp

@@ -186,6 +186,9 @@ def i_frame_core(y, u, v, qp, mbw: int, mbh: int, cqp_off: int,
         jnp.concatenate([hv, out["res_vals"]], axis=1),
         jnp.concatenate([hl, out["res_lens"]], axis=1), n_words)
     out["mb_class"] = mb_class
+    out["host_blob"] = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(out["words"], jnp.int32),
+         out["nbits"][:, None], mb_class[:, None]], axis=1)
     out["recon_y"] = ry.astype(jnp.uint8)
     out["recon_u"] = ru.astype(jnp.uint8)
     out["recon_v"] = rv.astype(jnp.uint8)

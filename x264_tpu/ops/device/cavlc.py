@@ -192,55 +192,51 @@ def residual_slots(luma_dc, luma_ac, luma_nnz, chroma_dc, chroma_ac,
              .reshape(4 * mbh, 4 * mbw))
     nc_y_mb = _grid_to_mb(_nc_from_grid(nnz_y), mbh, mbw, 4)   # (N,16) raster
 
-    # luma DC
-    dc_vals, dc_lens = code_blocks(luma_dc, jnp.full((n,), 16, jnp.int32),
-                                   nc_y_mb[:, 0])
-    dc_lens = jnp.where(is_i16[:, None], dc_lens, 0)
-
     # luma AC in coded order
     ac = luma_ac[:, _C2R, :].astype(jnp.int32)
     i16b = is_i16[:, None, None]
-    coefs = jnp.concatenate(
+    l_coefs = jnp.concatenate(
         [jnp.where(i16b, ac[:, :, 1:], ac[:, :, :15]),
          jnp.where(is_i16[:, None], 0, ac[:, :, 15])[:, :, None]], axis=2)
-    blen = jnp.where(is_i16, 15, 16)[:, None] * jnp.ones((1, 16), jnp.int32)
-    nc_l = nc_y_mb[:, _C2R]
     quad = jnp.arange(16, dtype=jnp.int32) // 4
     blk_on = ((cbp_luma[:, None] >> quad[None, :]) & 1).astype(bool)
-    lv, ll = code_blocks(coefs.reshape(n * 16, 16), blen.reshape(n * 16),
-                         nc_l.reshape(n * 16))
-    ll = jnp.where(blk_on.reshape(n * 16)[:, None], ll, 0)
 
-    # chroma DC
-    cdc = jnp.concatenate([chroma_dc.reshape(n * 2, 4),
-                           jnp.zeros((n * 2, 12), jnp.int32)], axis=1)
-    cdv, cdl = code_blocks(cdc, jnp.full((n * 2,), 4, jnp.int32),
-                           jnp.full((n * 2,), -1, jnp.int32))
-    cdl = jnp.where((cbp_chroma > 0)[:, None].repeat(2, 1).reshape(n * 2)[:, None],
-                    cdl, 0)
-
-    # chroma AC
     nc_c = []
     for pl in range(2):
         g = (chroma_nnz[:, pl].reshape(mbh, mbw, 2, 2).transpose(0, 2, 1, 3)
              .reshape(2 * mbh, 2 * mbw))
         nc_c.append(_grid_to_mb(_nc_from_grid(g), mbh, mbw, 2))
     nc_c = jnp.stack(nc_c, axis=1)                              # (N,2,4)
-    cac = jnp.concatenate([chroma_ac[..., 1:].reshape(n * 8, 15),
-                           jnp.zeros((n * 8, 1), jnp.int32)], axis=1)
-    cav, cal = code_blocks(cac, jnp.full((n * 8,), 15, jnp.int32),
-                           nc_c.reshape(n * 8))
-    cal = jnp.where((cbp_chroma == 2)[:, None].repeat(8, 1).reshape(n * 8)[:, None],
-                    cal, 0)
 
-    vals = jnp.concatenate([
-        dc_vals.reshape(n, BLOCK_SLOTS),
-        lv.reshape(n, 16 * BLOCK_SLOTS),
-        cdv.reshape(n, 2 * BLOCK_SLOTS),
-        cav.reshape(n, 8 * BLOCK_SLOTS)], axis=1)
-    lens = jnp.concatenate([
-        dc_lens.reshape(n, BLOCK_SLOTS),
-        ll.reshape(n, 16 * BLOCK_SLOTS),
-        cdl.reshape(n, 2 * BLOCK_SLOTS),
-        cal.reshape(n, 8 * BLOCK_SLOTS)], axis=1)
-    return vals, lens
+    def padr(x, k):
+        return jnp.concatenate(
+            [x, jnp.zeros((*x.shape[:-1], k), jnp.int32)], axis=-1)
+
+    # one fused code_blocks over all 27 blocks/MB in emission order:
+    # [luma DC | 16 luma AC coded-order | 2 chroma DC | 8 chroma AC]
+    coefs = jnp.concatenate([
+        luma_dc[:, None, :],
+        l_coefs,
+        padr(chroma_dc.reshape(n, 2, 4), 12),
+        padr(chroma_ac[..., 1:].reshape(n, 8, 15), 1)], axis=1)  # (N,27,16)
+    blen = jnp.concatenate([
+        jnp.full((n, 1), 16, jnp.int32),
+        jnp.broadcast_to(jnp.where(is_i16, 15, 16)[:, None], (n, 16)),
+        jnp.full((n, 2), 4, jnp.int32),
+        jnp.full((n, 8), 15, jnp.int32)], axis=1)
+    nC = jnp.concatenate([
+        nc_y_mb[:, :1],
+        nc_y_mb[:, _C2R],
+        jnp.full((n, 2), -1, jnp.int32),
+        nc_c.reshape(n, 8)], axis=1)
+    gate = jnp.concatenate([
+        is_i16[:, None],
+        blk_on,
+        jnp.broadcast_to((cbp_chroma > 0)[:, None], (n, 2)),
+        jnp.broadcast_to((cbp_chroma == 2)[:, None], (n, 8))], axis=1)
+
+    bvals, blens = code_blocks(coefs.reshape(n * 27, 16),
+                               blen.reshape(n * 27), nC.reshape(n * 27))
+    blens = jnp.where(gate.reshape(n * 27)[:, None], blens, 0)
+    return (bvals.reshape(n, 27 * BLOCK_SLOTS),
+            blens.reshape(n, 27 * BLOCK_SLOTS))

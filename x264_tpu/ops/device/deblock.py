@@ -180,12 +180,155 @@ def _filter_mb_chroma(w, bsv4, bsh4, qpc_c, qpc_l, qpc_t, off_a, off_b):
     return w
 
 
+def _skew(p, band_h: int, shift: int, left: int, width: int):
+    """(H, W) -> (H, width): band y (rows y*band_h..) moved right by
+    left + shift*y.  Out-of-content cells are 0."""
+    hh, ww = p.shape
+    r = jnp.arange(hh)
+    c = jnp.arange(width)
+    src = c[None, :] - left - shift * (r // band_h)[:, None]
+    valid = (src >= 0) & (src < ww)
+    return jnp.where(valid, p[r[:, None], jnp.clip(src, 0, ww - 1)], 0)
+
+
+def _unskew(sp, band_h: int, shift: int, left: int, ww: int):
+    hh = sp.shape[0]
+    r = jnp.arange(hh)
+    c = jnp.arange(ww)
+    src = c[None, :] + left + shift * (r // band_h)[:, None]
+    return sp[r[:, None], src]
+
+
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh"))
 def deblock_core(y, u, v, mb_intra, luma_nnz, mv, ref, qp_mb, qpc_mb,
                  off_a, off_b, mbw: int, mbh: int):
-    """Filter recon planes in-place-equivalent.  y/u/v uint8 planes;
-    qp_mb/qpc_mb (N,) int32; off_a/off_b traced int32 (2*offset_div2).
-    Returns filtered (y, u, v) uint8."""
+    """Filter recon planes, skewed-wavefront schedule.
+
+    The knight wavefront t = x + 2y maps every diagonal MB to the SAME
+    column in a layout where MB-row y is shifted right by 32y px — so each
+    scan step filters one contiguous (H, 56) column slab with plain
+    dynamic-update-slices (no scatter, no per-lane vmap).  Bit-exact vs
+    the MB-raster reference (wavefront schedule preserves the spec's
+    read-after-write order; see module docstring)."""
+    h, w = mbh * 16, mbw * 16
+    n_steps = mbw + 2 * mbh - 2
+    i32 = jnp.int32
+    bs_v, bs_h = bs_grids(mb_intra, luma_nnz, mv, ref, mbw, mbh)
+
+    wsk_y = 16 * mbw + 32 * mbh + 24
+    wsk_c = 8 * mbw + 16 * mbh + 12
+    wsk_b = 4 * mbw + 8 * mbh - 4 + 4
+    ysk = _skew(y.astype(i32), 16, 32, 36, wsk_y)
+    usk = _skew(u.astype(i32), 8, 16, 18, wsk_c)
+    vsk = _skew(v.astype(i32), 8, 16, 18, wsk_c)
+    bsv_sk = _skew(bs_v, 4, 8, 0, wsk_b)
+    bsh_sk = _skew(bs_h, 4, 8, 0, wsk_b)
+    qp_sk = _skew(qp_mb.reshape(mbh, mbw), 1, 2, 2, mbw + 2 * mbh + 2)
+    qpc_sk = _skew(qpc_mb.reshape(mbh, mbw), 1, 2, 2, mbw + 2 * mbh + 2)
+
+    def step(carry, t):
+        ysk, usk, vsk = carry
+        slab = jax.lax.dynamic_slice(ysk, (0, 16 * t), (h, 56))
+        slab = slab.reshape(mbh, 16, 56)
+        bsv = jax.lax.dynamic_slice(bsv_sk, (0, 4 * t), (4 * mbh, 4)
+                                    ).reshape(mbh, 4, 4)   # [band, k, e]
+        bsh = jax.lax.dynamic_slice(bsh_sk, (0, 4 * t), (4 * mbh, 4)
+                                    ).reshape(mbh, 4, 4)   # [band, e, kcol]
+        qp3 = jax.lax.dynamic_slice(qp_sk, (0, t), (mbh, 3))
+        qp_t = jnp.concatenate([qp3[:1, 0], qp3[:-1, 0]])  # top MB qp
+        qp_l, qp_c = qp3[:, 1], qp3[:, 2]
+
+        # ---- luma vertical edges (all bands at once) ----
+        for e in range(4):
+            c = 36 + 4 * e
+            cols = [slab[:, :, c - 4 + i] for i in range(8)]
+            bs16 = jnp.repeat(bsv[:, :, e], 4, axis=1)
+            nb = qp_l if e == 0 else qp_c
+            qp_av = ((qp_c + nb + 1) >> 1)[:, None]
+            res = _luma_filter(*cols, bs16, qp_av, off_a, off_b)
+            slab = slab.at[:, :, c - 3:c + 3].set(jnp.stack(res, axis=2))
+
+        # ---- luma horizontal edges ----
+        for e in range(4):
+            bs16 = jnp.repeat(bsh[:, e, :], 4, axis=1)
+            if e == 0:
+                p = jnp.concatenate(
+                    [jnp.zeros((1, 4, 16), i32), slab[:-1, 12:16, 4:20]], 0)
+                q = slab[:, 0:4, 36:52]
+                lines = [p[:, i] for i in range(4)] + [q[:, i] for i in range(4)]
+                qp_av = ((qp_c + qp_t + 1) >> 1)[:, None]
+                res = _luma_filter(*lines, bs16, qp_av, off_a, off_b)
+                slab = slab.at[:-1, 13:16, 4:20].set(
+                    jnp.stack(res[:3], axis=1)[1:])
+                slab = slab.at[:, 0:3, 36:52].set(jnp.stack(res[3:], axis=1))
+            else:
+                wr = 4 * e
+                lines = [slab[:, wr - 4 + i, 36:52] for i in range(8)]
+                qp_av = ((qp_c + qp_c + 1) >> 1)[:, None]
+                res = _luma_filter(*lines, bs16, qp_av, off_a, off_b)
+                slab = slab.at[:, wr - 3:wr + 3, 36:52].set(
+                    jnp.stack(res, axis=1))
+        ysk = jax.lax.dynamic_update_slice(ysk, slab.reshape(h, 56),
+                                           (0, 16 * t))
+
+        # ---- chroma (U, V) ----
+        qpc3 = jax.lax.dynamic_slice(qpc_sk, (0, t), (mbh, 3))
+        qpc_t = jnp.concatenate([qpc3[:1, 0], qpc3[:-1, 0]])
+        qpc_l, qpc_c = qpc3[:, 1], qpc3[:, 2]
+
+        def chroma(psk):
+            cs = jax.lax.dynamic_slice(psk, (0, 8 * t), (8 * mbh, 28))
+            cs = cs.reshape(mbh, 8, 28)
+            for e in (0, 2):
+                c = 18 + 2 * e
+                bs8 = jnp.repeat(bsv[:, :, e], 2, axis=1)
+                nb = qpc_l if e == 0 else qpc_c
+                qp_av = ((qpc_c + nb + 1) >> 1)[:, None]
+                p1, p0 = cs[:, :, c - 2], cs[:, :, c - 1]
+                q0, q1 = cs[:, :, c], cs[:, :, c + 1]
+                np0, nq0 = _chroma_filter(p1, p0, q0, q1, bs8, qp_av,
+                                          off_a, off_b)
+                cs = cs.at[:, :, c - 1].set(np0).at[:, :, c].set(nq0)
+            for e in (0, 2):
+                bs8 = jnp.repeat(bsh[:, e, :], 2, axis=1)
+                if e == 0:
+                    p1 = jnp.concatenate(
+                        [jnp.zeros((1, 8), i32), cs[:-1, 6, 2:10]], 0)
+                    p0 = jnp.concatenate(
+                        [jnp.zeros((1, 8), i32), cs[:-1, 7, 2:10]], 0)
+                    q0, q1 = cs[:, 0, 18:26], cs[:, 1, 18:26]
+                    qp_av = ((qpc_c + qpc_t + 1) >> 1)[:, None]
+                    np0, nq0 = _chroma_filter(p1, p0, q0, q1, bs8, qp_av,
+                                              off_a, off_b)
+                    cs = cs.at[:-1, 7, 2:10].set(np0[1:])
+                    cs = cs.at[:, 0, 18:26].set(nq0)
+                else:
+                    wr = 2 * e
+                    p1, p0 = cs[:, wr - 2, 18:26], cs[:, wr - 1, 18:26]
+                    q0, q1 = cs[:, wr, 18:26], cs[:, wr + 1, 18:26]
+                    qp_av = qpc_c[:, None]
+                    np0, nq0 = _chroma_filter(p1, p0, q0, q1, bs8, qp_av,
+                                              off_a, off_b)
+                    cs = cs.at[:, wr - 1, 18:26].set(np0)
+                    cs = cs.at[:, wr, 18:26].set(nq0)
+            return jax.lax.dynamic_update_slice(psk, cs.reshape(8 * mbh, 28),
+                                                (0, 8 * t))
+
+        usk = chroma(usk)
+        vsk = chroma(vsk)
+        return (ysk, usk, vsk), None
+
+    (ysk, usk, vsk), _ = jax.lax.scan(
+        step, (ysk, usk, vsk), jnp.arange(n_steps, dtype=i32))
+    return (_unskew(ysk, 16, 32, 36, w).astype(jnp.uint8),
+            _unskew(usk, 8, 16, 18, w // 2).astype(jnp.uint8),
+            _unskew(vsk, 8, 16, 18, w // 2).astype(jnp.uint8))
+
+
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh"))
+def deblock_core_windows(y, u, v, mb_intra, luma_nnz, mv, ref, qp_mb, qpc_mb,
+                         off_a, off_b, mbw: int, mbh: int):
+    """Original per-lane window implementation (kept as cross-check)."""
     h, w = mbh * 16, mbw * 16
     bs_v, bs_h = bs_grids(mb_intra, luma_nnz, mv, ref, mbw, mbh)
 

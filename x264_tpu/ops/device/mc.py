@@ -1,10 +1,80 @@
 """Device (JAX) motion compensation — index-array gathers over padded
-reference planes (parity: reference common/mc.c; the fullpel + normative
-chroma 1/8-pel bilinear paths, hpel/qpel planes follow with subpel ME)."""
+reference planes (parity: reference common/mc.c): half-pel plane
+computation (6-tap), quarter-pel sampling as branchless two-plane average,
+fullpel luma MC, normative chroma 1/8-pel bilinear.
+
+TPU-first structure mirrors x264's own: the 3 half-pel planes are computed
+once per reference frame (x264 hpel_filter over the whole frame,
+common/mc.c), making every quarter-pel position a pure gather + pairwise
+average — and since (2a+1)>>1 == a, exact positions are the same gather
+with both operands equal, so MC is entirely branch-free.
+"""
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
+
+
+def _filt6(a, b, c, d, e, f):
+    return a - 5 * b + 20 * c + 20 * d - 5 * e + f
+
+
+def hpel_planes(plane):
+    """(H, W) int -> (4, H, W) int32 stacked [fp, hh, hv, hc]
+    (bit-exact port of ops/reference/mc.hpel_planes with pad=4)."""
+    pad = 4
+    hgt, wid = plane.shape
+    p = jnp.pad(plane.astype(jnp.int32), pad, mode="edge")
+
+    bh_full = _filt6(p[:, :-5], p[:, 1:-4], p[:, 2:-3],
+                     p[:, 3:-2], p[:, 4:-1], p[:, 5:])
+    bh = bh_full[:, pad - 2: bh_full.shape[1] - pad + 3]
+    hh = jnp.clip((bh[pad:-pad, :] + 16) >> 5, 0, 255)
+
+    bv_full = _filt6(p[:-5, :], p[1:-4, :], p[2:-3, :],
+                     p[3:-2, :], p[4:-1, :], p[5:, :])
+    bv = bv_full[pad - 2: bv_full.shape[0] - pad + 3, :]
+    hv = jnp.clip((bv[:, pad:-pad] + 16) >> 5, 0, 255)
+
+    cc = _filt6(bh[:-5, :], bh[1:-4, :], bh[2:-3, :],
+                bh[3:-2, :], bh[4:-1, :], bh[5:, :])
+    cc = cc[pad - 2: cc.shape[0] - pad + 3, :]
+    hc = jnp.clip((cc + 512) >> 10, 0, 255)
+
+    return jnp.stack([plane.astype(jnp.int32), hh, hv, hc])
+
+
+from x264_tpu.ops.reference.mc import QPEL_TWO_SAMPLE_TBL
+
+_QP_TBL_J = jnp.asarray(QPEL_TWO_SAMPLE_TBL)
+
+
+def _qp_tbl():
+    return _QP_TBL_J
+
+
+def mc_luma_qpel(planes4, mv, mbw: int, mbh: int, pad: int):
+    """Quarter-pel MC for all MBs: planes4 (4, Hp, Wp) from hpel_planes on
+    the padded reference; mv (N,2) qpel.  Returns (N,16,16) int32."""
+    n = mbw * mbh
+    mby = jnp.arange(n, dtype=jnp.int32) // mbw
+    mbx = jnp.arange(n, dtype=jnp.int32) % mbw
+    ix, iy = mv[:, 0] >> 2, mv[:, 1] >> 2
+    fx, fy = mv[:, 0] & 3, mv[:, 1] & 3
+    y0 = pad + mby * 16 + iy
+    x0 = pad + mbx * 16 + ix
+    tbl = _qp_tbl()[fx, fy]                       # (N, 6)
+    r16 = jnp.arange(16, dtype=jnp.int32)
+
+    def grab(p_idx, dy, dx):
+        yi = (y0 + dy)[:, None, None] + r16[None, :, None]
+        xi = (x0 + dx)[:, None, None] + r16[None, None, :]
+        return planes4[p_idx[:, None, None], yi, xi]
+
+    s1 = grab(tbl[:, 0], tbl[:, 1], tbl[:, 2])
+    s2 = grab(tbl[:, 3], tbl[:, 4], tbl[:, 5])
+    return (s1 + s2 + 1) >> 1
 
 
 def mc_luma_fullpel(ref_pad, mv, mbw: int, mbh: int, pad: int):

@@ -53,3 +53,42 @@ def full_search_16x16(src_y, ref_pad, lam, me_range: int, mbw: int, mbh: int):
     mv0 = jnp.zeros((n, 2), jnp.int32)
     best, best_mv = jax.lax.fori_loop(0, span * span, body, (best0, mv0))
     return best_mv, best
+
+
+# subpel refinement candidate order (fixed; the NumPy tier mirrors it)
+_DIAMOND8 = ((-1, -1), (-1, 0), (-1, 1), (0, -1),
+             (0, 1), (1, -1), (1, 0), (1, 1))
+
+
+def subpel_refine(src_mbs, planes4, mv0, lam, me_range: int, steps: int,
+                  mbw: int, mbh: int):
+    """SATD-based half- then quarter-pel refinement around the fullpel
+    best (parity: reference encoder/me.c refine_subpel — the mbcmp switch
+    from SAD to SATD at subpel is x264's, common/pixel mbcmp_init).
+
+    src_mbs (N,16,16); planes4 from mc.hpel_planes(ref_y_pad); mv0 (N,2)
+    fullpel-aligned qpel mvs; steps: 1 = hpel, 2 = hpel+qpel.
+    Returns refined mv (N,2)."""
+    from x264_tpu.ops.device.mc import mc_luma_qpel
+    from x264_tpu.ops.device.pixel import satd
+
+    n = mbw * mbh
+    off = 4 * me_range + 4
+    bits = jnp.asarray(mv_bits_arr(off).astype(np.int32))
+
+    def cost_of(mv):
+        pred = mc_luma_qpel(planes4, mv, mbw, mbh, PAD)
+        return (satd(src_mbs, pred)
+                + lam * (bits[mv[:, 0] + off] + bits[mv[:, 1] + off]))
+
+    best_mv = mv0
+    best = cost_of(mv0)
+    for step in ([2, 1] if steps >= 2 else [2])[:max(steps, 0)] or []:
+        for (dy, dx) in _DIAMOND8:
+            cand = best_mv + jnp.array([dx * step, dy * step], jnp.int32)
+            cand = jnp.clip(cand, -off + 1, off - 1)
+            c = cost_of(cand)
+            better = c < best
+            best = jnp.where(better, c, best)
+            best_mv = jnp.where(better[:, None], cand, best_mv)
+    return best_mv

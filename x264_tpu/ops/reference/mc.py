@@ -119,3 +119,59 @@ def lowres_downsample(plane: np.ndarray) -> np.ndarray:
     h2, w2 = h // 2, w // 2
     q = p[:h2 * 2, :w2 * 2].reshape(h2, 2, w2, 2)
     return ((q.sum((1, 3)) + 2) >> 2).astype(plane.dtype)
+
+
+# -----------------------------------------------------------------------------
+# Branchless qpel formulation shared with the device tier: every quarter-pel
+# position equals (S1 + S2 + 1) >> 1 over two plane samples (exact positions
+# repeat the same sample, and (2a+1)>>1 == a).  Entry [fx, fy] is
+# (p1, dy1, dx1, p2, dy2, dx2) with planes [fp, hh, hv, hc] = 0..3.
+# -----------------------------------------------------------------------------
+QPEL_TWO_SAMPLE_TBL = np.zeros((4, 4, 6), np.int32)
+for _fx in range(4):
+    for _fy in range(4):
+        _FP, _HH, _HV, _HC = 0, 1, 2, 3
+        if _fx == 0 and _fy == 0:
+            _e = (_FP, 0, 0, _FP, 0, 0)
+        elif _fy == 0:
+            _e = ((_HH, 0, 0, _HH, 0, 0) if _fx == 2 else
+                  (_FP, 0, 0, _HH, 0, 0) if _fx == 1 else
+                  (_FP, 0, 1, _HH, 0, 0))
+        elif _fx == 0:
+            _e = ((_HV, 0, 0, _HV, 0, 0) if _fy == 2 else
+                  (_FP, 0, 0, _HV, 0, 0) if _fy == 1 else
+                  (_FP, 1, 0, _HV, 0, 0))
+        elif _fx == 2 and _fy == 2:
+            _e = (_HC, 0, 0, _HC, 0, 0)
+        elif _fx == 2:
+            _e = (_HC, 0, 0, _HH, 1 if _fy == 3 else 0, 0)
+        elif _fy == 2:
+            _e = (_HC, 0, 0, _HV, 0, 1 if _fx == 3 else 0)
+        else:
+            _e = (_HH, 1 if _fy == 3 else 0, 0,
+                  _HV, 0, 1 if _fx == 3 else 0)
+        QPEL_TWO_SAMPLE_TBL[_fx, _fy] = _e
+
+
+def mc_luma_qpel_batched(planes4: np.ndarray, mv: np.ndarray,
+                         mbw: int, mbh: int, pad: int) -> np.ndarray:
+    """NumPy mirror of the device mc_luma_qpel: (4,Hp,Wp) stacked planes
+    (np.stack(hpel_planes(ref_pad))), mv (N,2) qpel -> (N,16,16) int32."""
+    n = mbw * mbh
+    mby = np.arange(n) // mbw
+    mbx = np.arange(n) % mbw
+    ix, iy = mv[:, 0] >> 2, mv[:, 1] >> 2
+    fx, fy = mv[:, 0] & 3, mv[:, 1] & 3
+    y0 = pad + mby * 16 + iy
+    x0 = pad + mbx * 16 + ix
+    tbl = QPEL_TWO_SAMPLE_TBL[fx, fy]
+    r16 = np.arange(16)
+
+    def grab(p_idx, dy, dx):
+        yi = (y0 + dy)[:, None, None] + r16[None, :, None]
+        xi = (x0 + dx)[:, None, None] + r16[None, None, :]
+        return planes4[p_idx[:, None, None], yi, xi]
+
+    s1 = grab(tbl[:, 0], tbl[:, 1], tbl[:, 2])
+    s2 = grab(tbl[:, 3], tbl[:, 4], tbl[:, 5])
+    return ((s1 + s2 + 1) >> 1).astype(np.int32)

@@ -52,7 +52,7 @@ class EncoderParams:
     # analysis
     me_method: int = ME_ESA         # TPU-first default: batched exhaustive
     me_range: int = 16
-    subpel: int = 1                 # 0=fpel, 1=hpel, 2=qpel (x264 subme analog)
+    subpel: int = 2                 # 0=fpel, 1=hpel, 2=qpel (x264 subme analog)
     ref_frames: int = 1
     i4x4: bool = True               # enable intra 4x4 analysis
     i16x16: bool = True
