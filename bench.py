@@ -57,10 +57,11 @@ def bench_ours(frames):
     stream = b""
     warm = 2
     for i in range(warm):
-        stream += enc.encode(Frame420(*frames[i]))
+        stream += enc.encode_pipelined(Frame420(*frames[i]))
     t0 = time.perf_counter()
     for i in range(warm, N_FRAMES):
-        stream += enc.encode(Frame420(*frames[i]))
+        stream += enc.encode_pipelined(Frame420(*frames[i]))
+    stream += enc.flush()
     dt = time.perf_counter() - t0
     fps = (N_FRAMES - warm) / dt
     # quality: decoded (== recon) PSNR of the last frame vs source

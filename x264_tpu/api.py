@@ -60,6 +60,8 @@ class Encoder:
         self.dpb: list[ReconFrame] = []
         self.stats: list[FrameStats] = []
         self.last_recon: ReconFrame | None = None
+        from x264_tpu.rc import RateControl
+        self.rc = RateControl(self.p)
 
     # -- x264_encoder_headers ------------------------------------------------
     def headers(self) -> bytes:
@@ -77,78 +79,147 @@ class Encoder:
             return False
 
     # -- fast path: device-resident DPB + device-packed slice body ----------
-    def _encode_device_fast(self, y, u, v, ftype: str, qp: int):
-        """Steady-state path: per-MB bitstrings packed on device; host does
-        slice header + one bit-merge; recon/DPB stay on device."""
-        import jax.numpy as jnp
+    # Split into submit (enqueue all device work, advance DPB) and finalize
+    # (sync on the packed blob, assemble bytes) so a pipelined caller can
+    # overlap frame t's device->host transfer with frame t+1's compute —
+    # the analog of x264's frame-threads delay (encoder/encoder.c:1610).
 
-        from x264_tpu.bitstream.slice_assemble import (
-            append_payload,
-            merge_mb_strings,
-        )
-        from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
+    def _run_core(self, yd, ud, vd, ref, idr: bool, base_qp: int, qp_arr,
+                  n_words: int, mbw: int, mbh: int):
         from x264_tpu.models.inter_frame import me_lambda
-        from x264_tpu.models.syntax import MB_PSKIP
-        from x264_tpu.ops.device.deblock import deblock_core
+        if idr or ref is None:
+            from x264_tpu.models.intra_device import i_frame_core
+            out = i_frame_core(yd, ud, vd, qp_arr,
+                               mbw=mbw, mbh=mbh,
+                               cqp_off=self.p.chroma_qp_offset,
+                               n_words=n_words)
+            return out, SLICE_I
+        from x264_tpu.models.inter_device import p_frame_core
+        out = p_frame_core(yd, ud, vd, ref.y, ref.u, ref.v,
+                           qp_arr, np.int32(me_lambda(base_qp)),
+                           mbw=mbw, mbh=mbh, me_range=self.p.me_range,
+                           cqp_off=self.p.chroma_qp_offset,
+                           n_words=n_words, subpel=self.p.subpel)
+        return out, SLICE_P
+
+    def _submit_device(self, y, u, v, ftype: str, qp: int) -> dict:
+        import jax
 
         h, w = y.shape
         mbw, mbh = w // 16, h // 16
-        n = mbw * mbh
         idr = ftype == "IDR"
-        # n_words ladder: CAVLC-overflow fallback pattern
-        # (reference encoder/encoder.c:2893 re-encodes on overflow)
         ladder = [24, 64, 160, 416] if qp >= 16 else [64, 160, 416]
+        n_words = ladder[0]
 
-        # single-buffer upload (the tunnel has ~100ms/call latency)
-        import jax
         buf = np.empty((h + h // 2, w), np.uint8)
         buf[:h] = y
         buf[h:, :w // 2] = u
         buf[h:, w // 2:] = v
         d = jax.device_put(buf)
         yd, ud, vd = d[:h], d[h:, :w // 2], d[h:, w // 2:]
-        for n_words in ladder:
-            if idr or not self.dpb:
-                from x264_tpu.models.intra_device import i_frame_core
-                out = i_frame_core(yd, ud, vd, np.int32(qp),
-                                   mbw=mbw, mbh=mbh,
-                                   cqp_off=self.p.chroma_qp_offset,
-                                   n_words=n_words)
-                slice_type = SLICE_I
-            else:
-                from x264_tpu.models.inter_device import p_frame_core
-                ref = self.dpb[-1]
-                out = p_frame_core(yd, ud, vd, ref.y, ref.u, ref.v,
-                                   np.int32(qp), np.int32(me_lambda(qp)),
-                                   mbw=mbw, mbh=mbh,
-                                   me_range=self.p.me_range,
-                                   cqp_off=self.p.chroma_qp_offset,
-                                   n_words=n_words, subpel=self.p.subpel)
-                slice_type = SLICE_P
-            # enqueue deblock (device->device) before syncing on the blob
-            recon = self._deblock_device(out, qp, mbw, mbh)
-            blob = np.asarray(out["host_blob"])
-            nbits = blob[:, n_words]
-            if int(nbits.max(initial=0)) <= 32 * n_words:
-                break
 
+        if self.p.aq_mode:
+            qp_arr = self._aq_qp(qp, y, u, v, mbw, mbh)
+            slice_qp = int(qp_arr[0])
+        else:
+            qp_arr = np.int32(qp)
+            slice_qp = qp
+
+        ref = None if (idr or not self.dpb) else self.dpb[-1]
+        out, slice_type = self._run_core(yd, ud, vd, ref, idr, qp, qp_arr,
+                                         n_words, mbw, mbh)
+        recon = self._deblock_device(out, qp, mbw, mbh)
+        try:
+            out["host_blob"].copy_to_host_async()
+        except Exception:
+            pass
+        job = dict(out=out, slice_type=slice_type, idr=idr, qp=qp,
+                   qp_arr=qp_arr, slice_qp=slice_qp,
+                   mbw=mbw, mbh=mbh, n_words=n_words, ladder=ladder,
+                   frame_num=self.frame_num, idr_pic_id=self.idr_pic_id,
+                   ftype=ftype, planes=(yd, ud, vd), ref=ref)
+        # advance encoder state now so the next submit can chain on device
+        self.dpb = [ReconFrame(*recon, frame_num=self.frame_num)]
+        self.last_recon = self.dpb[0]
+        if idr:
+            self.idr_pic_id = (self.idr_pic_id + 1) % 65536
+        self.frame_num = (self.frame_num + 1) % (
+            1 << self.sps.log2_max_frame_num)
+        self.frame_idx += 1
+        return job
+
+    def _finalize_device(self, job: dict) -> bytes:
+        from x264_tpu.bitstream.slice_assemble import (
+            append_payload,
+            merge_mb_strings,
+        )
+        from x264_tpu.models.syntax import MB_PSKIP
+
+        n_words = job["n_words"]
+        blob = np.asarray(job["out"]["host_blob"])
+        nbits = blob[:, n_words]
+        if int(nbits.max(initial=0)) > 32 * n_words:
+            # CAVLC word-budget overflow: re-run entropy at a bigger budget
+            # (reference encoder/encoder.c:2893 re-encode pattern)
+            yd, ud, vd = job["planes"]
+            for n_words in job["ladder"][1:]:
+                out, _ = self._run_core(yd, ud, vd, job["ref"], job["idr"],
+                                        job["qp"], job["qp_arr"], n_words,
+                                        job["mbw"], job["mbh"])
+                blob = np.asarray(out["host_blob"])
+                nbits = blob[:, n_words]
+                if int(nbits.max(initial=0)) <= 32 * n_words:
+                    break
+
+        n = job["mbw"] * job["mbh"]
         words = np.ascontiguousarray(blob[:, :n_words]).view(np.uint32)
         mb_class = blob[:, n_words + 1]
 
+        out_bytes = b""
+        if job["ftype"] == "IDR" and self.p.repeat_headers:
+            out_bytes += self.headers()
         bs = BitWriter()
-        write_slice_header(bs, self.p, self.sps, slice_type=slice_type,
-                           idr=idr, frame_num=self.frame_num,
-                           idr_pic_id=self.idr_pic_id, qp=qp, num_ref=1)
+        write_slice_header(bs, self.p, self.sps,
+                           slice_type=job["slice_type"], idr=job["idr"],
+                           frame_num=job["frame_num"],
+                           idr_pic_id=job["idr_pic_id"], qp=job["slice_qp"],
+                           num_ref=1)
         payload, total = merge_mb_strings(words, nbits)
         append_payload(bs, payload, total)
-        if slice_type == SLICE_P:
+        if job["slice_type"] == SLICE_P:
             coded = mb_class != MB_PSKIP
             trailing = int(n - 1 - (np.nonzero(coded)[0][-1]
                                     if coded.any() else -1))
             if trailing:
                 bs.ue(trailing)
-        data = wrap_slice_nal(bs.to_rbsp(), idr)
-        return data, ReconFrame(*recon, frame_num=self.frame_num)
+        out_bytes += wrap_slice_nal(bs.to_rbsp(), job["idr"])
+        self.stats.append(FrameStats(job["ftype"], len(out_bytes) * 8,
+                                     job["qp"]))
+        cost = int(blob[:, n_words + 2].astype(np.int64).sum())
+        self.rc.update(job["ftype"], len(out_bytes) * 8, cost)
+        return out_bytes
+
+    def encode_pipelined(self, fr: Frame420) -> bytes:
+        """Submit this frame, return the PREVIOUS frame's bytes (b"" for
+        the first call).  Overlaps device compute with host finalization —
+        call flush() for the last frame.  Device backend only."""
+        y, u, v = self._pad(fr)
+        ftype = self._decide_type()
+        if ftype == "IDR":
+            self.frame_num = 0
+        job = self._submit_device(y, u, v, ftype, self.p.qp)
+        prev = self._pending
+        self._pending = job
+        return self._finalize_device(prev) if prev is not None else b""
+
+    def flush(self) -> bytes:
+        if getattr(self, "_pending", None) is None:
+            return b""
+        job = self._pending
+        self._pending = None
+        return self._finalize_device(job)
+
+    _pending = None
 
     def _deblock_device(self, out, qp, mbw, mbh):
         """Enqueue device deblock on the core's outputs (device-resident)."""
@@ -159,14 +230,23 @@ class Encoder:
 
         from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
         from x264_tpu.ops.device.deblock import deblock_core
+        import jax
         n = mbw * mbh
-        qpc = int(CHROMA_QP_TABLE[
-            min(max(qp + self.p.chroma_qp_offset, 0), 51)])
+        # decoder-visible QP chain (7.4.5): carry over when no residual
+        qp_mb = out["qp_mb"]
+        mbc = out["mb_class"]
+        emits = (mbc != 3) & ((out["cbp_luma"] != 0)
+                              | (out["cbp_chroma"] != 0) | (mbc == 0))
+        idx = jnp.where(emits, jnp.arange(n, dtype=jnp.int32), -1)
+        last = jax.lax.cummax(idx)
+        qp_mb = jnp.where(last >= 0, qp_mb[jnp.maximum(last, 0)], qp_mb[0])
+        qpc_tab = jnp.asarray(CHROMA_QP_TABLE.astype(np.int32))
+        qpc_mb = qpc_tab[jnp.clip(qp_mb + self.p.chroma_qp_offset, 0, 51)]
         return deblock_core(
             ry, ru, rv, out["mb_class"] == 0, out["luma_nnz"],
             out["mv"] if "mv" in out else jnp.zeros((n, 2), jnp.int32),
             jnp.zeros(n, jnp.int32),
-            jnp.full(n, qp, jnp.int32), jnp.full(n, qpc, jnp.int32),
+            qp_mb, qpc_mb,
             np.int32(self.p.deblock_alpha * 2),
             np.int32(self.p.deblock_beta * 2), mbw=mbw, mbh=mbh)
 
@@ -175,6 +255,21 @@ class Encoder:
         u = pad_to_mb(fr.u, 8)
         v = pad_to_mb(fr.v, 8)
         return y, u, v
+
+    def _frame_qp(self, ftype: str):
+        """(base_qp, qp_mb array-or-scalar) for this frame: RC decision
+        plus AQ offsets (x264_adaptive_quant_frame analog)."""
+        base = self.rc.frame_qp(ftype)
+        if not self.p.aq_mode:
+            return base, base
+        return base, None  # offsets need planes; filled in encode paths
+
+    def _aq_qp(self, base: int, y, u, v, mbw: int, mbh: int):
+        from x264_tpu.rc import aq_offsets
+        off = aq_offsets(y, u, v, mbw, mbh, self.p.aq_strength)
+        qp_mb = np.clip(base + np.round(off).astype(np.int64),
+                        self.p.qp_min, self.p.qp_max).astype(np.int32)
+        return qp_mb
 
     def _decide_type(self) -> str:
         if self.frame_idx == 0 or (self.p.keyint_max > 0
@@ -185,7 +280,7 @@ class Encoder:
     def encode(self, fr: Frame420) -> bytes:
         y, u, v = self._pad(fr)
         ftype = self._decide_type()
-        qp = self.p.qp
+        qp = self.rc.frame_qp(ftype)
 
         out = b""
         if ftype == "IDR":
@@ -195,26 +290,27 @@ class Encoder:
 
         use_device = self._use_device()
         if use_device and self.p.backend != "device_host_entropy":
-            data, recon = self._encode_device_fast(y, u, v, ftype, qp)
-            out += data
-            self.last_recon = recon
-            self.dpb = [recon]
-            if ftype == "IDR":
-                self.idr_pic_id = (self.idr_pic_id + 1) % 65536
-            self.frame_num = (self.frame_num + 1) % (
-                1 << self.sps.log2_max_frame_num)
-            self.frame_idx += 1
-            self.stats.append(FrameStats(ftype, len(out) * 8, qp))
-            return out
+            assert self._pending is None, \
+                "mixing encode() and encode_pipelined(); flush() first"
+            job = self._submit_device(y, u, v, ftype, qp)
+            return self._finalize_device(job)
 
+        mbw, mbh = (y.shape[1] // 16, y.shape[0] // 16)
+        if self.p.aq_mode:
+            qp_arr = self._aq_qp(qp, y, u, v, mbw, mbh)
+            slice_qp = int(qp_arr[0])
+        else:
+            qp_arr = qp
+            slice_qp = qp
+        from x264_tpu.models.inter_frame import me_lambda
         if ftype == "IDR" or not self.dpb:
             if use_device:
                 from x264_tpu.models import intra_device
                 ry, ru, rv, syn = intra_device.encode_iframe_device(
-                    y, u, v, qp, self.p.chroma_qp_offset)
+                    y, u, v, qp_arr, self.p.chroma_qp_offset)
             else:
                 ry, ru, rv, syn = intra_frame.encode_iframe(
-                    y, u, v, qp, self.p.chroma_qp_offset)
+                    y, u, v, qp_arr, self.p.chroma_qp_offset)
             slice_type = SLICE_I
             idr = True
         else:
@@ -222,41 +318,47 @@ class Encoder:
             if use_device:
                 from x264_tpu.models import inter_device
                 ry, ru, rv, syn = inter_device.encode_pframe_device(
-                    y, u, v, ref, qp, self.p)
+                    y, u, v, ref, qp_arr, self.p, lam=me_lambda(qp))
             else:
                 from x264_tpu.models import inter_frame
                 ry, ru, rv, syn = inter_frame.encode_pframe(
-                    y, u, v, ref, qp, self.p)
+                    y, u, v, ref, qp_arr, self.p, lam=me_lambda(qp))
             slice_type = SLICE_P
             idr = False
 
         bs = BitWriter()
         write_slice_header(bs, self.p, self.sps, slice_type=slice_type,
                            idr=idr, frame_num=self.frame_num,
-                           idr_pic_id=self.idr_pic_id, qp=qp, num_ref=1)
+                           idr_pic_id=self.idr_pic_id, qp=slice_qp,
+                           num_ref=1)
         write_slice_data(bs, syn, slice_type)
         out += wrap_slice_nal(bs.to_rbsp(), idr)
 
         if self.p.deblock:
+            from x264_tpu.models.syntax import effective_qp
+            eff_qp = effective_qp(syn.qp.astype(np.int32), syn.mb_class,
+                                  syn.cbp_luma, syn.cbp_chroma, slice_qp)
             if use_device:
                 from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
                 from x264_tpu.models.syntax import MB_I4, MB_I16
                 from x264_tpu.ops.device.deblock import deblock_core
                 intra_mb = np.isin(syn.mb_class, (MB_I16, MB_I4))
                 qpc = CHROMA_QP_TABLE[np.clip(
-                    syn.qp + self.p.chroma_qp_offset, 0, 51)].astype(np.int32)
+                    eff_qp + self.p.chroma_qp_offset, 0, 51)].astype(np.int32)
                 ry, ru, rv = deblock_core(
                     ry, ru, rv, intra_mb, syn.luma_nnz.astype(np.int32),
                     syn.mv.astype(np.int32), syn.ref.astype(np.int32),
-                    syn.qp.astype(np.int32), qpc,
+                    eff_qp, qpc,
                     np.int32(self.p.deblock_alpha * 2),
                     np.int32(self.p.deblock_beta * 2),
                     mbw=syn.mb_width, mbh=syn.mb_height)
                 ry, ru, rv = (np.asarray(ry), np.asarray(ru), np.asarray(rv))
             else:
+                import dataclasses as _dc
                 from x264_tpu.ops.reference.deblock import deblock_frame
+                syn_eff = _dc.replace(syn, qp=eff_qp.astype(np.int64))
                 ry, ru, rv = deblock_frame(
-                    ry, ru, rv, syn, self.p.deblock_alpha,
+                    ry, ru, rv, syn_eff, self.p.deblock_alpha,
                     self.p.deblock_beta, self.p.chroma_qp_offset)
 
         recon = ReconFrame(ry, ru, rv, frame_num=self.frame_num)
@@ -267,6 +369,8 @@ class Encoder:
         self.frame_num = (self.frame_num + 1) % (1 << self.sps.log2_max_frame_num)
         self.frame_idx += 1
         self.stats.append(FrameStats(ftype, len(out) * 8, qp))
+        cost = int(syn.mb_cost.sum()) if syn.mb_cost is not None else 0
+        self.rc.update(ftype, len(out) * 8, cost)
         return out
 
     def close(self) -> dict:

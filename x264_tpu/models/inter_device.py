@@ -48,9 +48,10 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
     """All-device P-frame pixel pipeline on *pre-padded* reference planes
     (so the sharded band path can hand in halo slices — parallel/sliced.py).
     y/u/v: source planes (uint8, H=16*mbh x W=16*mbw); ref_*_pad: reference
-    planes padded by PAD (luma) / PAD//2 (chroma); qp/lam: traced int32.
+    planes padded by PAD (luma) / PAD//2 (chroma); qp: traced int32 scalar
+    or per-MB (N,) array (adaptive quantization); lam traced int32.
     Returns a dict of per-MB syntax tensors + pre-deblock recon planes."""
-    qp = jnp.asarray(qp, jnp.int32)
+    qp = jnp.broadcast_to(jnp.asarray(qp, jnp.int32).reshape(-1), (mbw * mbh,))
     qpc = _CHROMA_QP[jnp.clip(qp + cqp_off, 0, 51)]
 
     mv, _cost = full_search_16x16(y, ref_y_pad, lam,
@@ -59,10 +60,11 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
     src_mbs = T.plane_to_mbs(y.astype(jnp.int32), mbh, mbw, 16)
     if subpel > 0:
         planes4 = mc_hpel_planes(ref_y_pad)
-        mv = subpel_refine(src_mbs, planes4, mv, lam, me_range, subpel,
-                           mbw, mbh)
+        mv, mb_cost = subpel_refine(src_mbs, planes4, mv, lam, me_range,
+                                    subpel, mbw, mbh)
         pred = mc_luma_qpel(planes4, mv, mbw, mbh, PAD)
     else:
+        mb_cost = _cost
         pred = mc_luma_fullpel(ref_y_pad, mv, mbw, mbh, PAD)
     recon_y_mbs, ac_zz, nnz, cbp_l = encode_p_luma(src_mbs, pred, qp)
 
@@ -80,10 +82,9 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
     # device MB classification + header codes + per-MB bit packing: the
     # host only bit-merges N packed strings (bitstream/slice_assemble.py)
     mb_class, mvd = dheader.classify_p(mv, cbp_l, cbp_c, mbw, mbh)
-    qp_mb = jnp.full(mbw * mbh, qp, jnp.int32)
     hv, hl = dheader.header_slots(
         mb_class, jnp.zeros(mbw * mbh, jnp.int32),
-        jnp.zeros(mbw * mbh, jnp.int32), mvd, cbp_l, cbp_c, qp_mb,
+        jnp.zeros(mbw * mbh, jnp.int32), mvd, cbp_l, cbp_c, qp,
         is_p_slice=True)
     words, nbits = pack_tokens(jnp.concatenate([hv, res_vals], axis=1),
                                jnp.concatenate([hl, res_lens], axis=1),
@@ -91,12 +92,12 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
 
     host_blob = jnp.concatenate(
         [jax.lax.bitcast_convert_type(words, jnp.int32),
-         nbits[:, None], mb_class[:, None]], axis=1)
+         nbits[:, None], mb_class[:, None], mb_cost[:, None]], axis=1)
 
     return dict(
         res_vals=res_vals, res_lens=res_lens,
         words=words, nbits=nbits, mb_class=mb_class, mvd=mvd,
-        host_blob=host_blob,
+        host_blob=host_blob, mb_cost=mb_cost, qp_mb=qp,
         mv=mv,
         luma_ac=ac_zz, luma_nnz=nnz, cbp_luma=cbp_l,
         chroma_dc=cdc, chroma_ac=cac, chroma_nnz=cnnz, cbp_chroma=cbp_c,
@@ -210,23 +211,26 @@ def classify_pframe(syn, mv: np.ndarray, cbp_l: np.ndarray, cbp_c: np.ndarray):
         ref_dec[i] = 0
 
 
-def encode_pframe_device(y, u, v, ref, qp: int, params):
+def encode_pframe_device(y, u, v, ref, qp, params, lam=None):
     """Host wrapper: run the device core, assemble FrameSyntax, run the
     host skip/mvd scan.  Drop-in replacement for
-    inter_frame.encode_pframe."""
+    inter_frame.encode_pframe.  qp: scalar or per-MB array."""
     h, w = y.shape
     mbw, mbh = w // 16, h // 16
+    if lam is None:
+        lam = me_lambda(int(np.atleast_1d(qp)[0]))
     out = p_frame_core(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                        jnp.asarray(ref.y), jnp.asarray(ref.u),
                        jnp.asarray(ref.v),
-                       np.int32(qp), np.int32(me_lambda(qp)),
+                       np.asarray(qp, np.int32), np.int32(lam),
                        mbw=mbw, mbh=mbh, me_range=params.me_range,
                        cqp_off=params.chroma_qp_offset,
                        subpel=params.subpel)
     out = {k: np.asarray(val) for k, val in out.items()}
 
     syn = empty_syntax(mbw, mbh)
-    syn.qp[:] = qp
+    syn.qp[:] = out["qp_mb"]
+    syn.mb_cost = out["mb_cost"].astype(np.int64)
     syn.mv[:] = out["mv"]
     syn.ref[:] = 0
     syn.luma_ac[:] = out["luma_ac"]

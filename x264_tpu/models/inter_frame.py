@@ -105,7 +105,7 @@ def subpel_refine(src_mbs, planes4, mv0, lam, me_range: int, steps: int,
             better = c < best
             best = np.where(better, c, best)
             best_mv = np.where(better[:, None], cand, best_mv)
-    return best_mv.astype(np.int32)
+    return best_mv.astype(np.int32), best
 
 
 def mc_luma_16x16(ref_pad: np.ndarray, mv: np.ndarray, mbw: int, mbh: int):
@@ -144,36 +144,39 @@ def encode_p_luma_mb(src: np.ndarray, pred: np.ndarray, qp: int):
 
 
 def encode_pframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                  ref, qp: int, params):
+                  ref, qp, params, lam=None):
     """ref: ReconFrame with .y/.u/.v (padded planes). Returns
     (recon_y, recon_u, recon_v, FrameSyntax)."""
     h, w = y.shape
     mbw, mbh = w // 16, h // 16
     n = mbw * mbh
-    qpc = chroma_qp(qp, params.chroma_qp_offset)
 
     ref_y_pad = expand_border(ref.y, PAD)
     ref_u_pad = expand_border(ref.u, PAD // 2)
     ref_v_pad = expand_border(ref.v, PAD // 2)
 
-    lam = me_lambda(qp)
-    mv, _ = full_search_16x16(y, ref_y_pad, params.me_range, lam)
+    qp_mb = np.broadcast_to(np.atleast_1d(qp).astype(np.int64), (n,))
+    base_qp = int(qp_mb[0]) if lam is None else None
+    lam = me_lambda(base_qp) if lam is None else lam
+    mv, mb_cost = full_search_16x16(y, ref_y_pad, params.me_range, lam)
 
     if params.subpel > 0:
         from x264_tpu.ops.reference.mc import mc_luma_qpel_batched
         planes4 = np.stack(mc.hpel_planes(ref_y_pad))
         src_mbs = (y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3)
                     .reshape(n, 16, 16).astype(np.int64))
-        mv = subpel_refine(src_mbs, planes4, mv, lam, params.me_range,
-                           params.subpel, mbw, mbh)
+        mv, mb_cost = subpel_refine(src_mbs, planes4, mv, lam,
+                                    params.me_range, params.subpel,
+                                    mbw, mbh)
         preds = mc_luma_qpel_batched(planes4, mv, mbw, mbh, PAD)
     else:
         preds = mc_luma_16x16(ref_y_pad, mv, mbw, mbh)
 
     syn = empty_syntax(mbw, mbh)
-    syn.qp[:] = qp
+    syn.qp[:] = qp_mb
     syn.mv[:] = mv
     syn.ref[:] = 0
+    syn.mb_cost = np.asarray(mb_cost, np.int64)
 
     ry = np.zeros_like(y)
     ru = np.zeros_like(u)
@@ -186,7 +189,9 @@ def encode_pframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         mby, mbx = divmod(i, mbw)
         y0, x0 = mby * 16, mbx * 16
         src = y[y0:y0 + 16, x0:x0 + 16]
-        recon, ac_zz, nnz, cl = encode_p_luma_mb(src, preds[i], qp)
+        qp_i = int(qp_mb[i])
+        qpc_i = chroma_qp(qp_i, params.chroma_qp_offset)
+        recon, ac_zz, nnz, cl = encode_p_luma_mb(src, preds[i], qp_i)
         ry[y0:y0 + 16, x0:x0 + 16] = recon
         syn.luma_ac[i] = ac_zz
         syn.luma_nnz[i] = nnz
@@ -200,7 +205,7 @@ def encode_pframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                                PAD // 2 + cy0, PAD // 2 + cx0, 8, 8)
         csrc = [u[cy0:cy0 + 8, cx0:cx0 + 8], v[cy0:cy0 + 8, cx0:cx0 + 8]]
         crecons, cdc, cac, cnnz, cc = encode_chroma_mb(
-            csrc, [cpred_u, cpred_v], qpc, intra=False)
+            csrc, [cpred_u, cpred_v], qpc_i, intra=False)
         ru[cy0:cy0 + 8, cx0:cx0 + 8] = crecons[0]
         rv[cy0:cy0 + 8, cx0:cx0 + 8] = crecons[1]
         syn.chroma_dc[i] = cdc

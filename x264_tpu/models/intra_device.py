@@ -53,7 +53,7 @@ def i_frame_core(y, u, v, qp, mbw: int, mbh: int, cqp_off: int,
     n = mbw * mbh
     d_lanes = min(mbw, mbh)
     n_diag = mbw + mbh - 1
-    qp = jnp.asarray(qp, jnp.int32)
+    qp = jnp.broadcast_to(jnp.asarray(qp, jnp.int32).reshape(-1), (n,))
     qpc = _CHROMA_QP[jnp.clip(qp + cqp_off, 0, 51)]
 
     ysrc = y.astype(jnp.int32)
@@ -75,6 +75,7 @@ def i_frame_core(y, u, v, qp, mbw: int, mbh: int, cqp_off: int,
         chroma_dc=jnp.zeros((n, 2, 4), jnp.int32),
         chroma_ac=jnp.zeros((n, 2, 4, 16), jnp.int32),
         chroma_nnz=jnp.zeros((n, 2, 4), jnp.int32),
+        mb_cost=jnp.zeros(n, jnp.int32),
     )
     ry0 = jnp.zeros_like(ysrc)
     ru0 = jnp.zeros_like(usrc)
@@ -105,10 +106,12 @@ def i_frame_core(y, u, v, qp, mbw: int, mbh: int, cqp_off: int,
         costs = P.satd(src[:, None], preds)
         costs = jnp.where(avail, costs, _BIG)
         mode = jnp.argmin(costs, axis=1).astype(jnp.int32)
+        mode_cost = jnp.min(costs, axis=1).astype(jnp.int32)
         pred = jnp.take_along_axis(
             preds, mode[:, None, None, None], axis=1)[:, 0]
 
-        recon, dc_zz, ac_zz, nnz, cbp_l = encode_i16_luma(src, pred, qp)
+        mb_c = jnp.where(valid, ys * mbw + xs, 0)
+        recon, dc_zz, ac_zz, nnz, cbp_l = encode_i16_luma(src, pred, qp[mb_c])
 
         # ---- chroma ----
         cy0, cx0 = ys * 8, xs * 8
@@ -136,7 +139,7 @@ def i_frame_core(y, u, v, qp, mbw: int, mbh: int, cqp_off: int,
             cpreds_v, cmode[:, None, None, None], axis=1)[:, 0]
 
         cr_u, cr_v, cdc, cac, cnnz, cbp_c = encode_chroma(
-            csrc_u, csrc_v, cpred_u, cpred_v, qpc, intra=True)
+            csrc_u, csrc_v, cpred_u, cpred_v, qpc[mb_c], intra=True)
 
         # ---- scatter recon (OOB-dropped for invalid lanes) ----
         oobl = jnp.where(valid, y0, jnp.int32(n * 16))
@@ -162,6 +165,7 @@ def i_frame_core(y, u, v, qp, mbw: int, mbh: int, cqp_off: int,
             chroma_dc=acc["chroma_dc"].at[mb].set(cdc, mode="drop"),
             chroma_ac=acc["chroma_ac"].at[mb].set(cac, mode="drop"),
             chroma_nnz=acc["chroma_nnz"].at[mb].set(cnnz, mode="drop"),
+            mb_cost=acc["mb_cost"].at[mb].set(mode_cost, mode="drop"),
         )
         return (ry, ru, rv, acc), None
 
@@ -177,30 +181,32 @@ def i_frame_core(y, u, v, qp, mbw: int, mbh: int, cqp_off: int,
         jnp.ones(n, bool), mbw, mbh)
 
     mb_class = jnp.full(n, dheader.MB_I16_D, jnp.int32)
-    qp_mb = jnp.full(n, qp, jnp.int32)
     hv, hl = dheader.header_slots(
         mb_class, acc["i16_mode"], acc["chroma_mode"],
         jnp.zeros((n, 2), jnp.int32), acc["cbp_luma"], acc["cbp_chroma"],
-        qp_mb, is_p_slice=False)
+        qp, is_p_slice=False)
     out["words"], out["nbits"] = pack_tokens(
         jnp.concatenate([hv, out["res_vals"]], axis=1),
         jnp.concatenate([hl, out["res_lens"]], axis=1), n_words)
     out["mb_class"] = mb_class
     out["host_blob"] = jnp.concatenate(
         [jax.lax.bitcast_convert_type(out["words"], jnp.int32),
-         out["nbits"][:, None], mb_class[:, None]], axis=1)
+         out["nbits"][:, None], mb_class[:, None],
+         acc["mb_cost"][:, None]], axis=1)
     out["recon_y"] = ry.astype(jnp.uint8)
     out["recon_u"] = ru.astype(jnp.uint8)
     out["recon_v"] = rv.astype(jnp.uint8)
+    out["qp_mb"] = qp
     return out
 
 
-def encode_iframe_device(y, u, v, qp: int, chroma_qp_offset: int = 0):
-    """Host wrapper, drop-in for intra_frame.encode_iframe."""
+def encode_iframe_device(y, u, v, qp, chroma_qp_offset: int = 0):
+    """Host wrapper, drop-in for intra_frame.encode_iframe (qp scalar or
+    per-MB array)."""
     h, w = y.shape
     mbw, mbh = w // 16, h // 16
     out = i_frame_core(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-                       np.int32(qp), mbw=mbw, mbh=mbh,
+                       np.asarray(qp, np.int32), mbw=mbw, mbh=mbh,
                        cqp_off=chroma_qp_offset)
     out = {k: np.asarray(val) for k, val in out.items()}
 
@@ -213,4 +219,6 @@ def encode_iframe_device(y, u, v, qp: int, chroma_qp_offset: int = 0):
         getattr(syn, k)[:] = out[k]
     syn.res_vals = out["res_vals"]
     syn.res_lens = out["res_lens"]
+    syn.mb_cost = out["mb_cost"].astype(np.int64)
+    syn.qp[:] = out["qp_mb"]
     return out["recon_y"], out["recon_u"], out["recon_v"], syn

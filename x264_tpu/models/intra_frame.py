@@ -112,14 +112,17 @@ def encode_chroma_mb(srcs, preds, qp_c: int, intra: bool):
 
 
 def encode_iframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                  qp: int, chroma_qp_offset: int = 0):
+                  qp, chroma_qp_offset: int = 0):
     """Encode one I frame (planes already padded to MB multiples).
-    Returns (recon_y, recon_u, recon_v, FrameSyntax)."""
+    qp: scalar or per-MB (N,) array.  Returns
+    (recon_y, recon_u, recon_v, FrameSyntax)."""
     h, w = y.shape
     mbw, mbh = w // 16, h // 16
     syn = empty_syntax(mbw, mbh)
-    qpc = chroma_qp(qp, chroma_qp_offset)
-    syn.qp[:] = qp
+    qp_mb = np.broadcast_to(np.atleast_1d(qp).astype(np.int64),
+                            (mbw * mbh,))
+    syn.qp[:] = qp_mb
+    syn.mb_cost = np.zeros(mbw * mbh, np.int64)
 
     ry = np.zeros_like(y)
     ru = np.zeros_like(u)
@@ -142,8 +145,11 @@ def encode_iframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         costs = pixel.satd(np.broadcast_to(src, (4, 16, 16)), preds)
         costs = np.where(avail, costs, 1 << 30)
         mode = int(np.argmin(costs))
+        qp_i = int(qp_mb[mb])
+        qpc = chroma_qp(qp_i, chroma_qp_offset)
+        syn.mb_cost[mb] = int(costs[mode])
 
-        recon, dc_zz, ac_zz, nnz, cbp_l = encode_i16x16_mb(src, preds[mode], qp)
+        recon, dc_zz, ac_zz, nnz, cbp_l = encode_i16x16_mb(src, preds[mode], qp_i)
         ry[y0:y0 + 16, x0:x0 + 16] = recon
 
         # --- chroma ---

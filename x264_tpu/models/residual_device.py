@@ -19,27 +19,38 @@ _QUAD_1HOT = jnp.asarray(np.eye(4, dtype=np.int32)[
     (np.arange(16) // 4 // 2) * 2 + (np.arange(16) % 4) // 2])  # (16,4)
 
 
+def _qp_mb(qp, extra_dims: int):
+    """Normalize qp (scalar or per-MB (N,)) for per-block broadcast with
+    `extra_dims` block axes between the MB axis and the (4,4) tail."""
+    qp = jnp.asarray(qp, jnp.int32)
+    if qp.ndim == 0:
+        return qp
+    return qp.reshape(qp.shape[0], *([1] * extra_dims))
+
+
 def encode_i16_luma(src, pred, qp):
-    """src/pred (N,16,16) -> (recon, dc_zz (N,16), ac_zz (N,16,16),
-    nnz (N,16), cbp_luma (N,))."""
+    """src/pred (N,16,16); qp scalar or per-MB (N,) ->
+    (recon, dc_zz (N,16), ac_zz (N,16,16), nnz (N,16), cbp_luma (N,))."""
     res = src.astype(jnp.int32) - pred.astype(jnp.int32)
     blocks = T.mb_luma_to_blocks(res)                  # (N,16,4,4)
     coefs = T.dct4x4(blocks)
+    qp1 = _qp_mb(qp, 1)
+    qp0 = _qp_mb(qp, 0)
 
     dc = coefs[:, :, 0, 0].reshape(-1, 4, 4)
     fdc = T.hadamard4x4_fwd(dc)
-    dc_lv = T.quant_dc4(fdc, qp, intra=True)
+    dc_lv = T.quant_dc4(fdc, qp0, intra=True)
     dc_zz = T.zigzag(dc_lv)
     fi = T.hadamard4x4_inv(dc_lv)
-    dc_deq = T.dequant_dc4(fi, qp).reshape(-1, 16)
+    dc_deq = T.dequant_dc4(fi, qp0).reshape(-1, 16)
 
-    ac_lv = T.quant4x4(coefs, qp, intra=True)
+    ac_lv = T.quant4x4(coefs, qp1, intra=True)
     ac_lv = ac_lv.at[:, :, 0, 0].set(0)
     nnz = jnp.count_nonzero(ac_lv.reshape(-1, 16, 16), axis=2).astype(jnp.int32)
     cbp_luma = jnp.where(nnz.any(axis=1), 15, 0).astype(jnp.int32)
     ac_zz = T.zigzag(ac_lv)
 
-    deq = T.dequant4x4(ac_lv, qp)
+    deq = T.dequant4x4(ac_lv, qp1)
     deq = deq.at[:, :, 0, 0].set(dc_deq)
     res_rec = T.idct4x4(deq)
     recon = jnp.clip(pred.astype(jnp.int32) + T.blocks_to_mb_luma(res_rec),
@@ -53,13 +64,14 @@ def encode_p_luma(src, pred, qp):
     res = src.astype(jnp.int32) - pred.astype(jnp.int32)
     blocks = T.mb_luma_to_blocks(res)
     coefs = T.dct4x4(blocks)
-    lv = T.quant4x4(coefs, qp, intra=False)
+    qp1 = _qp_mb(qp, 1)
+    lv = T.quant4x4(coefs, qp1, intra=False)
     nnz = jnp.count_nonzero(lv.reshape(-1, 16, 16), axis=2).astype(jnp.int32)
     quad_counts = (nnz > 0).astype(jnp.int32) @ _QUAD_1HOT        # (N,4)
     cbp = ((quad_counts > 0).astype(jnp.int32)
            * (1 << jnp.arange(4, dtype=jnp.int32))[None, :]).sum(1)
     ac_zz = T.zigzag(lv)
-    deq = T.dequant4x4(lv, qp)
+    deq = T.dequant4x4(lv, qp1)
     res_rec = T.idct4x4(deq)
     recon = jnp.clip(pred.astype(jnp.int32) + T.blocks_to_mb_luma(res_rec),
                      0, 255)
@@ -86,13 +98,15 @@ def encode_chroma(src_u, src_v, pred_u, pred_v, qp_c, intra: bool):
     res = srcs - preds
     blocks = _chroma_blocks(res.reshape(n * 2, 8, 8)).reshape(n, 2, 4, 4, 4)
     coefs = T.dct4x4(blocks)
+    qp2 = _qp_mb(qp_c, 2)
+    qp1 = _qp_mb(qp_c, 1)
 
     dc = coefs[:, :, :, 0, 0].reshape(n, 2, 2, 2)
     fdc = T.hadamard2x2(dc)
-    dc_lv = T.quant_dc2(fdc, qp_c, intra)
+    dc_lv = T.quant_dc2(fdc, qp1, intra)
     dcs = dc_lv.reshape(n, 2, 4)
 
-    ac_lv = T.quant4x4(coefs, qp_c, intra)
+    ac_lv = T.quant4x4(coefs, qp2, intra)
     ac_lv = ac_lv.at[:, :, :, 0, 0].set(0)
     acs = T.zigzag(ac_lv)                                          # (N,2,4,16)
     nnz = jnp.count_nonzero(acs, axis=3).astype(jnp.int32)
@@ -102,8 +116,8 @@ def encode_chroma(src_u, src_v, pred_u, pred_v, qp_c, intra: bool):
     cbp_chroma = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0)).astype(jnp.int32)
 
     fi = T.hadamard2x2(dc_lv)
-    dc_deq = T.dequant_dc2(fi, qp_c).reshape(n, 2, 4)
-    deq = T.dequant4x4(ac_lv, qp_c)
+    dc_deq = T.dequant_dc2(fi, qp1).reshape(n, 2, 4)
+    deq = T.dequant4x4(ac_lv, qp2)
     deq = deq.at[:, :, :, 0, 0].set(dc_deq)
     res_rec = T.idct4x4(deq)
     planes = _chroma_plane(res_rec.reshape(n * 2, 4, 4, 4)).reshape(n, 2, 8, 8)

@@ -43,6 +43,8 @@ class FrameSyntax:
     # (N, 27*36) value/length pairs; None -> host computes them
     res_vals: np.ndarray | None = None
     res_lens: np.ndarray | None = None
+    # per-MB prediction cost (SATD+lambda*mvbits) for rate control
+    mb_cost: np.ndarray | None = None
 
     @property
     def n_mbs(self) -> int:
@@ -56,6 +58,20 @@ class FrameSyntax:
     def chroma_nnz_grid(self, plane: int) -> np.ndarray:
         g = self.chroma_nnz[:, plane].reshape(self.mb_height, self.mb_width, 2, 2)
         return g.transpose(0, 2, 1, 3).reshape(2 * self.mb_height, 2 * self.mb_width)
+
+
+def effective_qp(qp_mb: np.ndarray, mb_class: np.ndarray,
+                 cbp_luma: np.ndarray, cbp_chroma: np.ndarray,
+                 slice_qp: int) -> np.ndarray:
+    """Decoder-visible per-MB QP_Y (7.4.5): mb_qp_delta is only present
+    when the MB has coded residual, so QP carries over otherwise — the
+    deblocking filter MUST use this chain, not the encoder's intent."""
+    emits = (mb_class != MB_PSKIP) & (
+        (cbp_luma != 0) | (cbp_chroma != 0) | (mb_class == MB_I16))
+    idx = np.where(emits, np.arange(len(qp_mb)), -1)
+    last = np.maximum.accumulate(idx)
+    return np.where(last >= 0, qp_mb[np.maximum(last, 0)],
+                    slice_qp).astype(qp_mb.dtype)
 
 
 def empty_syntax(mb_width: int, mb_height: int) -> FrameSyntax:

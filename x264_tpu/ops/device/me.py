@@ -68,7 +68,7 @@ def subpel_refine(src_mbs, planes4, mv0, lam, me_range: int, steps: int,
 
     src_mbs (N,16,16); planes4 from mc.hpel_planes(ref_y_pad); mv0 (N,2)
     fullpel-aligned qpel mvs; steps: 1 = hpel, 2 = hpel+qpel.
-    Returns refined mv (N,2)."""
+    Returns (refined mv (N,2), cost (N,))."""
     from x264_tpu.ops.device.mc import mc_luma_qpel
     from x264_tpu.ops.device.pixel import satd
 
@@ -91,4 +91,4 @@ def subpel_refine(src_mbs, planes4, mv0, lam, me_range: int, steps: int,
             better = c < best
             best = jnp.where(better, c, best)
             best_mv = jnp.where(better[:, None], cand, best_mv)
-    return best_mv
+    return best_mv, best

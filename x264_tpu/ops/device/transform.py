@@ -71,7 +71,14 @@ def hadamard2x2(dc):
     return _mat2(_H2, dc.astype(jnp.int32))
 
 
-# -- quant (traced qp) --------------------------------------------------------
+# -- quant (traced qp; scalar or per-block array broadcast against the
+#    blocks' leading dims — per-MB adaptive quantization feeds (N,1)-shaped
+#    qp for (N,16,4,4) blocks etc.) ---------------------------------------
+
+def _bcast(x, qp):
+    """Align a per-block scalar derived from qp against (..., 4, 4) data."""
+    return jnp.asarray(x)[..., None, None]
+
 
 def _qparams(qp, intra: bool):
     qbits = 15 + qp // 6
@@ -81,50 +88,58 @@ def _qparams(qp, intra: bool):
 
 def quant4x4(coefs, qp, intra: bool):
     """Deadzone quant; max |coef|*mf = 9180*13107 < 2^31."""
+    qp = jnp.asarray(qp, jnp.int32)
     qbits, f = _qparams(qp, intra)
     mf = _QUANT4_MF[qp % 6]
     c = coefs.astype(jnp.int32)
-    level = (jnp.abs(c) * mf + f) >> qbits
+    level = (jnp.abs(c) * mf + _bcast(f, qp)) >> _bcast(qbits, qp)
     return jnp.where(c < 0, -level, level)
 
 
 def dequant4x4(levels, qp):
+    qp = jnp.asarray(qp, jnp.int32)
     v = _DEQUANT4[qp % 6]
-    return (levels.astype(jnp.int32) * v) << (qp // 6)
+    return (levels.astype(jnp.int32) * v) << _bcast(qp // 6, qp)
 
 
 def quant_dc4(coefs, qp, intra: bool = True):
     """Luma DC quant (pairs with hadamard4x4_fwd's >>1): qbits+1, deadzone 2f.
     |fdc| <= (255*16*16)>>1 = 32640; 32640*13107 < 2^31."""
+    qp = jnp.asarray(qp, jnp.int32)
     qbits, f = _qparams(qp, intra)
     mf = _QUANT4_MF[qp % 6, 0, 0]
     c = coefs.astype(jnp.int32)
-    level = (jnp.abs(c) * mf + 2 * f) >> (qbits + 1)
+    level = (jnp.abs(c) * _bcast(mf, qp) + 2 * _bcast(f, qp)) \
+        >> _bcast(qbits + 1, qp)
     return jnp.where(c < 0, -level, level)
 
 
 def dequant_dc4(f_had, qp):
     """Normative luma-DC scaling (8.5.10); both qp-regime branches computed
     with clamped shifts and selected elementwise."""
-    ls16 = _DEQUANT4[qp % 6, 0, 0] * 16
+    qp = jnp.asarray(qp, jnp.int32)
+    ls16 = _bcast(_DEQUANT4[qp % 6, 0, 0] * 16, qp)
     f_had = f_had.astype(jnp.int32)
-    q6 = qp // 6
+    q6 = _bcast(qp // 6, qp)
     hi = (f_had * ls16) << jnp.maximum(q6 - 6, 0)
     lo = (f_had * ls16 + (1 << jnp.maximum(5 - q6, 0))) >> jnp.maximum(6 - q6, 0)
-    return jnp.where(qp >= 36, hi, lo)
+    return jnp.where(_bcast(qp, qp) >= 36, hi, lo)
 
 
 def quant_dc2(coefs, qp, intra: bool):
+    qp = jnp.asarray(qp, jnp.int32)
     qbits, f = _qparams(qp, intra)
     mf = _QUANT4_MF[qp % 6, 0, 0]
     c = coefs.astype(jnp.int32)
-    level = (jnp.abs(c) * mf + 2 * f) >> (qbits + 1)
+    level = (jnp.abs(c) * _bcast(mf, qp) + 2 * _bcast(f, qp)) \
+        >> _bcast(qbits + 1, qp)
     return jnp.where(c < 0, -level, level)
 
 
 def dequant_dc2(f_had, qp):
-    ls16 = _DEQUANT4[qp % 6, 0, 0] * 16
-    return ((f_had.astype(jnp.int32) * ls16) << (qp // 6)) >> 5
+    qp = jnp.asarray(qp, jnp.int32)
+    ls16 = _bcast(_DEQUANT4[qp % 6, 0, 0] * 16, qp)
+    return ((f_had.astype(jnp.int32) * ls16) << _bcast(qp // 6, qp)) >> 5
 
 
 # -- layout helpers -----------------------------------------------------------

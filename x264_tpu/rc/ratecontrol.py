@@ -1,0 +1,127 @@
+"""Rate control: CQP / CRF / ABR frame-QP decision + variance-based
+adaptive quantization.
+
+Parity anchors (reference encoder/ratecontrol.c):
+- qp<->qscale mapping qp2qscale/qscale2qp (:96-104)
+- qscale law  q = complexity^(1-qcomp) / rate_factor
+  (get_qscale :2060, rate_estimate_qscale :2400); until the lookahead
+  lands, per-frame complexity is the encoder's own prediction-cost EMA
+  (one-frame lag) instead of the lookahead-blurred SATD
+- ABR: bits predictor (bits ~ coeff * satd / qscale, predict_size :2109)
+  sets the rate factor; shrinking-buffer overflow feedback (:2475-2495)
+- AQ mode 1: per-MB energy -> qp offset (x264_adaptive_quant_frame :304):
+  qp_adj = strength * 1.5 * (log2(max(energy,1)) - 14.427)
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from x264_tpu.params import RC_ABR, RC_CQP, RC_CRF
+
+
+def qp2qscale(qp: float) -> float:
+    return 0.85 * 2.0 ** ((qp - 12.0) / 6.0)
+
+
+def qscale2qp(qscale: float) -> float:
+    return 12.0 + 6.0 * math.log2(qscale / 0.85)
+
+
+class RateControl:
+    """Per-frame QP decision; update() feeds back actual bits and the
+    frame's prediction cost (SATD sum) after each frame."""
+
+    IP_OFFSET = 2      # I frames a touch finer (x264 ip_factor analog)
+
+    def __init__(self, params):
+        self.p = params
+        self.qcomp = 0.6
+        self.fps = params.fps_num / max(1, params.fps_den)
+        self.bitrate = params.bitrate * 1000.0
+        # EMAs (0.9 decay): complexity, bits*qscale/cplx predictor,
+        # cplx^qcomp for the ABR rate factor
+        self.cplx = 0.0
+        self.coeff = 0.0
+        self.cq = 0.0
+        self.w = 0.0
+        self.wanted_bits = 0.0
+        self.actual_bits = 0.0
+        self.n_frames = 0
+        self.rate_factor = None
+        self.last_qscale = qp2qscale(params.qp or 26)
+
+    def _clip_qp(self, qp: float, frame_type: str) -> int:
+        if frame_type in ("IDR", "I"):
+            qp -= self.IP_OFFSET
+        return int(np.clip(round(qp), self.p.qp_min, self.p.qp_max))
+
+    def frame_qp(self, frame_type: str) -> int:
+        p = self.p
+        if p.rc_method == RC_CQP:
+            qp = p.qp - (self.IP_OFFSET if frame_type in ("IDR", "I") else 0)
+            return int(np.clip(qp, 0, 51))
+
+        if self.w <= 0:
+            q = qp2qscale(p.crf if p.rc_method == RC_CRF else (p.qp or 26))
+            self.last_qscale = q
+            return self._clip_qp(qscale2qp(q), frame_type)
+
+        cplx = max(self.cplx / self.w, 1.0)
+        if p.rc_method == RC_CRF:
+            q = cplx ** (1.0 - self.qcomp) / self.rate_factor
+        else:  # ABR
+            target = self.bitrate / self.fps
+            coeff = max(self.coeff / self.w, 1e-9)
+            cqm = max(self.cq / self.w, 1e-9)
+            rf = target / (coeff * cqm)
+            q = cplx ** (1.0 - self.qcomp) / max(rf, 1e-9)
+            abr_buffer = 2.0 * max(self.bitrate, 1.0)
+            overflow = float(np.clip(
+                1.0 + (self.actual_bits - self.wanted_bits) / abr_buffer,
+                0.5, 2.0))
+            q *= overflow
+        # limit qscale swing between consecutive frames (x264 lstep)
+        lstep = 2.0 ** (8.0 / 6.0)
+        q = float(np.clip(q, self.last_qscale / lstep,
+                          self.last_qscale * lstep))
+        self.last_qscale = q
+        return self._clip_qp(qscale2qp(max(q, 1e-9)), frame_type)
+
+    def update(self, frame_type: str, bits: int, cost: float) -> None:
+        cost = max(float(cost), 1.0)
+        decay = 0.9
+        self.cplx = self.cplx * decay + cost
+        self.coeff = self.coeff * decay + bits * self.last_qscale / cost
+        self.cq = self.cq * decay + cost ** self.qcomp
+        self.w = self.w * decay + 1.0
+        self.actual_bits += bits
+        self.wanted_bits += self.bitrate / self.fps if self.bitrate else 0.0
+        self.n_frames += 1
+        if self.p.rc_method == RC_CRF:
+            cplx = max(self.cplx / self.w, 1.0)
+            self.rate_factor = (cplx ** (1.0 - self.qcomp)
+                                / qp2qscale(self.p.crf))
+
+
+def aq_offsets(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+               mbw: int, mbh: int, strength: float) -> np.ndarray:
+    """AQ mode 1 (x264_adaptive_quant_frame, ratecontrol.c:304): per-MB
+    energy = sum of the four 8x8 luma variances + the two chroma 8x8
+    variances; qp offset = strength * 1.5 * (log2(max(E,1)) - 14.427).
+    Returns float offsets (N,)."""
+    def var_blocks(p, s):
+        hh, ww = p.shape
+        b = (p.astype(np.int64).reshape(hh // s, s, ww // s, s)
+             .transpose(0, 2, 1, 3).reshape(-1, s * s))
+        sm = b.sum(1)
+        sq = (b * b).sum(1)
+        return (sq - sm * sm // (s * s)).reshape(hh // s, ww // s)
+
+    vy = var_blocks(y, 8)                       # (2*mbh, 2*mbw)
+    e = vy.reshape(mbh, 2, mbw, 2).sum((1, 3))
+    e = e + var_blocks(u, 8) + var_blocks(v, 8)
+    e = e.reshape(-1).astype(np.float64)
+    return strength * 1.5 * (np.log2(np.maximum(e, 1.0)) - 14.427)
