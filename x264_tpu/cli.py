@@ -1,0 +1,167 @@
+"""CLI driver — the analog of the reference's x264.c application layer:
+demuxer selection, option parsing (x264-compatible spellings), encode loop
+with progress meter, end-of-encode summary (x264.c:1871-2101).
+
+Usage:
+    python -m x264_tpu [options] -o out.264 input.y4m
+    python -m x264_tpu --input-res 352x288 -o out.264 input.yuv
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from x264_tpu.api import Encoder
+from x264_tpu.params import (
+    RC_ABR,
+    RC_CQP,
+    RC_CRF,
+    EncoderParams,
+    param_default_preset,
+)
+from x264_tpu.utils.y4m import RawReader, Y4MReader
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="x264_tpu",
+        description="TPU-native H.264 encoder (x264 capability surface)")
+    ap.add_argument("input", help="input file (.y4m, or raw I420 with "
+                                  "--input-res)")
+    ap.add_argument("-o", "--output", required=True, help="output .264 "
+                    "(Annex-B)")
+    ap.add_argument("--input-res", help="WxH for raw input")
+    ap.add_argument("--fps", help="N or N/D frame rate for raw input")
+    ap.add_argument("--frames", type=int, default=0, help="max frames")
+    ap.add_argument("--seek", type=int, default=0, help="skip first N")
+    ap.add_argument("--preset", default="medium")
+    ap.add_argument("--tune", default=None)
+    ap.add_argument("--qp", type=int, default=None, help="CQP mode")
+    ap.add_argument("--crf", type=float, default=None, help="CRF mode")
+    ap.add_argument("--bitrate", type=int, default=None, help="ABR kbit/s")
+    ap.add_argument("--keyint", type=int, default=None)
+    ap.add_argument("--merange", type=int, default=None)
+    ap.add_argument("--subme", type=int, default=None)
+    ap.add_argument("--aq-mode", type=int, default=None)
+    ap.add_argument("--aq-strength", type=float, default=None)
+    ap.add_argument("--no-deblock", action="store_true")
+    ap.add_argument("--deblock", help="alpha:beta offsets")
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "device", "reference"])
+    ap.add_argument("--psnr", action="store_true", help="report PSNR")
+    ap.add_argument("--ssim", action="store_true", help="report SSIM")
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--dump-recon", help="write reconstructed frames to "
+                    "a .y4m (regression_test.txt workflow)")
+    return ap
+
+
+def params_from_args(args, reader) -> EncoderParams:
+    p = param_default_preset(args.preset, args.tune)
+    p = p.clone(width=reader.width, height=reader.height,
+                fps_num=reader.fps_num, fps_den=reader.fps_den,
+                backend=args.backend)
+    if args.crf is not None:
+        p = p.clone(rc_method=RC_CRF, crf=args.crf)
+    elif args.bitrate is not None:
+        p = p.clone(rc_method=RC_ABR, bitrate=args.bitrate)
+    elif args.qp is not None:
+        p = p.clone(rc_method=RC_CQP, qp=args.qp)
+    if args.keyint is not None:
+        p = p.clone(keyint_max=args.keyint)
+    if args.merange is not None:
+        p = p.clone(me_range=args.merange)
+    if args.subme is not None:
+        p = p.clone(subpel=min(args.subme, 2))
+    if args.aq_mode is not None:
+        p = p.clone(aq_mode=args.aq_mode)
+    if args.aq_strength is not None:
+        p = p.clone(aq_strength=args.aq_strength)
+    if args.no_deblock:
+        p = p.clone(deblock=False)
+    elif args.deblock:
+        a, b = (args.deblock.split(":") + ["0"])[:2]
+        p = p.clone(deblock_alpha=int(a), deblock_beta=int(b))
+    return p
+
+
+def open_input(args):
+    if args.input_res:
+        w, h = map(int, args.input_res.lower().split("x"))
+        fps = (25, 1)
+        if args.fps:
+            fps = (tuple(map(int, args.fps.split("/"))) + (1,))[:2] \
+                if "/" in args.fps else (int(args.fps), 1)
+        return RawReader(args.input, w, h, fps)
+    return Y4MReader(args.input)
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    reader = open_input(args)
+    p = params_from_args(args, reader)
+    enc = Encoder(p)
+
+    from x264_tpu.utils.metrics import psnr, ssim
+    recon_frames = [] if args.dump_recon else None
+    psnr_acc, ssim_acc = [], []
+
+    t0 = time.time()
+    nframes = 0
+    total_bytes = 0
+    with open(args.output, "wb") as out:
+        for i, fr in enumerate(reader):
+            if i < args.seek:
+                continue
+            if args.frames and nframes >= args.frames:
+                break
+            data = enc.encode(fr)
+            out.write(data)
+            total_bytes += len(data)
+            nframes += 1
+            if args.psnr or args.ssim or recon_frames is not None:
+                r = enc.last_recon
+                ry = np.asarray(r.y)[:p.height, :p.width]
+                if args.psnr:
+                    psnr_acc.append(psnr(ry, fr.y))
+                if args.ssim:
+                    ssim_acc.append(ssim(ry, fr.y))
+                if recon_frames is not None:
+                    from x264_tpu.utils.yuv import Frame420
+                    recon_frames.append(Frame420(
+                        ry.copy(),
+                        np.asarray(r.u)[:p.height // 2, :p.width // 2].copy(),
+                        np.asarray(r.v)[:p.height // 2, :p.width // 2].copy()))
+            if not args.quiet and nframes % 10 == 0:
+                el = time.time() - t0
+                fps_now = nframes / max(el, 1e-9)
+                kbps = total_bytes * 8 * (p.fps_num / p.fps_den) \
+                    / max(nframes, 1) / 1000
+                sys.stderr.write(
+                    f"\r{nframes} frames, {fps_now:.2f} fps, "
+                    f"{kbps:.2f} kb/s")
+                sys.stderr.flush()
+
+    el = time.time() - t0
+    fps_out = p.fps_num / p.fps_den
+    kbps = total_bytes * 8 * fps_out / max(nframes, 1) / 1000
+    sys.stderr.write(
+        f"\rencoded {nframes} frames, {nframes / max(el, 1e-9):.2f} fps, "
+        f"{kbps:.2f} kb/s\n")
+    if args.psnr and psnr_acc:
+        sys.stderr.write(f"PSNR Mean Y: {np.mean(psnr_acc):.3f} dB\n")
+    if args.ssim and ssim_acc:
+        sys.stderr.write(f"SSIM Mean Y: {np.mean(ssim_acc):.7f}\n")
+    if recon_frames is not None:
+        from x264_tpu.utils.y4m import write_y4m
+        write_y4m(args.dump_recon, recon_frames,
+                  (p.fps_num, p.fps_den))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
