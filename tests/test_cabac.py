@@ -1,0 +1,70 @@
+"""CABAC entropy path (native/cabac.c) vs the libavcodec oracle."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from x264_tpu.api import Encoder  # noqa: E402
+from x264_tpu.params import EncoderParams  # noqa: E402
+from x264_tpu.utils.oracle import decode_annexb  # noqa: E402
+from x264_tpu.utils.yuv import Frame420  # noqa: E402
+
+
+def _run(rng, w, h, n, kind, **kw):
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        if kind == "noise":
+            y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        elif kind == "flat":
+            y = np.full((h, w), 90, np.uint8)
+        else:
+            y = (120 + 70 * np.sin((xx + 3 * t) / 13.0)
+                 * np.cos((yy - 2 * t) / 19.0)).astype(np.uint8)
+            y += rng.integers(0, 5, (h, w)).astype(np.uint8)
+        u = (128 + 40 * np.sin((xx[::2, ::2] + 5 * t) / 23.0)).astype(np.uint8)
+        v = (128 + 40 * np.cos((yy[::2, ::2] + 7 * t) / 29.0)).astype(np.uint8)
+        frames.append(Frame420(y, u, v))
+    enc = Encoder(EncoderParams(width=w, height=h, me_range=8, cabac=True,
+                                backend="device", **kw))
+    stream = b""
+    recs = []
+    for f in frames:
+        stream += enc.encode(f)
+        r = enc.last_recon
+        recs.append((np.asarray(r.y), np.asarray(r.u), np.asarray(r.v)))
+    dec = decode_annexb(stream, w, h)
+    assert len(dec) == n
+    for i, (dy, du, dv) in enumerate(dec):
+        assert np.array_equal(dy, recs[i][0][:h, :w]), f"frame {i} luma"
+        assert np.array_equal(du, recs[i][1][:h // 2, :w // 2])
+        assert np.array_equal(dv, recs[i][2][:h // 2, :w // 2])
+    return stream
+
+
+@pytest.mark.parametrize("qp,kind", [(0, "noise"), (26, "move"),
+                                     (51, "move"), (30, "flat")])
+def test_cabac_conformance(rng, qp, kind):
+    _run(rng, 96, 64, 4, kind, qp=qp, keyint_max=4)
+
+
+def test_cabac_aq_dqp(rng):
+    _run(rng, 96, 64, 5, "move", qp=26, aq_mode=1, aq_strength=2.0)
+
+
+def test_cabac_smaller_than_cavlc(rng):
+    yy, xx = np.mgrid[0:64, 0:96]
+    frames = []
+    for t in range(5):
+        y = (120 + 70 * np.sin((xx + 3 * t) / 13.0)).astype(np.uint8)
+        y += rng.integers(0, 5, (64, 96)).astype(np.uint8)
+        u = np.full((32, 48), 120, np.uint8)
+        v = np.full((32, 48), 130, np.uint8)
+        frames.append(Frame420(y, u, v))
+    sizes = {}
+    for cab in (False, True):
+        enc = Encoder(EncoderParams(width=96, height=64, qp=26, me_range=8,
+                                    cabac=cab, backend="device"))
+        sizes[cab] = len(b"".join(enc.encode(f) for f in frames))
+    assert sizes[True] < sizes[False]

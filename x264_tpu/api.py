@@ -289,7 +289,8 @@ class Encoder:
                 out += self.headers()
 
         use_device = self._use_device()
-        if use_device and self.p.backend != "device_host_entropy":
+        if (use_device and self.p.backend != "device_host_entropy"
+                and not self.p.cabac):
             assert self._pending is None, \
                 "mixing encode() and encode_pipelined(); flush() first"
             job = self._submit_device(y, u, v, ftype, qp)
@@ -331,8 +332,16 @@ class Encoder:
                            idr=idr, frame_num=self.frame_num,
                            idr_pic_id=self.idr_pic_id, qp=slice_qp,
                            num_ref=1)
-        write_slice_data(bs, syn, slice_type)
-        out += wrap_slice_nal(bs.to_rbsp(), idr)
+        if self.p.cabac:
+            from x264_tpu.bitstream.cabac_host import write_slice_cabac
+            pad = (-bs.bit_length) % 8
+            if pad:
+                bs.put(pad, (1 << pad) - 1)    # cabac_alignment_one_bit
+            payload = write_slice_cabac(syn, slice_type, slice_qp)
+            out += wrap_slice_nal(bs.to_bytes_aligned() + payload, idr)
+        else:
+            write_slice_data(bs, syn, slice_type)
+            out += wrap_slice_nal(bs.to_rbsp(), idr)
 
         if self.p.deblock:
             from x264_tpu.models.syntax import effective_qp

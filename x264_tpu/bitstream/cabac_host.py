@@ -1,0 +1,74 @@
+"""Host CABAC finalization — ctypes binding to the native encoder
+(native/cabac.c).  The device emits syntax tensors; the serial adaptive
+arithmetic coding runs in C at memory speed (the one part of the codec
+that is truly sequential per slice — x264 exposes the same boundary via
+its sliced threads)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_LIB = None
+
+
+def _lib():
+    global _LIB
+    if _LIB is None:
+        so = os.path.join(_NATIVE, "libx264tpu_cabac.so")
+        src = os.path.join(_NATIVE, "cabac.c")
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(["gcc", "-O2", "-shared", "-fPIC", src, "-o", so],
+                           check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.encode_slice_cabac.restype = ctypes.c_long
+        lib.encode_slice_cabac.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            i32p, i32p, i32p, i32p, i32p, i32p, i32p,
+            i16p, i16p, i16p, i16p,
+            u8p, ctypes.c_long,
+        ]
+        _LIB = lib
+    return _LIB
+
+
+def write_slice_cabac(syn, slice_type: int, slice_qp: int,
+                      init_idc: int = 0) -> bytes:
+    """Encode slice_data() with CABAC from a FrameSyntax.  Returns the
+    byte-aligned payload (starts after cabac_alignment_one_bit, ends with
+    the rbsp stop bit)."""
+    from x264_tpu.bitstream.slice_writer import SLICE_P
+
+    n = syn.n_mbs
+    cap = 1024 + n * 512
+    out = np.zeros(cap, np.uint8)
+    c = np.ascontiguousarray
+
+    sz = _lib().encode_slice_cabac(
+        syn.mb_width, syn.mb_height, 1 if slice_type == SLICE_P else 0,
+        int(slice_qp), init_idc,
+        c(syn.mb_class.astype(np.int32)),
+        c(syn.i16_mode.astype(np.int32)),
+        c(syn.chroma_mode.astype(np.int32)),
+        c(syn.mvd.astype(np.int32)),
+        c(syn.cbp_luma.astype(np.int32)),
+        c(syn.cbp_chroma.astype(np.int32)),
+        c(syn.qp.astype(np.int32)),
+        c(syn.luma_dc.astype(np.int16)),
+        c(syn.luma_ac.astype(np.int16)),
+        c(syn.chroma_dc.astype(np.int16)),
+        c(syn.chroma_ac.astype(np.int16)),
+        out, cap)
+    if sz < 0:
+        raise RuntimeError("CABAC buffer overflow")
+    return out[:sz].tobytes()

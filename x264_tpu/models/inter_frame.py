@@ -75,33 +75,45 @@ def full_search_16x16(src_y: np.ndarray, ref_pad: np.ndarray, me_range: int,
     return best_mv, best
 
 
-# subpel refinement candidate order — MUST match ops/device/me._DIAMOND8
-_DIAMOND8 = ((-1, -1), (-1, 0), (-1, 1), (0, -1),
-             (0, 1), (1, -1), (1, 0), (1, 1))
-
-
 def subpel_refine(src_mbs, planes4, mv0, lam, me_range: int, steps: int,
                   mbw: int, mbh: int):
-    """NumPy mirror of ops/device/me.subpel_refine (SATD + lambda*mvbits,
-    hpel then qpel 8-neighbourhoods, identical order and tie-breaking)."""
-    from x264_tpu.ops.reference.mc import mc_luma_qpel_batched
+    """NumPy mirror of ops/device/me.subpel_refine: exhaustive SATD over
+    the +-3 qpel window (identical candidate order and tie-breaking)."""
+    from x264_tpu.ops.device.me import subpel_candidates
+    from x264_tpu.ops.reference.mc import QPEL_TWO_SAMPLE_TBL
     from x264_tpu.ops.reference.pixel import satd
 
+    n = mbw * mbh
     off = 4 * me_range + 4
     bits = mv_bits_arr(off)
 
-    def cost_of(mv):
-        pred = mc_luma_qpel_batched(planes4, mv, mbw, mbh, PAD)
-        return (satd(src_mbs, pred)
-                + lam * (bits[mv[:, 0] + off] + bits[mv[:, 1] + off]))
+    mby = np.arange(n) // mbw
+    mbx = np.arange(n) % mbw
+    y0 = PAD + mby * 16 + (mv0[:, 1] >> 2) - 1
+    x0 = PAD + mbx * 16 + (mv0[:, 0] >> 2) - 1
+    r18 = np.arange(18)
+    yi = y0[:, None, None] + r18[None, :, None]
+    xi = x0[:, None, None] + r18[None, None, :]
+    win = planes4[:, yi, xi]                    # (4, N, 18, 18)
 
+    best = None
     best_mv = mv0.astype(np.int64)
-    best = cost_of(best_mv)
-    for step in ([2, 1] if steps >= 2 else [2])[:max(steps, 0)] or []:
-        for (dy, dx) in _DIAMOND8:
-            cand = best_mv + np.array([dx * step, dy * step])
-            cand = np.clip(cand, -off + 1, off - 1)
-            c = cost_of(cand)
+    for (dy, dx) in subpel_candidates(steps):
+        fy, fx = dy & 3, dx & 3
+        iy, ix = dy >> 2, dx >> 2
+        p1, dy1, dx1, p2, dy2, dx2 = (int(t) for t in
+                                      QPEL_TWO_SAMPLE_TBL[fx, fy])
+        s1 = win[p1, :, 1 + iy + dy1:17 + iy + dy1,
+                 1 + ix + dx1:17 + ix + dx1]
+        s2 = win[p2, :, 1 + iy + dy2:17 + iy + dy2,
+                 1 + ix + dx2:17 + ix + dx2]
+        pred = (s1 + s2 + 1) >> 1
+        cand = mv0.astype(np.int64) + np.array([dx, dy])
+        c = (satd(src_mbs, pred)
+             + lam * (bits[cand[:, 0] + off] + bits[cand[:, 1] + off]))
+        if best is None:
+            best, best_mv = c, cand
+        else:
             better = c < best
             best = np.where(better, c, best)
             best_mv = np.where(better[:, None], cand, best_mv)

@@ -1,0 +1,542 @@
+/* CABAC slice-data encoder (ITU-T H.264 9.3) — native host finalization
+ * tier of the x264_tpu framework.
+ *
+ * The device pipeline emits per-MB syntax tensors (modes, mvd, cbp,
+ * zigzagged coefficient levels); this module runs the inherently serial
+ * adaptive binary arithmetic coding over them.  The engine follows the
+ * spec's PutBit/renorm formulation (9.3.4.2-9.3.4.6); context derivations
+ * mirror the normative rules (9.3.3.1) as realized by the reference
+ * encoder (reference encoder/cabac.c studied for behavior; re-implemented
+ * here).  Context init / LPS-range / transition constants are the
+ * normative tables in cabac_tables.h.
+ *
+ * Coverage (round 1): P/I slices with I_16x16, P_L0_16x16 and P_Skip MB
+ * types, 4:2:0, CAVLC-categories residuals (no 8x8 transform), frame
+ * coding.  Build: gcc -O2 -shared -fPIC cabac.c -o libx264tpu_cabac.so
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include "cabac_tables.h"
+
+/* ---------------- arithmetic engine (9.3.4) ---------------- */
+
+typedef struct {
+    uint32_t low, range;
+    int bits_outstanding, first_bit;
+    uint8_t *buf;
+    long bitpos, bitcap;
+    int overflow;
+    uint8_t state[1024];
+} cab_t;
+
+static void put_raw_bit(cab_t *c, int b)
+{
+    if (c->bitpos >= c->bitcap) { c->overflow = 1; return; }
+    if (b)
+        c->buf[c->bitpos >> 3] |= (uint8_t)(1u << (7 - (c->bitpos & 7)));
+    c->bitpos++;
+}
+
+static void put_bit(cab_t *c, int b)
+{
+    if (c->first_bit)
+        c->first_bit = 0;
+    else
+        put_raw_bit(c, b);
+    while (c->bits_outstanding > 0) {
+        put_raw_bit(c, !b);
+        c->bits_outstanding--;
+    }
+}
+
+static void renorm(cab_t *c)
+{
+    while (c->range < 256) {
+        if (c->low >= 512) {
+            c->low -= 512;
+            put_bit(c, 1);
+        } else if (c->low < 256) {
+            put_bit(c, 0);
+        } else {
+            c->low -= 256;
+            c->bits_outstanding++;
+        }
+        c->range <<= 1;
+        c->low <<= 1;
+    }
+}
+
+static void enc_dec(cab_t *c, int ctx, int b)
+{
+    int st = c->state[ctx];
+    int lps = cabac_range_lps[st >> 1][(c->range >> 6) & 3];
+    c->range -= (uint32_t)lps;
+    if (b != (st & 1)) {
+        c->low += c->range;
+        c->range = (uint32_t)lps;
+    }
+    c->state[ctx] = cabac_transition[st][b];
+    renorm(c);
+}
+
+static void enc_bypass(cab_t *c, int b)
+{
+    c->low <<= 1;
+    if (b)
+        c->low += c->range;
+    if (c->low >= 1024) {
+        put_bit(c, 1);
+        c->low -= 1024;
+    } else if (c->low < 512) {
+        put_bit(c, 0);
+    } else {
+        c->low -= 512;
+        c->bits_outstanding++;
+    }
+}
+
+static void enc_terminate(cab_t *c, int b)
+{
+    c->range -= 2;
+    if (b) {
+        c->low += c->range;
+        /* EncodeFlush (9.3.4.6) */
+        c->range = 2;
+        renorm(c);
+        put_bit(c, (c->low >> 9) & 1);
+        put_raw_bit(c, (c->low >> 8) & 1);
+        put_raw_bit(c, 1);            /* rbsp stop bit */
+    } else {
+        renorm(c);
+    }
+}
+
+static void put_ue_bypass(cab_t *c, int k, uint32_t val)
+{
+    while (val >= (1u << k)) {
+        enc_bypass(c, 1);
+        val -= 1u << k;
+        k++;
+    }
+    enc_bypass(c, 0);
+    while (k--)
+        enc_bypass(c, (int)((val >> k) & 1));
+}
+
+static void ctx_init(cab_t *c, int is_i_slice, int init_idc, int qp)
+{
+    const signed char (*tab)[2] = is_i_slice ? cabac_ctx_init_I
+                                             : cabac_ctx_init_PB[init_idc];
+    for (int j = 0; j < 1024; j++) {
+        int s = ((tab[j][0] * qp) >> 4) + tab[j][1];
+        if (s < 1) s = 1;
+        if (s > 126) s = 126;
+        int mn = s < 127 - s ? s : 127 - s;
+        c->state[j] = (uint8_t)((mn << 1) | (s >> 6));
+    }
+}
+
+/* ---------------- residual block (9.3.2.7 / 9.3.3.1.3) ---------------- */
+
+/* cat: 0 luma DC (I16), 1 luma AC (I16), 2 luma 4x4, 3 chroma DC,
+ * 4 chroma AC.  Normative context region offsets (frame coding). */
+static const int SIG_OFF[5] = {105 + 0, 105 + 15, 105 + 29, 105 + 44,
+                               105 + 47};
+static const int LAST_OFF[5] = {166 + 0, 166 + 15, 166 + 29, 166 + 44,
+                                166 + 47};
+static const int LVL_OFF[5] = {227 + 0, 227 + 10, 227 + 20, 227 + 30,
+                               227 + 39};
+static const int CNT_M1[5] = {15, 14, 15, 3, 14};
+static const int CBF_OFF[5] = {85, 89, 93, 97, 101};
+
+static const uint8_t lvl1_ctx[8] = {1, 2, 3, 4, 0, 0, 0, 0};
+static const uint8_t lvlgt1_ctx[8] = {5, 5, 5, 5, 6, 7, 8, 9};
+static const uint8_t lvl_trans[2][8] = {
+    {1, 2, 3, 3, 4, 5, 6, 7},
+    {4, 4, 4, 4, 5, 6, 7, 7},
+};
+
+static void block_residual(cab_t *c, int cat, const int16_t *l)
+{
+    int count_m1 = CNT_M1[cat];
+    int sig = SIG_OFF[cat], lastc = LAST_OFF[cat], lvl = LVL_OFF[cat];
+    int last = count_m1;
+    while (last > 0 && !l[last])
+        last--;
+    int16_t coeffs[16];
+    int ci = -1;
+
+    for (int i = 0;; i++) {
+        if (l[i]) {
+            coeffs[++ci] = l[i];
+            enc_dec(c, sig + i, 1);
+            if (i == last) {
+                enc_dec(c, lastc + i, 1);
+                break;
+            }
+            enc_dec(c, lastc + i, 0);
+        } else {
+            enc_dec(c, sig + i, 0);
+        }
+        if (i + 1 == count_m1) {
+            coeffs[++ci] = l[i + 1];
+            break;
+        }
+    }
+
+    int node = 0;
+    do {
+        int v = coeffs[ci];
+        int a = v < 0 ? -v : v;
+        int ctx = lvl1_ctx[node] + lvl;
+        if (a > 1) {
+            enc_dec(c, ctx, 1);
+            ctx = lvlgt1_ctx[node] + lvl;
+            int m = a < 15 ? a : 15;
+            for (int i = m - 2; i > 0; i--)
+                enc_dec(c, ctx, 1);
+            if (a < 15)
+                enc_dec(c, ctx, 0);
+            else
+                put_ue_bypass(c, 0, (uint32_t)(a - 15));
+            node = lvl_trans[1][node];
+        } else {
+            enc_dec(c, ctx, 0);
+            node = lvl_trans[0][node];
+        }
+        enc_bypass(c, v < 0);
+    } while (--ci >= 0);
+}
+
+/* ---------------- per-MB syntax ---------------- */
+
+#define CLS_I16 0
+#define CLS_P16 2
+#define CLS_SKIP 3
+
+typedef struct {
+    int mbw, mbh, n;
+    const int32_t *cls, *i16m, *chm, *mvd, *cbpl, *cbpc, *qp;
+    const int16_t *ldc, *lac, *cdc, *cac;
+    uint8_t *nnz;        /* (4mbh,4mbw) luma block cbf/nnz */
+    uint8_t *cnnz[2];    /* (2mbh,2mbw) chroma AC cbf */
+    uint8_t *dccbf;      /* (N,3): luma DC, chroma U DC, V DC cbf */
+    uint8_t *amvd;       /* (N,2) capped |mvd| */
+} frame_t;
+
+static int mb_intra(const frame_t *f, int mb) { return f->cls[mb] == CLS_I16; }
+
+static void write_mvd_comp(cab_t *c, int base, int ctx0, int mvd)
+{
+    static const uint8_t ctxes[8] = {3, 4, 5, 6, 6, 6, 6, 6};
+    if (mvd == 0) {
+        enc_dec(c, base + ctx0, 0);
+        return;
+    }
+    int a = mvd < 0 ? -mvd : mvd;
+    enc_dec(c, base + ctx0, 1);
+    if (a < 9) {
+        for (int i = 1; i < a; i++)
+            enc_dec(c, base + ctxes[i - 1], 1);
+        enc_dec(c, base + ctxes[a - 1], 0);
+    } else {
+        for (int i = 1; i < 9; i++)
+            enc_dec(c, base + ctxes[i - 1], 1);
+        put_ue_bypass(c, 3, (uint32_t)(a - 9));
+    }
+    enc_bypass(c, mvd < 0);
+}
+
+static void write_mb(cab_t *c, frame_t *f, int mb, int is_p,
+                     int *last_qp, int *last_dqp)
+{
+    int mbx = mb % f->mbw, mby = mb / f->mbw;
+    int has_l = mbx > 0, has_t = mby > 0;
+    int mbl = mb - 1, mbt = mb - f->mbw;
+    int cls = f->cls[mb];
+    int intra = cls == CLS_I16;
+    int cbp_l = f->cbpl[mb], cbp_c = f->cbpc[mb];
+    int gx = 4 * mbx, gy = 4 * mby, gw = 4 * f->mbw;
+    int cgx = 2 * mbx, cgy = 2 * mby, cgw = 2 * f->mbw;
+
+    /* ---- mb_type ---- */
+    if (is_p) {
+        if (intra) {
+            enc_dec(c, 14, 1);
+            /* intra suffix, ctx 17.. */
+            enc_dec(c, 17, 1);
+            enc_terminate(c, 0);
+            enc_dec(c, 18, cbp_l != 0);
+            if (cbp_c == 0) {
+                enc_dec(c, 19, 0);
+            } else {
+                enc_dec(c, 19, 1);
+                enc_dec(c, 19, cbp_c >> 1);
+            }
+            int pm = f->i16m[mb];
+            enc_dec(c, 20, pm >> 1);
+            enc_dec(c, 20, pm & 1);
+        } else {
+            enc_dec(c, 14, 0);
+            enc_dec(c, 15, 0);
+            enc_dec(c, 16, 0);
+        }
+    } else {
+        int ctx = 0;
+        if (has_l) ctx++;     /* all our I MBs are I16 (!= I_4x4) */
+        if (has_t) ctx++;
+        enc_dec(c, 3 + ctx, 1);
+        enc_terminate(c, 0);
+        enc_dec(c, 6, cbp_l != 0);
+        if (cbp_c == 0) {
+            enc_dec(c, 7, 0);
+        } else {
+            enc_dec(c, 7, 1);
+            enc_dec(c, 8, cbp_c >> 1);
+        }
+        int pm = f->i16m[mb];
+        enc_dec(c, 9, pm >> 1);
+        enc_dec(c, 10, pm & 1);
+    }
+
+    if (intra) {
+        /* intra_chroma_pred_mode: TU cMax 3, ctx 64+inc / 67 */
+        int ctx = 0;
+        if (has_l && mb_intra(f, mbl) && f->chm[mbl] != 0) ctx++;
+        if (has_t && mb_intra(f, mbt) && f->chm[mbt] != 0) ctx++;
+        int m = f->chm[mb];
+        enc_dec(c, 64 + ctx, m > 0);
+        if (m > 0) {
+            enc_dec(c, 67, m > 1);
+            if (m > 1)
+                enc_dec(c, 67, m > 2);
+        }
+    } else {
+        /* mvd (ref_idx absent: 1 reference) */
+        int al = has_l && f->cls[mbl] == CLS_P16;
+        int at = has_t && f->cls[mbt] == CLS_P16;
+        int a0 = (al ? f->amvd[2 * mbl] : 0) + (at ? f->amvd[2 * mbt] : 0);
+        int a1 = (al ? f->amvd[2 * mbl + 1] : 0)
+               + (at ? f->amvd[2 * mbt + 1] : 0);
+        int c0 = (a0 > 2) + (a0 > 32);
+        int c1 = (a1 > 2) + (a1 > 32);
+        write_mvd_comp(c, 40, c0, f->mvd[2 * mb]);
+        write_mvd_comp(c, 47, c1, f->mvd[2 * mb + 1]);
+    }
+
+    /* ---- cbp (not coded for I16: it lives in mb_type) ---- */
+    if (!intra) {
+        int cl = has_l ? f->cbpl[mbl] : -1;
+        int ct = has_t ? f->cbpl[mbt] : -1;
+        /* bin b: ctx = 73 + (left bit absent->0) + 2*(top bit absent->0);
+         * unavailable neighbours count as coded (x264's 76 - ... form) */
+        enc_dec(c, 76 - ((cl >> 1) & 1) - ((ct >> 1) & 2), (cbp_l >> 0) & 1);
+        enc_dec(c, 76 - ((cbp_l >> 0) & 1) - ((ct >> 2) & 2), (cbp_l >> 1) & 1);
+        enc_dec(c, 76 - ((cl >> 3) & 1) - ((cbp_l << 1) & 2), (cbp_l >> 2) & 1);
+        enc_dec(c, 76 - ((cbp_l >> 2) & 1) - ((cbp_l >> 0) & 2),
+                (cbp_l >> 3) & 1);
+        int ctx = 0;
+        if (has_l && f->cbpc[mbl] > 0) ctx++;
+        if (has_t && f->cbpc[mbt] > 0) ctx += 2;
+        if (cbp_c == 0) {
+            enc_dec(c, 77 + ctx, 0);
+        } else {
+            enc_dec(c, 77 + ctx, 1);
+            ctx = 4;
+            if (has_l && f->cbpc[mbl] == 2) ctx++;
+            if (has_t && f->cbpc[mbt] == 2) ctx += 2;
+            enc_dec(c, 77 + ctx, cbp_c >> 1);
+        }
+    }
+
+    /* ---- mb_qp_delta ---- */
+    if (cbp_l || cbp_c || intra) {
+        int dqp = f->qp[mb] - *last_qp;
+        if (dqp > 25) dqp -= 52;
+        else if (dqp < -26) dqp += 52;
+        int prev_res = mb > 0 && f->cls[mb - 1] != CLS_SKIP
+                       && (f->cls[mb - 1] == CLS_I16
+                           || f->cbpl[mb - 1] || f->cbpc[mb - 1]);
+        int ctx = (*last_dqp != 0) && prev_res;
+        int val = dqp > 0 ? 2 * dqp - 1 : -2 * dqp;
+        for (int i = 0; i < val; i++) {
+            enc_dec(c, 60 + ctx, 1);
+            ctx = 2 + (ctx >> 1);
+        }
+        enc_dec(c, 60 + ctx, 0);
+        *last_qp = f->qp[mb];
+        *last_dqp = dqp;
+    } else {
+        *last_dqp = 0;
+    }
+
+    /* ---- residuals ---- */
+    /* coded_block_flag neighbour inference: unavailable -> intra?1:0 */
+#define NNZ_L(ggx, ggy, grid, ggw) \
+    ((ggx) > 0 ? grid[(ggy) * (ggw) + (ggx) - 1] != 0 : (uint8_t)intra)
+#define NNZ_T(ggx, ggy, grid, ggw) \
+    ((ggy) > 0 ? grid[((ggy) - 1) * (ggw) + (ggx)] != 0 : (uint8_t)intra)
+
+    if (intra) {
+        /* luma DC: cbf neighbours = DC cbf of A/B MBs (intra-inferred) */
+        int nza = has_l ? f->dccbf[3 * mbl] : 1;
+        int nzb = has_t ? f->dccbf[3 * mbt] : 1;
+        /* non-I16 neighbour MBs have no luma DC block: cbf 0 */
+        if (has_l && !mb_intra(f, mbl)) nza = 0;
+        if (has_t && !mb_intra(f, mbt)) nzb = 0;
+        int cbf = f->dccbf[3 * mb];
+        enc_dec(c, CBF_OFF[0] + nza + 2 * nzb, cbf);
+        if (cbf)
+            block_residual(c, 0, f->ldc + 16 * mb);
+    }
+    if (cbp_l) {
+        int cat = intra ? 1 : 2;
+        for (int b8 = 0; b8 < 4; b8++) {
+            if (!((cbp_l >> b8) & 1))
+                continue;
+            for (int k = 0; k < 4; k++) {
+                int r = (b8 >> 1) * 8 + (b8 & 1) * 2 + (k >> 1) * 4 + (k & 1);
+                int bx = gx + (r & 3), by = gy + (r >> 2);
+                int nza = NNZ_L(bx, by, f->nnz, gw);
+                int nzb = NNZ_T(bx, by, f->nnz, gw);
+                int cbf = f->nnz[by * gw + bx] != 0;
+                enc_dec(c, CBF_OFF[cat] + nza + 2 * nzb, cbf);
+                if (cbf) {
+                    const int16_t *l = f->lac + (16 * mb + r) * 16;
+                    block_residual(c, cat, intra ? l + 1 : l);
+                }
+            }
+        }
+    }
+    if (cbp_c) {
+        for (int pl = 0; pl < 2; pl++) {
+            int nza = has_l ? f->dccbf[3 * mbl + 1 + pl] : intra;
+            int nzb = has_t ? f->dccbf[3 * mbt + 1 + pl] : intra;
+            int cbf = f->dccbf[3 * mb + 1 + pl];
+            enc_dec(c, CBF_OFF[3] + nza + 2 * nzb, cbf);
+            if (cbf)
+                block_residual(c, 3, f->cdc + (2 * mb + pl) * 4);
+        }
+    }
+    if (cbp_c == 2) {
+        for (int pl = 0; pl < 2; pl++) {
+            for (int k = 0; k < 4; k++) {
+                int bx = cgx + (k & 1), by = cgy + (k >> 1);
+                const uint8_t *grid = f->cnnz[pl];
+                int nza = NNZ_L(bx, by, grid, cgw);
+                int nzb = NNZ_T(bx, by, grid, cgw);
+                int cbf = grid[by * cgw + bx] != 0;
+                enc_dec(c, CBF_OFF[4] + nza + 2 * nzb, cbf);
+                if (cbf)
+                    block_residual(c, 4, f->cac + ((2 * mb + pl) * 4 + k)
+                                   * 16 + 1);
+            }
+        }
+    }
+#undef NNZ_L
+#undef NNZ_T
+}
+
+/* Returns payload byte count (the stream starts byte-aligned and includes
+ * the rbsp stop bit), or -1 on overflow / bad input. */
+long encode_slice_cabac(
+    int mbw, int mbh, int is_p, int slice_qp, int init_idc,
+    const int32_t *cls, const int32_t *i16m, const int32_t *chm,
+    const int32_t *mvd, const int32_t *cbpl, const int32_t *cbpc,
+    const int32_t *qp_mb,
+    const int16_t *ldc, const int16_t *lac,
+    const int16_t *cdc, const int16_t *cac,
+    uint8_t *out, long out_cap)
+{
+    int n = mbw * mbh;
+    frame_t f = {mbw, mbh, n, cls, i16m, chm, mvd, cbpl, cbpc, qp_mb,
+                 ldc, lac, cdc, cac, NULL, {NULL, NULL}, NULL, NULL};
+    f.nnz = calloc((size_t)(16 * n), 1);
+    f.cnnz[0] = calloc((size_t)(4 * n), 1);
+    f.cnnz[1] = calloc((size_t)(4 * n), 1);
+    f.dccbf = calloc((size_t)(3 * n), 1);
+    f.amvd = calloc((size_t)(2 * n), 1);
+    if (!f.nnz || !f.cnnz[0] || !f.cnnz[1] || !f.dccbf || !f.amvd)
+        return -1;
+
+    int gw = 4 * mbw, cgw = 2 * mbw;
+    for (int mb = 0; mb < n; mb++) {
+        int mbx = mb % mbw, mby = mb / mbw;
+        int intra = cls[mb] == CLS_I16;
+        for (int r = 0; r < 16; r++) {
+            const int16_t *l = lac + (16 * mb + r) * 16;
+            int cnt = 0;
+            for (int i = intra ? 1 : 0; i < 16; i++)
+                cnt += l[i] != 0;
+            /* only blocks in coded 8x8s carry cbf */
+            int b8 = (r >> 3) * 2 + ((r & 3) >> 1);
+            if (!((cbpl[mb] >> b8) & 1))
+                cnt = 0;
+            f.nnz[(4 * mby + (r >> 2)) * gw + 4 * mbx + (r & 3)] =
+                (uint8_t)cnt;
+        }
+        for (int pl = 0; pl < 2; pl++) {
+            int dcnz = 0;
+            for (int i = 0; i < 4; i++)
+                dcnz |= cdc[(2 * mb + pl) * 4 + i] != 0;
+            f.dccbf[3 * mb + 1 + pl] = (uint8_t)(cbpc[mb] > 0 && dcnz);
+            for (int k = 0; k < 4; k++) {
+                const int16_t *l = cac + ((2 * mb + pl) * 4 + k) * 16;
+                int cnt = 0;
+                for (int i = 1; i < 16; i++)
+                    cnt += l[i] != 0;
+                if (cbpc[mb] != 2)
+                    cnt = 0;
+                f.cnnz[pl][(2 * mby + (k >> 1)) * cgw + 2 * mbx + (k & 1)] =
+                    (uint8_t)cnt;
+            }
+        }
+        if (intra) {
+            int dcnz = 0;
+            for (int i = 0; i < 16; i++)
+                dcnz |= ldc[16 * mb + i] != 0;
+            f.dccbf[3 * mb] = (uint8_t)dcnz;
+        }
+        int ax = mvd[2 * mb] < 0 ? -mvd[2 * mb] : mvd[2 * mb];
+        int ay = mvd[2 * mb + 1] < 0 ? -mvd[2 * mb + 1] : mvd[2 * mb + 1];
+        f.amvd[2 * mb] = (uint8_t)(ax > 66 ? 66 : ax);
+        f.amvd[2 * mb + 1] = (uint8_t)(ay > 66 ? 66 : ay);
+    }
+
+    cab_t c;
+    memset(&c, 0, sizeof(c));
+    c.low = 0;
+    c.range = 510;
+    c.first_bit = 1;
+    c.buf = out;
+    c.bitcap = out_cap * 8;
+    memset(out, 0, (size_t)out_cap);
+    ctx_init(&c, !is_p, init_idc, slice_qp);
+
+    int last_qp = slice_qp, last_dqp = 0;
+    for (int mb = 0; mb < n; mb++) {
+        if (is_p) {
+            int mbx = mb % mbw, mby = mb / mbw;
+            int inc = (mbx > 0 && cls[mb - 1] != CLS_SKIP)
+                    + (mby > 0 && cls[mb - mbw] != CLS_SKIP);
+            enc_dec(&c, 11 + inc, cls[mb] == CLS_SKIP);
+        }
+        if (cls[mb] != CLS_SKIP)
+            write_mb(&c, &f, mb, is_p, &last_qp, &last_dqp);
+        else
+            last_dqp = 0;
+        enc_terminate(&c, mb == n - 1);
+    }
+
+    free(f.nnz);
+    free(f.cnnz[0]);
+    free(f.cnnz[1]);
+    free(f.dccbf);
+    free(f.amvd);
+    if (c.overflow)
+        return -1;
+    return (c.bitpos + 7) >> 3;
+}

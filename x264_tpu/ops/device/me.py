@@ -55,39 +55,63 @@ def full_search_16x16(src_y, ref_pad, lam, me_range: int, mbw: int, mbh: int):
     return best_mv, best
 
 
-# subpel refinement candidate order (fixed; the NumPy tier mirrors it)
-_DIAMOND8 = ((-1, -1), (-1, 0), (-1, 1), (0, -1),
-             (0, 1), (1, -1), (1, 0), (1, 1))
+def subpel_candidates(steps: int):
+    """Candidate qpel deltas around the fullpel best: center first (wins
+    ties), then raster order.  steps=1: half-pel grid (+-2), steps>=2:
+    full quarter-pel +-3 grid.  Shared with the NumPy tier."""
+    s = 2 if steps == 1 else 1
+    r = 2 if steps == 1 else 3
+    return [(0, 0)] + [(dy, dx)
+                       for dy in range(-r, r + 1, s)
+                       for dx in range(-r, r + 1, s)
+                       if not (dy == 0 and dx == 0)]
 
 
 def subpel_refine(src_mbs, planes4, mv0, lam, me_range: int, steps: int,
                   mbw: int, mbh: int):
-    """SATD-based half- then quarter-pel refinement around the fullpel
-    best (parity: reference encoder/me.c refine_subpel — the mbcmp switch
-    from SAD to SATD at subpel is x264's, common/pixel mbcmp_init).
+    """SATD subpel refinement, exhaustive over the +-3 qpel window of the
+    fullpel best (parity intent: reference encoder/me.c refine_subpel; an
+    exhaustive window is the TPU-shaped equivalent of its iterated
+    diamonds — every candidate has a *uniform* fractional position across
+    MBs, so prediction is two static slices of a per-MB (4,18,18)
+    half-pel window, no per-MB plane gathers).
 
     src_mbs (N,16,16); planes4 from mc.hpel_planes(ref_y_pad); mv0 (N,2)
-    fullpel-aligned qpel mvs; steps: 1 = hpel, 2 = hpel+qpel.
-    Returns (refined mv (N,2), cost (N,))."""
-    from x264_tpu.ops.device.mc import mc_luma_qpel
+    fullpel-aligned qpel mvs.  Returns (mv (N,2), cost (N,))."""
     from x264_tpu.ops.device.pixel import satd
+    from x264_tpu.ops.reference.mc import QPEL_TWO_SAMPLE_TBL
 
     n = mbw * mbh
     off = 4 * me_range + 4
     bits = jnp.asarray(mv_bits_arr(off).astype(np.int32))
 
-    def cost_of(mv):
-        pred = mc_luma_qpel(planes4, mv, mbw, mbh, PAD)
-        return (satd(src_mbs, pred)
-                + lam * (bits[mv[:, 0] + off] + bits[mv[:, 1] + off]))
+    mby = jnp.arange(n, dtype=jnp.int32) // mbw
+    mbx = jnp.arange(n, dtype=jnp.int32) % mbw
+    y0 = PAD + mby * 16 + (mv0[:, 1] >> 2) - 1
+    x0 = PAD + mbx * 16 + (mv0[:, 0] >> 2) - 1
+    r18 = jnp.arange(18, dtype=jnp.int32)
+    yi = y0[:, None, None] + r18[None, :, None]
+    xi = x0[:, None, None] + r18[None, None, :]
+    win = planes4[:, yi, xi]                    # (4, N, 18, 18)
 
+    best = None
     best_mv = mv0
-    best = cost_of(mv0)
-    for step in ([2, 1] if steps >= 2 else [2])[:max(steps, 0)] or []:
-        for (dy, dx) in _DIAMOND8:
-            cand = best_mv + jnp.array([dx * step, dy * step], jnp.int32)
-            cand = jnp.clip(cand, -off + 1, off - 1)
-            c = cost_of(cand)
+    for (dy, dx) in subpel_candidates(steps):
+        fy, fx = dy & 3, dx & 3
+        iy, ix = dy >> 2, dx >> 2
+        p1, dy1, dx1, p2, dy2, dx2 = (int(t) for t in
+                                      QPEL_TWO_SAMPLE_TBL[fx, fy])
+        s1 = win[p1, :, 1 + iy + dy1:17 + iy + dy1,
+                 1 + ix + dx1:17 + ix + dx1]
+        s2 = win[p2, :, 1 + iy + dy2:17 + iy + dy2,
+                 1 + ix + dx2:17 + ix + dx2]
+        pred = (s1 + s2 + 1) >> 1
+        cand = mv0 + jnp.array([dx, dy], jnp.int32)
+        c = (satd(src_mbs, pred)
+             + lam * (bits[cand[:, 0] + off] + bits[cand[:, 1] + off]))
+        if best is None:
+            best, best_mv = c, cand
+        else:
             better = c < best
             best = jnp.where(better, c, best)
             best_mv = jnp.where(better[:, None], cand, best_mv)
