@@ -62,6 +62,15 @@ class Encoder:
         self.last_recon: ReconFrame | None = None
         from x264_tpu.rc import RateControl
         self.rc = RateControl(self.p)
+        self._pass2_qps = None
+        self._twopass_stats = []
+        if self.p.stats_read:
+            from x264_tpu.rc.twopass import plan_pass2, read_stats
+            entries = read_stats(self.p.stats_read)
+            self._pass2_qps = plan_pass2(
+                entries, self.p.bitrate or 1000,
+                self.p.fps_num / max(1, self.p.fps_den),
+                qp_min=self.p.qp_min, qp_max=self.p.qp_max)
 
     # -- x264_encoder_headers ------------------------------------------------
     def headers(self) -> bytes:
@@ -102,6 +111,10 @@ class Encoder:
                            n_words=n_words, subpel=self.p.subpel)
         return out, SLICE_P
 
+    def _requantize_idr(self, qp: int) -> int:
+        """Re-derive the frame QP when a P frame is promoted to IDR."""
+        return max(self.p.qp_min, qp - self.rc.IP_OFFSET)
+
     def _submit_device(self, y, u, v, ftype: str, qp: int) -> dict:
         import jax
 
@@ -128,12 +141,37 @@ class Encoder:
         ref = None if (idr or not self.dpb) else self.dpb[-1]
         out, slice_type = self._run_core(yd, ud, vd, ref, idr, qp, qp_arr,
                                          n_words, mbw, mbh)
+        blob = None
+        if (ref is not None and self.p.scenecut_threshold > 0
+                and self._pending is None):
+            # scenecut (x264 slicetype.c:1430 rule, no-lookahead variant):
+            # the P cost is already computed; promote to IDR if inter
+            # prediction is no cheaper than intra
+            blob = np.asarray(out["host_blob"])
+            p_cost = float(blob[:, n_words + 2].astype(np.int64).sum())
+            i_cost = float(blob[:, n_words + 3].astype(np.int64).sum())
+            bias = self.p.scenecut_threshold / 100.0
+            if p_cost >= (1.0 - bias) * i_cost:
+                idr = True
+                ftype = "IDR"
+                self.frame_num = 0
+                qp = self._requantize_idr(qp)
+                if self.p.aq_mode:
+                    qp_arr = self._aq_qp(qp, y, u, v, mbw, mbh)
+                    slice_qp = int(qp_arr[0])
+                else:
+                    qp_arr = np.int32(qp)
+                    slice_qp = qp
+                out, slice_type = self._run_core(yd, ud, vd, None, True, qp,
+                                                 qp_arr, n_words, mbw, mbh)
+                blob = None
         recon = self._deblock_device(out, qp, mbw, mbh)
         try:
             out["host_blob"].copy_to_host_async()
         except Exception:
             pass
         job = dict(out=out, slice_type=slice_type, idr=idr, qp=qp,
+                   blob=blob,
                    qp_arr=qp_arr, slice_qp=slice_qp,
                    mbw=mbw, mbh=mbh, n_words=n_words, ladder=ladder,
                    frame_num=self.frame_num, idr_pic_id=self.idr_pic_id,
@@ -156,7 +194,9 @@ class Encoder:
         from x264_tpu.models.syntax import MB_PSKIP
 
         n_words = job["n_words"]
-        blob = np.asarray(job["out"]["host_blob"])
+        blob = job.get("blob")
+        if blob is None:
+            blob = np.asarray(job["out"]["host_blob"])
         nbits = blob[:, n_words]
         if int(nbits.max(initial=0)) > 32 * n_words:
             # CAVLC word-budget overflow: re-run entropy at a bigger budget
@@ -197,6 +237,8 @@ class Encoder:
                                      job["qp"]))
         cost = int(blob[:, n_words + 2].astype(np.int64).sum())
         self.rc.update(job["ftype"], len(out_bytes) * 8, cost)
+        self._record_stats(job["ftype"], job["qp"], len(out_bytes) * 8,
+                           cost, mb_class)
         return out_bytes
 
     def encode_pipelined(self, fr: Frame420) -> bytes:
@@ -207,7 +249,7 @@ class Encoder:
         ftype = self._decide_type()
         if ftype == "IDR":
             self.frame_num = 0
-        job = self._submit_device(y, u, v, ftype, self.p.qp)
+        job = self._submit_device(y, u, v, ftype, self._qp_for_frame(ftype))
         prev = self._pending
         self._pending = job
         return self._finalize_device(prev) if prev is not None else b""
@@ -256,6 +298,24 @@ class Encoder:
         v = pad_to_mb(fr.v, 8)
         return y, u, v
 
+    def _qp_for_frame(self, ftype: str) -> int:
+        if self._pass2_qps is not None:
+            i = min(self.frame_idx, len(self._pass2_qps) - 1)
+            return self._pass2_qps[i]
+        return self.rc.frame_qp(ftype)
+
+    def _record_stats(self, ftype, qp, bits, cost, mb_class):
+        from x264_tpu.models.syntax import MB_I4, MB_I16, MB_PSKIP
+        from x264_tpu.rc.twopass import FrameStat
+        if self.p.stats_write:
+            imb = int(np.isin(mb_class, (MB_I16, MB_I4)).sum())
+            smb = int((mb_class == MB_PSKIP).sum())
+            self._twopass_stats.append(FrameStat(
+                idx=len(self._twopass_stats),
+                ftype="I" if ftype == "IDR" else ftype,
+                qp=qp, bits=bits, cost=cost,
+                imb=imb, pmb=len(mb_class) - imb - smb, smb=smb))
+
     def _frame_qp(self, ftype: str):
         """(base_qp, qp_mb array-or-scalar) for this frame: RC decision
         plus AQ offsets (x264_adaptive_quant_frame analog)."""
@@ -280,7 +340,7 @@ class Encoder:
     def encode(self, fr: Frame420) -> bytes:
         y, u, v = self._pad(fr)
         ftype = self._decide_type()
-        qp = self.rc.frame_qp(ftype)
+        qp = self._qp_for_frame(ftype)
 
         out = b""
         if ftype == "IDR":
@@ -304,17 +364,9 @@ class Encoder:
             qp_arr = qp
             slice_qp = qp
         from x264_tpu.models.inter_frame import me_lambda
-        if ftype == "IDR" or not self.dpb:
-            if use_device:
-                from x264_tpu.models import intra_device
-                ry, ru, rv, syn = intra_device.encode_iframe_device(
-                    y, u, v, qp_arr, self.p.chroma_qp_offset)
-            else:
-                ry, ru, rv, syn = intra_frame.encode_iframe(
-                    y, u, v, qp_arr, self.p.chroma_qp_offset)
-            slice_type = SLICE_I
-            idr = True
-        else:
+        syn = None
+        if not (ftype == "IDR" or not self.dpb):
+            # encode as P, then possibly promote to IDR on scenecut
             ref = self.dpb[-1]
             if use_device:
                 from x264_tpu.models import inter_device
@@ -324,8 +376,35 @@ class Encoder:
                 from x264_tpu.models import inter_frame
                 ry, ru, rv, syn = inter_frame.encode_pframe(
                     y, u, v, ref, qp_arr, self.p, lam=me_lambda(qp))
+            if (self.p.scenecut_threshold > 0 and syn.icost is not None):
+                bias = self.p.scenecut_threshold / 100.0
+                if float(syn.mb_cost.sum()) >= (1.0 - bias) * float(
+                        syn.icost.sum()):
+                    ftype = "IDR"
+                    self.frame_num = 0
+                    if self.p.repeat_headers:
+                        out += self.headers()
+                    qp = self._requantize_idr(qp)
+                    if self.p.aq_mode:
+                        qp_arr = self._aq_qp(qp, y, u, v, mbw, mbh)
+                        slice_qp = int(qp_arr[0])
+                    else:
+                        qp_arr = qp
+                        slice_qp = qp
+                    syn = None
+        if syn is not None:
             slice_type = SLICE_P
             idr = False
+        elif ftype == "IDR" or not self.dpb:
+            if use_device:
+                from x264_tpu.models import intra_device
+                ry, ru, rv, syn = intra_device.encode_iframe_device(
+                    y, u, v, qp_arr, self.p.chroma_qp_offset)
+            else:
+                ry, ru, rv, syn = intra_frame.encode_iframe(
+                    y, u, v, qp_arr, self.p.chroma_qp_offset)
+            slice_type = SLICE_I
+            idr = True
 
         bs = BitWriter()
         write_slice_header(bs, self.p, self.sps, slice_type=slice_type,
@@ -380,10 +459,16 @@ class Encoder:
         self.stats.append(FrameStats(ftype, len(out) * 8, qp))
         cost = int(syn.mb_cost.sum()) if syn.mb_cost is not None else 0
         self.rc.update(ftype, len(out) * 8, cost)
+        self._record_stats(ftype, qp, len(out) * 8, cost, syn.mb_class)
         return out
 
     def close(self) -> dict:
-        """Summary stats (analog of encoder_close's log summary)."""
+        """Summary stats (analog of encoder_close's log summary); writes
+        the 2-pass stats file if requested."""
+        if self.p.stats_write and self._twopass_stats:
+            from x264_tpu.rc.twopass import write_stats
+            write_stats(self.p.stats_write, self._twopass_stats,
+                        f"qp={self.p.qp} rc={self.p.rc_method}")
         if not self.stats:
             return {}
         bits = sum(s.bits for s in self.stats)

@@ -50,6 +50,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--aq-strength", type=float, default=None)
     ap.add_argument("--no-deblock", action="store_true")
     ap.add_argument("--deblock", help="alpha:beta offsets")
+    ap.add_argument("--cabac", action="store_true")
+    ap.add_argument("--no-cabac", action="store_true")
+    ap.add_argument("--pass", dest="rc_pass", type=int, choices=[1, 2],
+                    default=0)
+    ap.add_argument("--stats", default="x264_tpu_2pass.log")
+    ap.add_argument("--scenecut", type=int, default=None)
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "device", "reference"])
     ap.add_argument("--psnr", action="store_true", help="report PSNR")
@@ -81,6 +87,16 @@ def params_from_args(args, reader) -> EncoderParams:
         p = p.clone(aq_mode=args.aq_mode)
     if args.aq_strength is not None:
         p = p.clone(aq_strength=args.aq_strength)
+    if args.cabac:
+        p = p.clone(cabac=True)
+    if args.no_cabac:
+        p = p.clone(cabac=False)
+    if args.rc_pass == 1:
+        p = p.clone(stats_write=args.stats)
+    elif args.rc_pass == 2:
+        p = p.clone(stats_read=args.stats)
+    if args.scenecut is not None:
+        p = p.clone(scenecut_threshold=args.scenecut)
     if args.no_deblock:
         p = p.clone(deblock=False)
     elif args.deblock:
@@ -160,6 +176,7 @@ def main(argv=None) -> int:
         from x264_tpu.utils.y4m import write_y4m
         write_y4m(args.dump_recon, recon_frames,
                   (p.fps_num, p.fps_den))
+    enc.close()
     return 0
 
 

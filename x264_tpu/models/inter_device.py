@@ -90,14 +90,35 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                                jnp.concatenate([hl, res_lens], axis=1),
                                n_words)
 
+    # source-edge intra cost estimate (scenecut; x264 slicetype's lowres
+    # intra analog — source pixels as neighbours, so it's fully parallel)
+    from x264_tpu.ops.device import pixel as P
+    from x264_tpu.ops.device import predict as PR
+    ysrc = y.astype(jnp.int32)
+    mby = jnp.arange(mbw * mbh, dtype=jnp.int32) // mbw
+    mbx = jnp.arange(mbw * mbh, dtype=jnp.int32) % mbw
+    yp_ = jnp.pad(ysrc, ((1, 0), (1, 0)), mode="edge")
+    r16 = jnp.arange(16, dtype=jnp.int32)
+    top = yp_[(mby * 16)[:, None], (mbx * 16 + 1)[:, None] + r16[None, :]]
+    left = yp_[(mby * 16 + 1)[:, None] + r16[None, :], (mbx * 16)[:, None]]
+    tl = yp_[mby * 16, mbx * 16]
+    at = mby > 0
+    al = mbx > 0
+    ipreds = PR.predict_16x16_all(top, left, tl, at, al)
+    iavail = PR.i16x16_mode_avail(at, al, at & al)
+    icosts = jnp.where(iavail, P.satd(src_mbs[:, None], ipreds),
+                       jnp.int32(1 << 30))
+    icost = jnp.min(icosts, axis=1).astype(jnp.int32)
+
     host_blob = jnp.concatenate(
         [jax.lax.bitcast_convert_type(words, jnp.int32),
-         nbits[:, None], mb_class[:, None], mb_cost[:, None]], axis=1)
+         nbits[:, None], mb_class[:, None], mb_cost[:, None],
+         icost[:, None]], axis=1)
 
     return dict(
         res_vals=res_vals, res_lens=res_lens,
         words=words, nbits=nbits, mb_class=mb_class, mvd=mvd,
-        host_blob=host_blob, mb_cost=mb_cost, qp_mb=qp,
+        host_blob=host_blob, mb_cost=mb_cost, qp_mb=qp, icost=icost,
         mv=mv,
         luma_ac=ac_zz, luma_nnz=nnz, cbp_luma=cbp_l,
         chroma_dc=cdc, chroma_ac=cac, chroma_nnz=cnnz, cbp_chroma=cbp_c,
@@ -231,6 +252,7 @@ def encode_pframe_device(y, u, v, ref, qp, params, lam=None):
     syn = empty_syntax(mbw, mbh)
     syn.qp[:] = out["qp_mb"]
     syn.mb_cost = out["mb_cost"].astype(np.int64)
+    syn.icost = out["icost"].astype(np.int64)
     syn.mv[:] = out["mv"]
     syn.ref[:] = 0
     syn.luma_ac[:] = out["luma_ac"]

@@ -120,6 +120,30 @@ def subpel_refine(src_mbs, planes4, mv0, lam, me_range: int, steps: int,
     return best_mv.astype(np.int32), best
 
 
+def intra_cost_estimate(y: np.ndarray, mbw: int, mbh: int) -> np.ndarray:
+    """Source-edge I16x16 SATD estimate per MB (scenecut; mirrors the
+    device version in inter_device.p_frame_pipeline bit-exactly)."""
+    from x264_tpu.ops.reference import pixel as rpixel
+    from x264_tpu.ops.reference import predict as rpredict
+
+    n = mbw * mbh
+    mby = np.arange(n) // mbw
+    mbx = np.arange(n) % mbw
+    yp_ = np.pad(y.astype(np.int64), ((1, 0), (1, 0)), mode="edge")
+    r16 = np.arange(16)
+    top = yp_[(mby * 16)[:, None], (mbx * 16 + 1)[:, None] + r16[None, :]]
+    left = yp_[(mby * 16 + 1)[:, None] + r16[None, :], (mbx * 16)[:, None]]
+    tl = yp_[mby * 16, mbx * 16]
+    at = mby > 0
+    al = mbx > 0
+    preds = rpredict.predict_16x16_all(top, left, tl, at, al)
+    avail = rpredict.i16x16_mode_avail(at, al, at & al)
+    src = (y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3)
+           .reshape(n, 16, 16).astype(np.int64))
+    costs = np.where(avail, rpixel.satd(src[:, None], preds), 1 << 30)
+    return costs.min(axis=1).astype(np.int64)
+
+
 def mc_luma_16x16(ref_pad: np.ndarray, mv: np.ndarray, mbw: int, mbh: int):
     """Fullpel-grid gather of 16x16 predictions for all MBs (mv qpel,
     multiples of 4 in the fullpel round-1 path)."""
@@ -189,6 +213,7 @@ def encode_pframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     syn.mv[:] = mv
     syn.ref[:] = 0
     syn.mb_cost = np.asarray(mb_cost, np.int64)
+    syn.icost = intra_cost_estimate(y, mbw, mbh)
 
     ry = np.zeros_like(y)
     ru = np.zeros_like(u)

@@ -45,6 +45,8 @@ class FrameSyntax:
     res_lens: np.ndarray | None = None
     # per-MB prediction cost (SATD+lambda*mvbits) for rate control
     mb_cost: np.ndarray | None = None
+    # per-MB source-edge intra cost estimate (scenecut)
+    icost: np.ndarray | None = None
 
     @property
     def n_mbs(self) -> int:

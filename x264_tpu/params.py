@@ -83,6 +83,10 @@ class EncoderParams:
     threads: int = 1
     log_level: int = 2
 
+    # 2-pass rate control (x264 --pass/--stats analog)
+    stats_write: str = ""
+    stats_read: str = ""
+
     # compute backend: "device" = JAX/XLA (TPU) pipeline, "reference" =
     # NumPy bit-exact tier (plays the role of x264's C kernels vs asm),
     # "auto" = device when JAX is importable.
