@@ -92,8 +92,10 @@ def bench_x264(frames):
 
 def main():
     frames = make_clip()
-    ours_fps, ours_bytes, ours_psnr, _ = bench_ours(frames)
+    # baseline first: once jax initializes it holds host threads, which
+    # would unfairly slow the CPU x264 run
     base = bench_x264(frames)
+    ours_fps, ours_bytes, ours_psnr, _ = bench_ours(frames)
     if base is not None:
         x264_fps, x264_bytes, x264_stream = base
         try:

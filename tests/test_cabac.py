@@ -68,3 +68,29 @@ def test_cabac_smaller_than_cavlc(rng):
                                     cabac=cab, backend="device"))
         sizes[cab] = len(b"".join(enc.encode(f) for f in frames))
     assert sizes[True] < sizes[False]
+
+
+def test_multislice_conformance(rng):
+    """Multi-slice CAVLC streams (sliced-band path) decode bit-exact."""
+    w, h = 96, 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(4):
+        y = (120 + 70 * np.sin((xx + 3 * t) / 13.0)).astype(np.uint8)
+        y += rng.integers(0, 5, (h, w)).astype(np.uint8)
+        u = (128 + 40 * np.sin((xx[::2, ::2] + 5 * t) / 23.0)).astype(np.uint8)
+        v = (128 + 40 * np.cos((yy[::2, ::2] + 7 * t) / 29.0)).astype(np.uint8)
+        frames.append(Frame420(y, u, v))
+    enc = Encoder(EncoderParams(width=w, height=h, qp=26, me_range=8,
+                                backend="device", slices=3, aq_mode=1))
+    stream = b""
+    recs = []
+    for f in frames:
+        stream += enc.encode(f)
+        r = enc.last_recon
+        recs.append((np.asarray(r.y), np.asarray(r.u), np.asarray(r.v)))
+    dec = decode_annexb(stream, w, h)
+    assert len(dec) == 4
+    for i, (dy, du, dv) in enumerate(dec):
+        assert np.array_equal(dy, recs[i][0][:h, :w])
+        assert np.array_equal(du, recs[i][1][:h // 2, :w // 2])

@@ -115,8 +115,164 @@ class Encoder:
         """Re-derive the frame QP when a P frame is promoted to IDR."""
         return max(self.p.qp_min, qp - self.rc.IP_OFFSET)
 
+    def _submit_device_sliced(self, y, u, v, ftype: str, qp: int) -> dict:
+        """Multi-slice frame: split MB rows into p.slices bands, run the
+        band pipeline per band (the single-chip form of the sliced-band
+        mesh path, parallel/sliced.py), emit one slice NAL per band.
+        Slice-local entropy (nC availability, skip runs, qp chains, MVP)
+        falls out of per-band computation — exactly like x264's sliced
+        threads (encoder/encoder.c:3219)."""
+        import jax
+        import jax.numpy as jnp
+
+        from x264_tpu.models.inter_device import p_band_core
+        from x264_tpu.models.inter_frame import PAD, me_lambda
+        from x264_tpu.models.intra_device import i_frame_core
+
+        h, w = y.shape
+        mbw, mbh = w // 16, h // 16
+        idr = ftype == "IDR" or not self.dpb
+        if idr:
+            ftype = "IDR"
+        nsl = max(1, min(self.p.slices, mbh))
+        base = mbh // nsl
+        rem = mbh % nsl
+        heights = [base + (1 if i < rem else 0) for i in range(nsl)]
+        starts = np.concatenate(([0], np.cumsum(heights)))[:-1]
+        ladder = [24, 64, 160, 416] if qp >= 16 else [64, 160, 416]
+        n_words = ladder[0]
+
+        buf = np.empty((h + h // 2, w), np.uint8)
+        buf[:h] = y
+        buf[h:, :w // 2] = u
+        buf[h:, w // 2:] = v
+        d = jax.device_put(buf)
+        yd, ud, vd = d[:h], d[h:, :w // 2], d[h:, w // 2:]
+
+        if self.p.aq_mode:
+            qp_arr = self._aq_qp(qp, y, u, v, mbw, mbh)
+        else:
+            qp_arr = np.full(mbw * mbh, qp, np.int32)
+
+        ref = None if idr else self.dpb[-1]
+        if ref is not None:
+            ry_pad = jnp.pad(ref.y, PAD, mode="edge")
+            ru_pad = jnp.pad(ref.u, PAD // 2, mode="edge")
+            rv_pad = jnp.pad(ref.v, PAD // 2, mode="edge")
+
+        outs = []
+        for b in range(nsl):
+            y0, bh = int(starts[b]), heights[b]
+            yb = yd[16 * y0:16 * (y0 + bh)]
+            ub = ud[8 * y0:8 * (y0 + bh)]
+            vb = vd[8 * y0:8 * (y0 + bh)]
+            qpb = qp_arr[y0 * mbw:(y0 + bh) * mbw]
+            if ref is None:
+                ob = i_frame_core(yb, ub, vb, qpb, mbw=mbw, mbh=bh,
+                                  cqp_off=self.p.chroma_qp_offset,
+                                  n_words=n_words)
+                st = SLICE_I
+            else:
+                ob = p_band_core(
+                    yb, ub, vb,
+                    jax.lax.dynamic_slice(
+                        ry_pad, (16 * y0, 0), (16 * bh + 2 * PAD,
+                                               w + 2 * PAD)),
+                    jax.lax.dynamic_slice(
+                        ru_pad, (8 * y0, 0), (8 * bh + PAD, w // 2 + PAD)),
+                    jax.lax.dynamic_slice(
+                        rv_pad, (8 * y0, 0), (8 * bh + PAD, w // 2 + PAD)),
+                    qpb, np.int32(me_lambda(qp)),
+                    mbw=mbw, mbh=bh, me_range=self.p.me_range,
+                    cqp_off=self.p.chroma_qp_offset,
+                    n_words=n_words, subpel=self.p.subpel)
+                st = SLICE_P
+            outs.append(ob)
+
+        # full-frame recon + deblock from band outputs
+        import jax.numpy as jnp
+        full = dict(
+            recon_y=jnp.concatenate([o["recon_y"] for o in outs]),
+            recon_u=jnp.concatenate([o["recon_u"] for o in outs]),
+            recon_v=jnp.concatenate([o["recon_v"] for o in outs]),
+            mb_class=jnp.concatenate([o["mb_class"] for o in outs]),
+            luma_nnz=jnp.concatenate([o["luma_nnz"] for o in outs]),
+            cbp_luma=jnp.concatenate([o["cbp_luma"] for o in outs]),
+            cbp_chroma=jnp.concatenate([o["cbp_chroma"] for o in outs]),
+            qp_mb=jnp.concatenate([o["qp_mb"] for o in outs]),
+        )
+        full["mv"] = (jnp.concatenate([o["mv"] for o in outs])
+                      if ref is not None else
+                      jnp.zeros((mbw * mbh, 2), jnp.int32))
+        recon = self._deblock_device(full, qp, mbw, mbh)
+
+        job = dict(sliced=True, outs=outs, starts=starts, heights=heights,
+                   slice_type=st, idr=idr, qp=qp, mbw=mbw, mbh=mbh,
+                   n_words=n_words, qp_arr=qp_arr,
+                   frame_num=self.frame_num, idr_pic_id=self.idr_pic_id,
+                   ftype=ftype)
+        self.dpb = [ReconFrame(*recon, frame_num=self.frame_num)]
+        self.last_recon = self.dpb[0]
+        if idr:
+            self.idr_pic_id = (self.idr_pic_id + 1) % 65536
+        self.frame_num = (self.frame_num + 1) % (
+            1 << self.sps.log2_max_frame_num)
+        self.frame_idx += 1
+        return job
+
+    def _finalize_device_sliced(self, job: dict) -> bytes:
+        from x264_tpu.bitstream.slice_assemble import (
+            append_payload,
+            merge_mb_strings,
+        )
+        from x264_tpu.models.syntax import MB_PSKIP
+
+        n_words = job["n_words"]
+        mbw = job["mbw"]
+        out_bytes = b""
+        if job["ftype"] == "IDR" and self.p.repeat_headers:
+            out_bytes += self.headers()
+        total_cost = 0
+        classes = []
+        for b, ob in enumerate(job["outs"]):
+            blob = np.asarray(ob["host_blob"])
+            nbits = blob[:, n_words]
+            assert int(nbits.max(initial=0)) <= 32 * n_words,                 "sliced overflow ladder: TODO"
+            words = np.ascontiguousarray(blob[:, :n_words]).view(np.uint32)
+            mb_class = blob[:, n_words + 1]
+            classes.append(mb_class)
+            total_cost += int(blob[:, n_words + 2].astype(np.int64).sum())
+            first_mb = int(job["starts"][b]) * mbw
+            nmb = job["heights"][b] * mbw
+            qpb = job["qp_arr"][first_mb:first_mb + nmb]
+            slice_qp = int(np.atleast_1d(qpb)[0])
+            bs = BitWriter()
+            write_slice_header(bs, self.p, self.sps,
+                               slice_type=job["slice_type"],
+                               idr=job["idr"],
+                               frame_num=job["frame_num"],
+                               idr_pic_id=job["idr_pic_id"],
+                               first_mb=first_mb, qp=slice_qp, num_ref=1)
+            payload, total = merge_mb_strings(words, nbits)
+            append_payload(bs, payload, total)
+            if job["slice_type"] == SLICE_P:
+                coded = mb_class != MB_PSKIP
+                trailing = int(nmb - 1 - (np.nonzero(coded)[0][-1]
+                                          if coded.any() else -1))
+                if trailing:
+                    bs.ue(trailing)
+            out_bytes += wrap_slice_nal(bs.to_rbsp(), job["idr"])
+        self.stats.append(FrameStats(job["ftype"], len(out_bytes) * 8,
+                                     job["qp"]))
+        self.rc.update(job["ftype"], len(out_bytes) * 8, total_cost)
+        self._record_stats(job["ftype"], job["qp"], len(out_bytes) * 8,
+                           total_cost, np.concatenate(classes))
+        return out_bytes
+
     def _submit_device(self, y, u, v, ftype: str, qp: int) -> dict:
         import jax
+        if self.p.slices > 1:
+            return self._submit_device_sliced(y, u, v, ftype, qp)
 
         h, w = y.shape
         mbw, mbh = w // 16, h // 16
@@ -187,6 +343,8 @@ class Encoder:
         return job
 
     def _finalize_device(self, job: dict) -> bytes:
+        if job.get("sliced"):
+            return self._finalize_device_sliced(job)
         from x264_tpu.bitstream.slice_assemble import (
             append_payload,
             merge_mb_strings,

@@ -56,6 +56,7 @@ def build_argparser() -> argparse.ArgumentParser:
                     default=0)
     ap.add_argument("--stats", default="x264_tpu_2pass.log")
     ap.add_argument("--scenecut", type=int, default=None)
+    ap.add_argument("--slices", type=int, default=None)
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "device", "reference"])
     ap.add_argument("--psnr", action="store_true", help="report PSNR")
@@ -97,6 +98,8 @@ def params_from_args(args, reader) -> EncoderParams:
         p = p.clone(stats_read=args.stats)
     if args.scenecut is not None:
         p = p.clone(scenecut_threshold=args.scenecut)
+    if args.slices is not None:
+        p = p.clone(slices=args.slices)
     if args.no_deblock:
         p = p.clone(deblock=False)
     elif args.deblock:

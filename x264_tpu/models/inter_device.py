@@ -128,6 +128,13 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
     )
 
 
+# band entry for multi-slice encoding: same pipeline, pre-sliced padded
+# refs (parallel/sliced.py uses the identical contract under shard_map)
+p_band_core = functools.partial(
+    jax.jit, static_argnames=("mbw", "mbh", "me_range", "cqp_off",
+                              "n_words", "subpel"))(p_frame_pipeline)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("mbw", "mbh", "me_range", "cqp_off",
                                     "n_words", "subpel"))

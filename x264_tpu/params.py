@@ -121,6 +121,9 @@ class EncoderParams:
             p = p.clone(qp_min=p.qp)
         if p.bframes:
             raise NotImplementedError("B-frames land in a later round")
+        if p.cabac and p.slices > 1:
+            raise NotImplementedError(
+                "multi-slice CABAC lands with device CABAC (round 2)")
         return p
 
 
