@@ -94,3 +94,32 @@ def test_multislice_conformance(rng):
     for i, (dy, du, dv) in enumerate(dec):
         assert np.array_equal(dy, recs[i][0][:h, :w])
         assert np.array_equal(du, recs[i][1][:h // 2, :w // 2])
+
+
+def test_multiref_conformance(rng):
+    """2- and 3-reference P frames (ref_idx te(), per-MB ref MC/MVP)."""
+    w, h = 96, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(8):
+        ph = [0, 3, 0, 3, 1, 0, 3, 2][t]
+        y = (120 + 70 * np.sin((xx + 3 * ph) / 13.0)).astype(np.uint8)
+        y += rng.integers(0, 5, (h, w)).astype(np.uint8)
+        u = (128 + 40 * np.sin((xx[::2, ::2] + 5 * ph) / 23.0)).astype(np.uint8)
+        v = (128 + 40 * np.cos((yy[::2, ::2] + 7 * ph) / 29.0)).astype(np.uint8)
+        frames.append(Frame420(y, u, v))
+    for nref in (2, 3):
+        enc = Encoder(EncoderParams(width=w, height=h, qp=26, me_range=8,
+                                    backend="device", ref_frames=nref,
+                                    scenecut_threshold=0))
+        stream = b""
+        recs = []
+        for f in frames:
+            stream += enc.encode(f)
+            r = enc.last_recon
+            recs.append((np.asarray(r.y), np.asarray(r.u)))
+        dec = decode_annexb(stream, w, h)
+        assert len(dec) == 8
+        for i, (dy, du, dv) in enumerate(dec):
+            assert np.array_equal(dy, recs[i][0][:h, :w])
+            assert np.array_equal(du, recs[i][1][:h // 2, :w // 2])

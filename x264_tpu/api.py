@@ -103,8 +103,17 @@ class Encoder:
                                cqp_off=self.p.chroma_qp_offset,
                                n_words=n_words)
             return out, SLICE_I
+        import jax.numpy as jnp
+
         from x264_tpu.models.inter_device import p_frame_core
-        out = p_frame_core(yd, ud, vd, ref.y, ref.u, ref.v,
+        refs = ref if isinstance(ref, list) else [ref]
+        if len(refs) == 1:
+            ry, ru, rv = refs[0].y, refs[0].u, refs[0].v
+        else:
+            ry = jnp.stack([r.y for r in refs])
+            ru = jnp.stack([r.u for r in refs])
+            rv = jnp.stack([r.v for r in refs])
+        out = p_frame_core(yd, ud, vd, ry, ru, rv,
                            qp_arr, np.int32(me_lambda(base_qp)),
                            mbw=mbw, mbh=mbh, me_range=self.p.me_range,
                            cqp_off=self.p.chroma_qp_offset,
@@ -154,7 +163,7 @@ class Encoder:
         else:
             qp_arr = np.full(mbw * mbh, qp, np.int32)
 
-        ref = None if idr else self.dpb[-1]
+        ref = None if idr else self.dpb[0]
         if ref is not None:
             ry_pad = jnp.pad(ref.y, PAD, mode="edge")
             ru_pad = jnp.pad(ref.u, PAD // 2, mode="edge")
@@ -211,8 +220,9 @@ class Encoder:
                    n_words=n_words, qp_arr=qp_arr,
                    frame_num=self.frame_num, idr_pic_id=self.idr_pic_id,
                    ftype=ftype)
-        self.dpb = [ReconFrame(*recon, frame_num=self.frame_num)]
-        self.last_recon = self.dpb[0]
+        new = ReconFrame(*recon, frame_num=self.frame_num)
+        self.dpb = [new]
+        self.last_recon = new
         if idr:
             self.idr_pic_id = (self.idr_pic_id + 1) % 65536
         self.frame_num = (self.frame_num + 1) % (
@@ -294,7 +304,7 @@ class Encoder:
             qp_arr = np.int32(qp)
             slice_qp = qp
 
-        ref = None if (idr or not self.dpb) else self.dpb[-1]
+        ref = None if (idr or not self.dpb) else self.dpb
         out, slice_type = self._run_core(yd, ud, vd, ref, idr, qp, qp_arr,
                                          n_words, mbw, mbh)
         blob = None
@@ -327,14 +337,16 @@ class Encoder:
         except Exception:
             pass
         job = dict(out=out, slice_type=slice_type, idr=idr, qp=qp,
-                   blob=blob,
+                   blob=blob, num_ref=1 if ref is None else len(ref),
                    qp_arr=qp_arr, slice_qp=slice_qp,
                    mbw=mbw, mbh=mbh, n_words=n_words, ladder=ladder,
                    frame_num=self.frame_num, idr_pic_id=self.idr_pic_id,
                    ftype=ftype, planes=(yd, ud, vd), ref=ref)
         # advance encoder state now so the next submit can chain on device
-        self.dpb = [ReconFrame(*recon, frame_num=self.frame_num)]
-        self.last_recon = self.dpb[0]
+        # (dpb is list0 order: most recent first; sliding window)
+        new = ReconFrame(*recon, frame_num=self.frame_num)
+        self.dpb = ([new] + ([] if idr else self.dpb))[:self.p.ref_frames]
+        self.last_recon = new
         if idr:
             self.idr_pic_id = (self.idr_pic_id + 1) % 65536
         self.frame_num = (self.frame_num + 1) % (
@@ -381,7 +393,7 @@ class Encoder:
                            slice_type=job["slice_type"], idr=job["idr"],
                            frame_num=job["frame_num"],
                            idr_pic_id=job["idr_pic_id"], qp=job["slice_qp"],
-                           num_ref=1)
+                           num_ref=job.get("num_ref", 1))
         payload, total = merge_mb_strings(words, nbits)
         append_payload(bs, payload, total)
         if job["slice_type"] == SLICE_P:
@@ -445,7 +457,7 @@ class Encoder:
         return deblock_core(
             ry, ru, rv, out["mb_class"] == 0, out["luma_nnz"],
             out["mv"] if "mv" in out else jnp.zeros((n, 2), jnp.int32),
-            jnp.zeros(n, jnp.int32),
+            out["ref_mb"] if "ref_mb" in out else jnp.zeros(n, jnp.int32),
             qp_mb, qpc_mb,
             np.int32(self.p.deblock_alpha * 2),
             np.int32(self.p.deblock_beta * 2), mbw=mbw, mbh=mbh)
@@ -525,7 +537,8 @@ class Encoder:
         syn = None
         if not (ftype == "IDR" or not self.dpb):
             # encode as P, then possibly promote to IDR on scenecut
-            ref = self.dpb[-1]
+            # (syntax-tensor paths are single-ref this round)
+            ref = self.dpb[0]
             if use_device:
                 from x264_tpu.models import inter_device
                 ry, ru, rv, syn = inter_device.encode_pframe_device(
@@ -609,7 +622,7 @@ class Encoder:
 
         recon = ReconFrame(ry, ru, rv, frame_num=self.frame_num)
         self.last_recon = recon
-        self.dpb = [recon]  # sliding window, 1 ref in round 1
+        self.dpb = ([recon] + ([] if idr else self.dpb))[:1]
         if idr:
             self.idr_pic_id = (self.idr_pic_id + 1) % 65536
         self.frame_num = (self.frame_num + 1) % (1 << self.sps.log2_max_frame_num)

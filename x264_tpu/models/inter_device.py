@@ -42,50 +42,97 @@ def _pad_edge(p, pad):
     return jnp.pad(p, pad, mode="edge")
 
 
+def _te_ref_bits(num_ref: int) -> np.ndarray:
+    """te() bit count per ref_idx (CAVLC cost model for ref selection)."""
+    if num_ref <= 1:
+        return np.zeros(1, np.int32)
+    if num_ref == 2:
+        return np.ones(2, np.int32)
+    return np.array([2 * int(k + 1).bit_length() - 1
+                     for k in range(num_ref)], np.int32)
+
+
 def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                      mbw: int, mbh: int, me_range: int, cqp_off: int,
                      n_words: int = 24, subpel: int = 0):
     """All-device P-frame pixel pipeline on *pre-padded* reference planes
     (so the sharded band path can hand in halo slices — parallel/sliced.py).
-    y/u/v: source planes (uint8, H=16*mbh x W=16*mbw); ref_*_pad: reference
-    planes padded by PAD (luma) / PAD//2 (chroma); qp: traced int32 scalar
-    or per-MB (N,) array (adaptive quantization); lam traced int32.
+    y/u/v: source planes (uint8, H=16*mbh x W=16*mbw); ref_*_pad: STACKED
+    reference planes (K, ...) padded by PAD (luma) / PAD//2 (chroma) in
+    list0 order (most recent first), or unstacked (K=1); qp: traced int32
+    scalar or per-MB (N,) array; lam traced int32.
     Returns a dict of per-MB syntax tensors + pre-deblock recon planes."""
-    qp = jnp.broadcast_to(jnp.asarray(qp, jnp.int32).reshape(-1), (mbw * mbh,))
+    n = mbw * mbh
+    qp = jnp.broadcast_to(jnp.asarray(qp, jnp.int32).reshape(-1), (n,))
     qpc = _CHROMA_QP[jnp.clip(qp + cqp_off, 0, 51)]
+    if ref_y_pad.ndim == 2:
+        ref_y_pad = ref_y_pad[None]
+        ref_u_pad = ref_u_pad[None]
+        ref_v_pad = ref_v_pad[None]
+    n_refs = ref_y_pad.shape[0]
+    refbits = _te_ref_bits(n_refs)
 
-    mv, _cost = full_search_16x16(y, ref_y_pad, lam,
-                                  me_range=me_range, mbw=mbw, mbh=mbh)
+    # fullpel search per reference; pick per-MB best by cost + ref cost
+    # (encoder/analyse.c mb_analyse_inter_p16x16's per-ref loop)
+    mv = None
+    for k in range(n_refs):
+        mv_k, cost_k = full_search_16x16(y, ref_y_pad[k], lam,
+                                         me_range=me_range, mbw=mbw,
+                                         mbh=mbh)
+        cost_k = cost_k + lam * int(refbits[k])
+        if mv is None:
+            mv, _cost, ref = mv_k, cost_k, jnp.zeros(n, jnp.int32)
+        else:
+            better = cost_k < _cost
+            _cost = jnp.where(better, cost_k, _cost)
+            mv = jnp.where(better[:, None], mv_k, mv)
+            ref = jnp.where(better, k, ref)
 
     src_mbs = T.plane_to_mbs(y.astype(jnp.int32), mbh, mbw, 16)
     if subpel > 0:
-        planes4 = mc_hpel_planes(ref_y_pad)
-        mv, mb_cost = subpel_refine(src_mbs, planes4, mv, lam, me_range,
-                                    subpel, mbw, mbh)
-        pred = mc_luma_qpel(planes4, mv, mbw, mbh, PAD)
+        planes = jnp.stack([mc_hpel_planes(ref_y_pad[k])
+                            for k in range(n_refs)])      # (K,4,Hp,Wp)
+        mv, mb_cost = subpel_refine(src_mbs, planes, mv, lam, me_range,
+                                    subpel, mbw, mbh, ref_idx=ref)
+        pred = mc_luma_qpel(planes, mv, mbw, mbh, PAD, ref_idx=ref)
     else:
         mb_cost = _cost
-        pred = mc_luma_fullpel(ref_y_pad, mv, mbw, mbh, PAD)
+        if n_refs == 1:
+            pred = mc_luma_fullpel(ref_y_pad[0], mv, mbw, mbh, PAD)
+        else:
+            # fullpel gather from each MB's chosen reference
+            stacked = jnp.stack([ref_y_pad[k].astype(jnp.int32)[None]
+                                 for k in range(n_refs)]).squeeze(1)
+            pred = mc_luma_qpel(
+                jnp.broadcast_to(stacked[:, None], (n_refs, 4)
+                                 + stacked.shape[1:]),
+                mv, mbw, mbh, PAD, ref_idx=ref)
     recon_y_mbs, ac_zz, nnz, cbp_l = encode_p_luma(src_mbs, pred, qp)
 
-    pred_u = mc_chroma(ref_u_pad, mv, mbw, mbh, PAD // 2)
-    pred_v = mc_chroma(ref_v_pad, mv, mbw, mbh, PAD // 2)
+    pred_u = mc_chroma(ref_u_pad[0] if n_refs == 1 else ref_u_pad,
+                       mv, mbw, mbh, PAD // 2,
+                       ref_idx=None if n_refs == 1 else ref)
+    pred_v = mc_chroma(ref_v_pad[0] if n_refs == 1 else ref_v_pad,
+                       mv, mbw, mbh, PAD // 2,
+                       ref_idx=None if n_refs == 1 else ref)
     src_u = T.plane_to_mbs(u.astype(jnp.int32), mbh, mbw, 8)
     src_v = T.plane_to_mbs(v.astype(jnp.int32), mbh, mbw, 8)
     ru_mbs, rv_mbs, cdc, cac, cnnz, cbp_c = encode_chroma(
         src_u, src_v, pred_u, pred_v, qpc, intra=False)
 
     res_vals, res_lens = residual_slots(
-        jnp.zeros((mbw * mbh, 16), jnp.int32), ac_zz, nnz, cdc, cac, cnnz,
-        cbp_l, cbp_c, jnp.zeros(mbw * mbh, bool), mbw, mbh)
+        jnp.zeros((n, 16), jnp.int32), ac_zz, nnz, cdc, cac, cnnz,
+        cbp_l, cbp_c, jnp.zeros(n, bool), mbw, mbh)
 
     # device MB classification + header codes + per-MB bit packing: the
     # host only bit-merges N packed strings (bitstream/slice_assemble.py)
-    mb_class, mvd = dheader.classify_p(mv, cbp_l, cbp_c, mbw, mbh)
+    mb_class, mvd = dheader.classify_p(mv, cbp_l, cbp_c, mbw, mbh,
+                                       ref=ref if n_refs > 1 else None)
+    ref = jnp.where(mb_class == dheader.MB_PSKIP_D, 0, ref)
     hv, hl = dheader.header_slots(
-        mb_class, jnp.zeros(mbw * mbh, jnp.int32),
-        jnp.zeros(mbw * mbh, jnp.int32), mvd, cbp_l, cbp_c, qp,
-        is_p_slice=True)
+        mb_class, jnp.zeros(n, jnp.int32),
+        jnp.zeros(n, jnp.int32), mvd, cbp_l, cbp_c, qp,
+        is_p_slice=True, ref=ref, num_ref=n_refs)
     words, nbits = pack_tokens(jnp.concatenate([hv, res_vals], axis=1),
                                jnp.concatenate([hl, res_lens], axis=1),
                                n_words)
@@ -119,7 +166,7 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
         res_vals=res_vals, res_lens=res_lens,
         words=words, nbits=nbits, mb_class=mb_class, mvd=mvd,
         host_blob=host_blob, mb_cost=mb_cost, qp_mb=qp, icost=icost,
-        mv=mv,
+        mv=mv, ref_mb=ref,
         luma_ac=ac_zz, luma_nnz=nnz, cbp_luma=cbp_l,
         chroma_dc=cdc, chroma_ac=cac, chroma_nnz=cnnz, cbp_chroma=cbp_c,
         recon_y=T.mbs_to_plane(recon_y_mbs, mbh, mbw, 16).astype(jnp.uint8),
@@ -142,11 +189,16 @@ def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
                  mbw: int, mbh: int, me_range: int, cqp_off: int,
                  n_words: int = 24, subpel: int = 0):
     """Single-chip entry: edge-pad the references on device, run the
-    pipeline (see p_frame_pipeline for the contract)."""
+    pipeline (see p_frame_pipeline for the contract).  ref_* may be
+    (H, W) single-ref or stacked (K, H, W) in list0 order."""
+    def padk(p, pad):
+        if p.ndim == 2:
+            return _pad_edge(p, pad)[None]
+        return jnp.pad(p, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
     return p_frame_pipeline(y, u, v,
-                            _pad_edge(ref_y, PAD),
-                            _pad_edge(ref_u, PAD // 2),
-                            _pad_edge(ref_v, PAD // 2),
+                            padk(ref_y, PAD),
+                            padk(ref_u, PAD // 2),
+                            padk(ref_v, PAD // 2),
                             qp, lam, mbw=mbw, mbh=mbh,
                             me_range=me_range, cqp_off=cqp_off,
                             n_words=n_words, subpel=subpel)

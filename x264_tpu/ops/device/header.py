@@ -17,7 +17,7 @@ _CBP2G = jnp.asarray(CBP_TO_GOLOMB.astype(np.int32))
 MB_P16_D, MB_PSKIP_D = 2, 3   # match models.syntax MB_P16 / MB_PSKIP
 MB_I16_D = 0
 
-HEADER_SLOTS = 7
+HEADER_SLOTS = 8
 
 
 def bit_length(x):
@@ -40,52 +40,69 @@ def se_codes(v):
     return ue_codes(jnp.where(v > 0, 2 * v - 1, -2 * v))
 
 
-def classify_p(mv, cbp_luma, cbp_chroma, mbw: int, mbh: int):
+def classify_p(mv, cbp_luma, cbp_chroma, mbw: int, mbh: int, ref=None):
     """P16x16 skip/MVP classification (8.4.1), fully parallel (see
-    classify_pframe_vec for why).  mv (N,2) int32 qpel.
-    Returns (mb_class (N,), mvd (N,2))."""
+    classify_pframe_vec for why; still true with multi-ref: every decoded
+    (mv, ref) equals the chosen one).  mv (N,2) int32 qpel; ref (N,) or
+    None (all 0).  Returns (mb_class (N,), mvd (N,2))."""
+    n = mbw * mbh
     m = mv.astype(jnp.int32).reshape(mbh, mbw, 2)
+    r = (jnp.zeros(n, jnp.int32) if ref is None
+         else ref.astype(jnp.int32)).reshape(mbh, mbw)
 
     def shifted(dy, dx):
         mvn = jnp.zeros_like(m)
+        rn = jnp.full_like(r, -1)
         av = jnp.zeros((mbh, mbw), bool)
         ys = slice(max(dy, 0), mbh + min(dy, 0))
         xs = slice(max(dx, 0), mbw + min(dx, 0))
         yd = slice(max(-dy, 0), mbh + min(-dy, 0))
         xd = slice(max(-dx, 0), mbw + min(-dx, 0))
         mvn = mvn.at[yd, xd].set(m[ys, xs])
+        rn = rn.at[yd, xd].set(r[ys, xs])
         av = av.at[yd, xd].set(True)
-        return mvn, av
+        return mvn, rn, av
 
-    mva, av_a = shifted(0, -1)
-    mvb, av_b = shifted(-1, 0)
-    mvc, av_c = shifted(-1, 1)
-    mvd_, av_d = shifted(-1, -1)
+    mva, ra, av_a = shifted(0, -1)
+    mvb, rb, av_b = shifted(-1, 0)
+    mvc, rc, av_c = shifted(-1, 1)
+    mvd_, rd, av_d = shifted(-1, -1)
     use_d = ~av_c
     mvc = jnp.where(use_d[..., None], mvd_, mvc)
+    rc = jnp.where(use_d, rd, rc)
     av_c = jnp.where(use_d, av_d, av_c)
 
-    only_a = av_a & ~av_b & ~av_c
-    n_av = av_a.astype(jnp.int32) + av_b + av_c
-    one = n_av == 1
     za = mva * av_a[..., None]
     zb = mvb * av_b[..., None]
     zc = mvc * av_c[..., None]
-    one_mv = za + zb + zc
     med = jnp.sort(jnp.stack([za, zb, zc], axis=0), axis=0)[1]
-    mvp = jnp.where(only_a[..., None], mva,
-                    jnp.where(one[..., None], one_mv, med))
+    only_a = av_a & ~av_b & ~av_c
+
+    def mvp_for(cur_ref):
+        """Median MVP for reference index cur_ref (8.4.1.3)."""
+        sa = ra == cur_ref
+        sb = rb == cur_ref
+        sc = rc == cur_ref
+        one = (sa.astype(jnp.int32) + sb + sc) == 1
+        one_mv = (mva * sa[..., None] + mvb * sb[..., None]
+                  + mvc * sc[..., None])
+        return jnp.where(only_a[..., None], mva,
+                         jnp.where(one[..., None], one_mv, med))
+
+    mvp = mvp_for(r)
+    mvp0 = mvp_for(jnp.zeros_like(r))
 
     yy = jnp.arange(mbh)[:, None]
     xx = jnp.arange(mbw)[None, :]
     edge = (yy == 0) | (xx == 0)
-    a_zero = av_a & (mva == 0).all(-1)
-    b_zero = av_b & (mvb == 0).all(-1)
+    a_zero = av_a & (ra == 0) & (mva == 0).all(-1)
+    b_zero = av_b & (rb == 0) & (mvb == 0).all(-1)
     skip_mv = jnp.where((edge | a_zero | b_zero)[..., None],
-                        jnp.zeros_like(m), mvp)
+                        jnp.zeros_like(m), mvp0)
 
     flat_mv = m.reshape(-1, 2)
     is_skip = ((cbp_luma == 0) & (cbp_chroma == 0)
+               & (r.reshape(-1) == 0)
                & (flat_mv == skip_mv.reshape(-1, 2)).all(1))
     mb_class = jnp.where(is_skip, MB_PSKIP_D, MB_P16_D).astype(jnp.int32)
     mvd = jnp.where(is_skip[:, None], 0, flat_mv - mvp.reshape(-1, 2))
@@ -93,10 +110,12 @@ def classify_p(mv, cbp_luma, cbp_chroma, mbw: int, mbh: int):
 
 
 def header_slots(mb_class, i16_mode, chroma_mode, mvd, cbp_luma, cbp_chroma,
-                 qp_mb, is_p_slice: bool):
-    """Per-MB header codes [skip_run, mb_type, chroma_mode, mvd_x, mvd_y,
-    cbp, qp_delta] -> (hvals, hlens) (N,7) int32.  Bit-exact port of
-    slice_writer_vec.header_slots (I16/P16/PSKIP classes)."""
+                 qp_mb, is_p_slice: bool, ref=None, num_ref: int = 1):
+    """Per-MB header codes [skip_run, mb_type, chroma_mode, ref_idx,
+    mvd_x, mvd_y, cbp, qp_delta] -> (hvals, hlens) (N,8) int32.  Bit-exact
+    port of slice_writer_vec.header_slots (I16/P16/PSKIP classes).
+    ref_idx is te()-coded: absent at num_ref 1, a single !ref bit at
+    num_ref 2, ue(ref) beyond."""
     n = mb_class.shape[0]
     skip = mb_class == MB_PSKIP_D
     coded = ~skip
@@ -132,14 +151,22 @@ def header_slots(mb_class, i16_mode, chroma_mode, mvd, cbp_luma, cbp_chroma,
     hv[2] = jnp.where(intra, v, 0)
     hl[2] = jnp.where(intra, ln, 0)
 
+    if num_ref > 1 and ref is not None:
+        if num_ref == 2:
+            v, ln = 1 - ref.astype(jnp.int32), jnp.ones(n, jnp.int32)
+        else:
+            v, ln = ue_codes(ref.astype(jnp.int32))
+        hv[3] = jnp.where(p16, v, 0)
+        hl[3] = jnp.where(p16, ln, 0)
+
     for c in range(2):
         v, ln = se_codes(mvd[:, c])
-        hv[3 + c] = jnp.where(p16, v, 0)
-        hl[3 + c] = jnp.where(p16, ln, 0)
+        hv[4 + c] = jnp.where(p16, v, 0)
+        hl[4 + c] = jnp.where(p16, ln, 0)
 
     v, ln = ue_codes(_CBP2G[0, (cbp_c << 4) | cbp_l])
-    hv[5] = jnp.where(p16, v, 0)
-    hl[5] = jnp.where(p16, ln, 0)
+    hv[6] = jnp.where(p16, v, 0)
+    hl[6] = jnp.where(p16, ln, 0)
 
     # mb_qp_delta: chained over emitting MBs
     emits = coded & ((cbp_l != 0) | (cbp_c != 0) | intra)
@@ -152,7 +179,7 @@ def header_slots(mb_class, i16_mode, chroma_mode, mvd, cbp_luma, cbp_chroma,
     delta = jnp.where(delta > 25, delta - 52,
                       jnp.where(delta < -26, delta + 52, delta))
     v, ln = se_codes(delta)
-    hv[6] = jnp.where(emits, v, 0)
-    hl[6] = jnp.where(emits, ln, 0)
+    hv[7] = jnp.where(emits, v, 0)
+    hl[7] = jnp.where(emits, ln, 0)
 
     return jnp.stack(hv, axis=1), jnp.stack(hl, axis=1)

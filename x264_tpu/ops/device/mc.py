@@ -54,9 +54,10 @@ def _qp_tbl():
     return _QP_TBL_J
 
 
-def mc_luma_qpel(planes4, mv, mbw: int, mbh: int, pad: int):
+def mc_luma_qpel(planes4, mv, mbw: int, mbh: int, pad: int, ref_idx=None):
     """Quarter-pel MC for all MBs: planes4 (4, Hp, Wp) from hpel_planes on
-    the padded reference; mv (N,2) qpel.  Returns (N,16,16) int32."""
+    the padded reference — or stacked (K,4,Hp,Wp) with per-MB ref_idx;
+    mv (N,2) qpel.  Returns (N,16,16) int32."""
     n = mbw * mbh
     mby = jnp.arange(n, dtype=jnp.int32) // mbw
     mbx = jnp.arange(n, dtype=jnp.int32) % mbw
@@ -70,7 +71,9 @@ def mc_luma_qpel(planes4, mv, mbw: int, mbh: int, pad: int):
     def grab(p_idx, dy, dx):
         yi = (y0 + dy)[:, None, None] + r16[None, :, None]
         xi = (x0 + dx)[:, None, None] + r16[None, None, :]
-        return planes4[p_idx[:, None, None], yi, xi]
+        if ref_idx is None:
+            return planes4[p_idx[:, None, None], yi, xi]
+        return planes4[ref_idx[:, None, None], p_idx[:, None, None], yi, xi]
 
     s1 = grab(tbl[:, 0], tbl[:, 1], tbl[:, 2])
     s2 = grab(tbl[:, 3], tbl[:, 4], tbl[:, 5])
@@ -89,9 +92,10 @@ def mc_luma_fullpel(ref_pad, mv, mbw: int, mbh: int, pad: int):
     return ref_pad[yi, xi].astype(jnp.int32)
 
 
-def mc_chroma(ref_c_pad, mv, mbw: int, mbh: int, pad_c: int):
+def mc_chroma(ref_c_pad, mv, mbw: int, mbh: int, pad_c: int, ref_idx=None):
     """Normative 1/8-pel bilinear chroma interpolation (8.4.2.2.2) for all
-    MBs at once; mv is the *luma* qpel mv.  Returns (N,8,8) int32."""
+    MBs at once; mv is the *luma* qpel mv.  ref_c_pad (Hc,Wc) or stacked
+    (K,Hc,Wc) with per-MB ref_idx.  Returns (N,8,8) int32."""
     n = mbw * mbh
     mby = jnp.arange(n, dtype=jnp.int32) // mbw
     mbx = jnp.arange(n, dtype=jnp.int32) % mbw
@@ -101,7 +105,10 @@ def mc_chroma(ref_c_pad, mv, mbw: int, mbh: int, pad_c: int):
     x0 = pad_c + mbx * 8 + ix
     yi = y0[:, None, None] + jnp.arange(9, dtype=jnp.int32)[None, :, None]
     xi = x0[:, None, None] + jnp.arange(9, dtype=jnp.int32)[None, None, :]
-    a = ref_c_pad[yi, xi].astype(jnp.int32)        # (N, 9, 9)
+    if ref_idx is None:
+        a = ref_c_pad[yi, xi].astype(jnp.int32)    # (N, 9, 9)
+    else:
+        a = ref_c_pad[ref_idx[:, None, None], yi, xi].astype(jnp.int32)
     p00, p01 = a[:, :8, :8], a[:, :8, 1:]
     p10, p11 = a[:, 1:, :8], a[:, 1:, 1:]
     fx = fx[:, None, None]

@@ -68,7 +68,7 @@ def subpel_candidates(steps: int):
 
 
 def subpel_refine(src_mbs, planes4, mv0, lam, me_range: int, steps: int,
-                  mbw: int, mbh: int):
+                  mbw: int, mbh: int, ref_idx=None):
     """SATD subpel refinement, exhaustive over the +-3 qpel window of the
     fullpel best (parity intent: reference encoder/me.c refine_subpel; an
     exhaustive window is the TPU-shaped equivalent of its iterated
@@ -76,8 +76,10 @@ def subpel_refine(src_mbs, planes4, mv0, lam, me_range: int, steps: int,
     MBs, so prediction is two static slices of a per-MB (4,18,18)
     half-pel window, no per-MB plane gathers).
 
-    src_mbs (N,16,16); planes4 from mc.hpel_planes(ref_y_pad); mv0 (N,2)
-    fullpel-aligned qpel mvs.  Returns (mv (N,2), cost (N,))."""
+    src_mbs (N,16,16); planes4 from mc.hpel_planes(ref_y_pad) — or, with
+    ref_idx (N,) given, stacked (K,4,Hp,Wp) planes gathered per MB's
+    chosen reference; mv0 (N,2) fullpel-aligned qpel mvs.
+    Returns (mv (N,2), cost (N,))."""
     from x264_tpu.ops.device.pixel import satd
     from x264_tpu.ops.reference.mc import QPEL_TWO_SAMPLE_TBL
 
@@ -92,7 +94,12 @@ def subpel_refine(src_mbs, planes4, mv0, lam, me_range: int, steps: int,
     r18 = jnp.arange(18, dtype=jnp.int32)
     yi = y0[:, None, None] + r18[None, :, None]
     xi = x0[:, None, None] + r18[None, None, :]
-    win = planes4[:, yi, xi]                    # (4, N, 18, 18)
+    if ref_idx is None:
+        win = planes4[:, yi, xi]                # (4, N, 18, 18)
+    else:
+        win = planes4[ref_idx[None, :, None, None],
+                      jnp.arange(4, dtype=jnp.int32)[:, None, None, None],
+                      yi[None], xi[None]]       # (4, N, 18, 18)
 
     best = None
     best_mv = mv0

@@ -72,6 +72,7 @@ def build_sliced_p_step(mesh: Mesh, mbw: int, mbh_per_band: int,
         words=PS("band", None), nbits=PS("band"),
         host_blob=PS("band", None),
         mb_cost=PS("band"), qp_mb=PS("band"), icost=PS("band"),
+        ref_mb=PS("band"),
         mb_class=PS("band"), mvd=PS("band", None),
         mv=PS("band", None),
         luma_ac=PS("band", None, None), luma_nnz=PS("band", None),
