@@ -1,0 +1,64 @@
+"""B-frame path (temporal direct, bi-prediction, B_Skip) vs the
+libavcodec oracle — display-order reconstruction must be bit-exact."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from x264_tpu.api import Encoder  # noqa: E402
+from x264_tpu.params import EncoderParams  # noqa: E402
+from x264_tpu.utils.oracle import decode_annexb  # noqa: E402
+from x264_tpu.utils.yuv import Frame420  # noqa: E402
+
+
+def _run(rng, nframes, bf, keyint, qp, w=96, h=64):
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(nframes):
+        y = (120 + 70 * np.sin((xx + 5 * t) / 13.0)
+             * np.cos((yy - 3 * t) / 19.0)).astype(np.uint8)
+        y += rng.integers(0, 5, (h, w)).astype(np.uint8)
+        u = (128 + 40 * np.sin((xx[::2, ::2] + 5 * t) / 23.0)).astype(np.uint8)
+        v = (128 + 40 * np.cos((yy[::2, ::2] + 7 * t) / 29.0)).astype(np.uint8)
+        frames.append(Frame420(y, u, v))
+    enc = Encoder(EncoderParams(width=w, height=h, qp=qp, me_range=8,
+                                backend="device", bframes=bf,
+                                keyint_max=keyint))
+    recs = {}
+    _b, _a = enc._encode_bframe, enc._encode_anchor
+
+    def spyb(fr, d, prev, nxt):
+        data = _b(fr, d, prev, nxt)
+        r = enc.last_recon
+        recs[d] = (np.asarray(r.y), np.asarray(r.u), np.asarray(r.v))
+        return data
+
+    def spya(fr, d, ftype):
+        data = _a(fr, d, ftype)
+        r = enc.last_recon
+        recs[d] = (np.asarray(r.y), np.asarray(r.u), np.asarray(r.v))
+        return data
+
+    enc._encode_bframe, enc._encode_anchor = spyb, spya
+    stream = b"".join(enc.encode(f) for f in frames) + enc.flush()
+    dec = decode_annexb(stream, w, h)
+    assert len(dec) == nframes
+    for d in range(nframes):
+        ry, ru, rv = recs[d]
+        assert np.array_equal(dec[d][0], ry[:h, :w]), f"display {d} luma"
+        assert np.array_equal(dec[d][1], ru[:h // 2, :w // 2])
+        assert np.array_equal(dec[d][2], rv[:h // 2, :w // 2])
+    return [s.frame_type for s in enc.stats]
+
+
+@pytest.mark.parametrize("bf,keyint", [(1, 250), (2, 250), (3, 250),
+                                       (2, 6)])
+def test_bframes_conformance(rng, bf, keyint):
+    types = _run(rng, 11, bf, keyint, 26)
+    assert "B" in types
+
+
+def test_bframes_qp_extremes(rng):
+    _run(rng, 6, 2, 250, 4)
+    _run(rng, 6, 2, 250, 51)

@@ -14,6 +14,7 @@ import numpy as np
 
 from x264_tpu.bitstream.bits import BitWriter
 from x264_tpu.bitstream.headers import (
+    SLICE_B,
     SLICE_I,
     SLICE_P,
     sps_from_params,
@@ -35,6 +36,9 @@ class ReconFrame:
     v: np.ndarray
     frame_num: int = 0
     poc: int = 0
+    # colocated motion field (temporal direct): per-MB mv + intra mask
+    col_mv: object = None
+    col_intra: object = None
 
 
 @dataclass
@@ -393,7 +397,8 @@ class Encoder:
                            slice_type=job["slice_type"], idr=job["idr"],
                            frame_num=job["frame_num"],
                            idr_pic_id=job["idr_pic_id"], qp=job["slice_qp"],
-                           num_ref=job.get("num_ref", 1))
+                           num_ref=job.get("num_ref", 1),
+                           poc_lsb=job.get("poc_lsb", 0))
         payload, total = merge_mb_strings(words, nbits)
         append_payload(bs, payload, total)
         if job["slice_type"] == SLICE_P:
@@ -411,6 +416,148 @@ class Encoder:
                            cost, mb_class)
         return out_bytes
 
+    # ---- B-frame mini-GOP orchestration (IbbP, temporal direct) --------
+    _bq: list = None          # pending (frame, display_idx)
+    _disp_idx = 0
+    _idr_disp = 0
+
+    def _poc_lsb(self, disp: int) -> int:
+        return (2 * (disp - self._idr_disp)) % (
+            1 << self.sps.log2_max_frame_num)
+
+    def _encode_bgop(self, fr: Frame420) -> bytes:
+        if self._bq is None:
+            self._bq = []
+        d = self._disp_idx
+        self._disp_idx += 1
+        out = b""
+        if d == 0 or (self.p.keyint_max > 0
+                      and d % self.p.keyint_max == 0):
+            out += self.flush()           # close the open mini-GOP
+            self._idr_disp = d
+            out += self._encode_anchor(fr, d, "IDR")
+            return out
+        self._bq.append((fr, d))
+        if len(self._bq) == self.p.bframes + 1:
+            out += self._flush_bq()
+        return out
+
+    def _flush_bq(self) -> bytes:
+        if not self._bq:
+            return b""
+        pend, self._bq = self._bq, []
+        anchor, ad = pend[-1]
+        prev = self.dpb[0]
+        out = self._encode_anchor(anchor, ad, "P")
+        nxt = self.dpb[0]
+        for (bf, bd) in pend[:-1]:
+            out += self._encode_bframe(bf, bd, prev, nxt)
+        return out
+
+    def _encode_anchor(self, fr: Frame420, disp: int, ftype: str) -> bytes:
+        y, u, v = self._pad(fr)
+        if ftype == "IDR":
+            self.frame_num = 0
+        qp = self._qp_for_frame(ftype)
+        job = self._submit_device(y, u, v, ftype, qp)
+        job["poc_lsb"] = self._poc_lsb(disp)
+        # stash the colocated motion field for temporal direct
+        out = job["out"]
+        rec = self.dpb[0]
+        rec.poc = self._poc_lsb(disp)
+        if "mv" in out:
+            rec.col_mv = out["mv"]
+            rec.col_intra = out["mb_class"] == 0
+        else:
+            import jax.numpy as jnp
+            n = job["mbw"] * job["mbh"]
+            rec.col_mv = jnp.zeros((n, 2), jnp.int32)
+            rec.col_intra = jnp.ones(n, bool)
+        return self._finalize_device(job)
+
+    def _encode_bframe(self, fr: Frame420, disp: int,
+                       prev: "ReconFrame", nxt: "ReconFrame") -> bytes:
+        import jax
+        import jax.numpy as jnp
+
+        from x264_tpu.bitstream.slice_assemble import (
+            append_payload,
+            merge_mb_strings,
+        )
+        from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
+        from x264_tpu.models.b_frame_device import b_frame_core
+        from x264_tpu.models.inter_frame import me_lambda
+        from x264_tpu.ops.device.deblock import deblock_core_b
+
+        y, u, v = self._pad(fr)
+        h, w = y.shape
+        mbw, mbh = w // 16, h // 16
+        n = mbw * mbh
+        qp = min(self.rc.frame_qp("P") + 2, 51)   # pb_factor analog
+        ladder = [24, 64, 160, 416] if qp >= 16 else [64, 160, 416]
+
+        poc_cur = self._poc_lsb(disp)
+        tb = int(np.clip(poc_cur - prev.poc, -128, 127))
+        td = int(np.clip(nxt.poc - prev.poc, -128, 127))
+        if td == 0:
+            td = 1
+        tx = (16384 + abs(td) // 2) // td
+        dsf = int(np.clip((tb * tx + 32) >> 6, -1024, 1023))
+
+        buf = np.empty((h + h // 2, w), np.uint8)
+        buf[:h] = y
+        buf[h:, :w // 2] = u
+        buf[h:, w // 2:] = v
+        dsrc = jax.device_put(buf)
+        yd, ud, vd = dsrc[:h], dsrc[h:, :w // 2], dsrc[h:, w // 2:]
+
+        for n_words in ladder:
+            out = b_frame_core(
+                yd, ud, vd, prev.y, prev.u, prev.v, nxt.y, nxt.u, nxt.v,
+                nxt.col_mv, nxt.col_intra, np.int32(dsf),
+                np.int32(qp), np.int32(me_lambda(qp)),
+                mbw=mbw, mbh=mbh, me_range=self.p.me_range,
+                cqp_off=self.p.chroma_qp_offset, n_words=n_words,
+                subpel=self.p.subpel)
+            blob = np.asarray(out["host_blob"])
+            nbits = blob[:, n_words]
+            if int(nbits.max(initial=0)) <= 32 * n_words:
+                break
+        words = np.ascontiguousarray(blob[:, :n_words]).view(np.uint32)
+        mb_class = blob[:, n_words + 1]
+
+        bs = BitWriter()
+        write_slice_header(bs, self.p, self.sps, slice_type=SLICE_B,
+                           idr=False, frame_num=self.frame_num,
+                           qp=qp, num_ref=1, num_ref_l1=1,
+                           poc_lsb=poc_cur, is_ref=False)
+        payload, total = merge_mb_strings(words, nbits)
+        append_payload(bs, payload, total)
+        coded = mb_class != 3
+        trailing = int(n - 1 - (np.nonzero(coded)[0][-1]
+                                if coded.any() else -1))
+        if trailing:
+            bs.ue(trailing)
+        data = wrap_slice_nal(bs.to_rbsp(), False, is_ref=False)
+
+        # deblocked recon for output/verification (B is not a reference)
+        ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
+        if self.p.deblock:
+            qpc = int(CHROMA_QP_TABLE[min(max(
+                qp + self.p.chroma_qp_offset, 0), 51)])
+            ry, ru, rv = deblock_core_b(
+                ry, ru, rv, out["luma_nnz"], out["mv0"], out["mv1"],
+                out["any0"], out["any1"],
+                jnp.full(n, qp, jnp.int32), jnp.full(n, qpc, jnp.int32),
+                np.int32(self.p.deblock_alpha * 2),
+                np.int32(self.p.deblock_beta * 2), mbw=mbw, mbh=mbh)
+        self.last_recon = ReconFrame(ry, ru, rv)
+        self.stats.append(FrameStats("B", len(data) * 8, qp))
+        self._record_stats("B", qp, len(data) * 8,
+                           int(blob[:, n_words + 2].astype(np.int64).sum()),
+                           np.where(mb_class == 3, 3, 2))
+        return data
+
     def encode_pipelined(self, fr: Frame420) -> bytes:
         """Submit this frame, return the PREVIOUS frame's bytes (b"" for
         the first call).  Overlaps device compute with host finalization —
@@ -425,11 +572,14 @@ class Encoder:
         return self._finalize_device(prev) if prev is not None else b""
 
     def flush(self) -> bytes:
-        if getattr(self, "_pending", None) is None:
-            return b""
-        job = self._pending
-        self._pending = None
-        return self._finalize_device(job)
+        out = b""
+        if self.p.bframes > 0 and self._bq:
+            out += self._flush_bq()
+        if getattr(self, "_pending", None) is not None:
+            job = self._pending
+            self._pending = None
+            out += self._finalize_device(job)
+        return out
 
     _pending = None
 
@@ -508,6 +658,8 @@ class Encoder:
         return "P"
 
     def encode(self, fr: Frame420) -> bytes:
+        if self.p.bframes > 0:
+            return self._encode_bgop(fr)
         y, u, v = self._pad(fr)
         ftype = self._decide_type()
         qp = self._qp_for_frame(ftype)

@@ -56,7 +56,10 @@ def sps_from_params(p: EncoderParams) -> SpsInfo:
     return SpsInfo(
         profile_idc=p.profile_idc,
         level_idc=level,
-        num_ref_frames=p.ref_frames,
+        # poc_type 2 forbids reordering; B frames need explicit POC, and
+        # both anchors must survive in the decoder DPB (sliding window)
+        poc_type=0 if p.bframes else 2,
+        num_ref_frames=max(p.ref_frames, 2) if p.bframes else p.ref_frames,
         mb_width=p.mb_width,
         mb_height=p.mb_height,
         crop_right=p.mb_width * 16 - p.width,
@@ -124,7 +127,9 @@ def write_pps(p: EncoderParams) -> bytes:
 def write_slice_header(bs: BitWriter, p: EncoderParams, sps: SpsInfo, *,
                        slice_type: int, idr: bool, frame_num: int,
                        idr_pic_id: int = 0, first_mb: int = 0,
-                       qp: int | None = None, num_ref: int = 1) -> None:
+                       qp: int | None = None, num_ref: int = 1,
+                       poc_lsb: int = 0, num_ref_l1: int = 1,
+                       is_ref: bool = True) -> None:
     """Appends slice_header() bits to bs. Caller wraps into a NAL."""
     bs.ue(first_mb)
     bs.ue(slice_type + 5)                   # "all slices same type" variant
@@ -132,17 +137,27 @@ def write_slice_header(bs: BitWriter, p: EncoderParams, sps: SpsInfo, *,
     bs.put(sps.log2_max_frame_num, frame_num)
     if idr:
         bs.ue(idr_pic_id)
-    if slice_type == SLICE_P:
-        override = 1 if num_ref != p.ref_frames else 0
+    if sps.poc_type == 0:
+        bs.put(sps.log2_max_frame_num, poc_lsb)
+    if slice_type == SLICE_B:
+        bs.put1(0)                          # direct_spatial_mv_pred: temporal
+    if slice_type in (SLICE_P, SLICE_B):
+        override = 1 if (num_ref != p.ref_frames
+                         or (slice_type == SLICE_B and num_ref_l1 != 1)) \
+            else 0
         bs.put1(override)
         if override:
             bs.ue(num_ref - 1)
+            if slice_type == SLICE_B:
+                bs.ue(num_ref_l1 - 1)
         bs.put1(0)                          # ref_pic_list_modification_flag_l0
-    # dec_ref_pic_marking (all frames are references in round 1)
+        if slice_type == SLICE_B:
+            bs.put1(0)                      # ref_pic_list_modification_flag_l1
+    # dec_ref_pic_marking (reference pictures only)
     if idr:
         bs.put1(0)                          # no_output_of_prior_pics
         bs.put1(0)                          # long_term_reference_flag
-    else:
+    elif is_ref:
         bs.put1(0)                          # adaptive_ref_pic_marking_mode
     if p.cabac and slice_type != SLICE_I:
         bs.ue(0)                            # cabac_init_idc
@@ -157,6 +172,7 @@ def write_slice_header(bs: BitWriter, p: EncoderParams, sps: SpsInfo, *,
         bs.ue(1)                            # disable deblocking
 
 
-def wrap_slice_nal(rbsp: bytes, idr: bool) -> bytes:
+def wrap_slice_nal(rbsp: bytes, idr: bool, is_ref: bool = True) -> bytes:
     return make_nal(NAL_SLICE_IDR if idr else NAL_SLICE,
-                    NAL_PRIORITY_HIGHEST if idr else 2, rbsp)
+                    NAL_PRIORITY_HIGHEST if idr else (2 if is_ref else 0),
+                    rbsp)

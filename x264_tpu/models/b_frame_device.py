@@ -1,0 +1,182 @@
+"""B-frame device model: bi-predictive 16x16 encoding with TEMPORAL
+direct mode — the TPU-first B design.
+
+x264 defaults to spatial direct, whose MV derivation reads the *current*
+frame's neighbour MVs (a raster dependency chain when neighbours are
+themselves direct-coded).  Temporal direct (8.4.1.2.3) derives every MB's
+direct MVs from the COLOCATED macroblock of the future reference — a pure
+per-MB function of the already-encoded L1 picture's motion field — so the
+entire B frame stays one batched program (the slice header signals
+direct_spatial_mv_pred_flag = 0, which x264 also supports via
+--direct temporal).
+
+Coverage: one reference per list (L0 = past anchor, L1 = future anchor),
+mb types B_Direct_16x16 / B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 / B_Skip,
+CAVLC.  Parity anchors: encoder/slicetype + analyse.c B paths,
+common/mvpred.c direct derivation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
+from x264_tpu.models.inter_frame import PAD
+from x264_tpu.models.residual_device import encode_chroma, encode_p_luma
+from x264_tpu.ops.device import header as dheader
+from x264_tpu.ops.device import pixel as P
+from x264_tpu.ops.device import transform as T
+from x264_tpu.ops.device.bitpack import pack_tokens
+from x264_tpu.ops.device.cavlc import residual_slots
+from x264_tpu.ops.device.mc import (
+    hpel_planes as mc_hpel_planes,
+    mc_chroma,
+    mc_luma_qpel,
+)
+from x264_tpu.ops.device.me import (
+    full_search_16x16,
+    mv_bits_arr,
+    subpel_refine,
+)
+
+_CHROMA_QP = jnp.asarray(CHROMA_QP_TABLE.astype(np.int32))
+
+
+def _pad_edge(p, pad):
+    return jnp.pad(p, pad, mode="edge")
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mbw", "mbh", "me_range", "cqp_off",
+                                    "n_words", "subpel"))
+def b_frame_core(y, u, v,
+                 l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
+                 col_mv, col_intra, dist_scale, qp, lam,
+                 mbw: int, mbh: int, me_range: int, cqp_off: int,
+                 n_words: int = 24, subpel: int = 2):
+    """Encode one B frame.  col_mv (N,2): the L1 anchor's per-MB motion
+    field; col_intra (N,) bool; dist_scale: temporal-direct
+    DistScaleFactor (8.4.1.2.3), traced int32."""
+    n = mbw * mbh
+    qp = jnp.broadcast_to(jnp.asarray(qp, jnp.int32).reshape(-1), (n,))
+    qpc = _CHROMA_QP[jnp.clip(qp + cqp_off, 0, 51)]
+
+    l0y = _pad_edge(l0_y, PAD)
+    l1y = _pad_edge(l1_y, PAD)
+    src_mbs = T.plane_to_mbs(y.astype(jnp.int32), mbh, mbw, 16)
+
+    # ---- temporal direct MVs (8.4.1.2.3) ----
+    mvcol = jnp.where(col_intra[:, None], 0, col_mv.astype(jnp.int32))
+    dmv0 = (dist_scale * mvcol + 128) >> 8
+    dmv1 = dmv0 - mvcol
+    # clamp into the reachable window (interp padding safety)
+    lim = 4 * (me_range + 3)
+    dmv0 = jnp.clip(dmv0, -lim, lim)
+    dmv1 = jnp.clip(dmv1, -lim, lim)
+
+    # ---- per-list ME ----
+    planes0 = mc_hpel_planes(l0y)
+    planes1 = mc_hpel_planes(l1y)
+
+    def me(plane_pad, planes):
+        mv, cost = full_search_16x16(y, plane_pad, lam, me_range=me_range,
+                                     mbw=mbw, mbh=mbh)
+        if subpel > 0:
+            mv, cost = subpel_refine(src_mbs, planes, mv, lam, me_range,
+                                     subpel, mbw, mbh)
+        return mv, cost
+
+    mv0, cost0 = me(l0y, planes0)
+    mv1, cost1 = me(l1y, planes1)
+
+    pred0 = mc_luma_qpel(planes0, mv0, mbw, mbh, PAD)
+    pred1 = mc_luma_qpel(planes1, mv1, mbw, mbh, PAD)
+    pred_bi = (pred0 + pred1 + 1) >> 1
+    pd0 = mc_luma_qpel(planes0, dmv0, mbw, mbh, PAD)
+    pd1 = mc_luma_qpel(planes1, dmv1, mbw, mbh, PAD)
+    pred_dir = (pd0 + pd1 + 1) >> 1
+
+    off = 4 * me_range + 4
+    bits = jnp.asarray(mv_bits_arr(off).astype(np.int32))
+
+    def mvcost(mv, mvp):
+        d0 = jnp.clip(mv[:, 0] - mvp[:, 0], -off + 1, off - 1)
+        d1 = jnp.clip(mv[:, 1] - mvp[:, 1], -off + 1, off - 1)
+        return lam * (bits[d0 + off] + bits[d1 + off])
+
+    # mode decision (SATD + mv bits + ue(mb_type) bits, analyse.c B path)
+    cost_dir = P.satd(src_mbs, pred_dir) + lam * 1
+    cost_bi = (P.satd(src_mbs, pred_bi) + (cost0 - P.satd(src_mbs, pred0))
+               + (cost1 - P.satd(src_mbs, pred1)) + lam * 5)
+    costs = jnp.stack([cost_dir, cost0 + lam * 3, cost1 + lam * 3, cost_bi])
+    bmode = jnp.argmin(costs, axis=0).astype(jnp.int32)
+
+    use0 = (bmode == dheader.B_L0) | (bmode == dheader.B_BI)
+    use1 = (bmode == dheader.B_L1) | (bmode == dheader.B_BI)
+    fmv0 = jnp.where(use0[:, None], mv0, dmv0)
+    fmv1 = jnp.where(use1[:, None], mv1, dmv1)
+    any0 = use0 | (bmode == dheader.B_DIRECT)
+    any1 = use1 | (bmode == dheader.B_DIRECT)
+
+    pred = jnp.where((bmode == dheader.B_DIRECT)[:, None, None], pred_dir,
+           jnp.where((bmode == dheader.B_L0)[:, None, None], pred0,
+           jnp.where((bmode == dheader.B_L1)[:, None, None], pred1,
+                     pred_bi)))
+
+    recon_y_mbs, ac_zz, nnz, cbp_l = encode_p_luma(src_mbs, pred, qp)
+
+    # chroma: per-list MC at the final mvs, averaged per mode
+    l0u = _pad_edge(l0_u, PAD // 2)
+    l0v = _pad_edge(l0_v, PAD // 2)
+    l1u = _pad_edge(l1_u, PAD // 2)
+    l1v = _pad_edge(l1_v, PAD // 2)
+    cu0 = mc_chroma(l0u, fmv0, mbw, mbh, PAD // 2)
+    cv0 = mc_chroma(l0v, fmv0, mbw, mbh, PAD // 2)
+    cu1 = mc_chroma(l1u, fmv1, mbw, mbh, PAD // 2)
+    cv1 = mc_chroma(l1v, fmv1, mbw, mbh, PAD // 2)
+    both = (any0 & any1)[:, None, None]
+    cpred_u = jnp.where(both, (cu0 + cu1 + 1) >> 1,
+                        jnp.where(any0[:, None, None], cu0, cu1))
+    cpred_v = jnp.where(both, (cv0 + cv1 + 1) >> 1,
+                        jnp.where(any0[:, None, None], cv0, cv1))
+    src_u = T.plane_to_mbs(u.astype(jnp.int32), mbh, mbw, 8)
+    src_v = T.plane_to_mbs(v.astype(jnp.int32), mbh, mbw, 8)
+    ru_mbs, rv_mbs, cdc, cac, cnnz, cbp_c = encode_chroma(
+        src_u, src_v, cpred_u, cpred_v, qpc, intra=False)
+
+    res_vals, res_lens = residual_slots(
+        jnp.zeros((n, 16), jnp.int32), ac_zz, nnz, cdc, cac, cnnz,
+        cbp_l, cbp_c, jnp.zeros(n, bool), mbw, mbh)
+
+    # ---- mvd vs per-list median MVP; skip = direct + no residual ----
+    mvp0 = dheader.mvp_for_list(fmv0, any0, mbw, mbh)
+    mvp1 = dheader.mvp_for_list(fmv1, any1, mbw, mbh)
+    mvd0 = jnp.where(use0[:, None], mv0 - mvp0, 0)
+    mvd1 = jnp.where(use1[:, None], mv1 - mvp1, 0)
+    is_skip = (bmode == dheader.B_DIRECT) & (cbp_l == 0) & (cbp_c == 0)
+
+    hv, hl = dheader.header_slots_b(bmode, is_skip, mvd0, mvd1,
+                                    cbp_l, cbp_c, qp)
+    words, nbits = pack_tokens(jnp.concatenate([hv, res_vals], axis=1),
+                               jnp.concatenate([hl, res_lens], axis=1),
+                               n_words)
+
+    mb_class = jnp.where(is_skip, 3, 2).astype(jnp.int32)  # skip / coded
+    host_blob = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(words, jnp.int32),
+         nbits[:, None], mb_class[:, None],
+         jnp.minimum(cost0, cost1)[:, None]], axis=1)
+
+    return dict(
+        words=words, nbits=nbits, mb_class=mb_class, host_blob=host_blob,
+        bmode=bmode, mv0=fmv0, mv1=fmv1, any0=any0, any1=any1,
+        luma_nnz=nnz, cbp_luma=cbp_l, cbp_chroma=cbp_c, qp_mb=qp,
+        mb_cost=jnp.minimum(cost0, cost1),
+        recon_y=T.mbs_to_plane(recon_y_mbs, mbh, mbw, 16).astype(jnp.uint8),
+        recon_u=T.mbs_to_plane(ru_mbs, mbh, mbw, 8).astype(jnp.uint8),
+        recon_v=T.mbs_to_plane(rv_mbs, mbh, mbw, 8).astype(jnp.uint8),
+    )

@@ -73,6 +73,50 @@ def bs_grids(mb_intra, luma_nnz, mv, ref, mbw: int, mbh: int):
     return one_dir(1), one_dir(0)
 
 
+def bs_grids_b(luma_nnz, mv0, mv1, any0, any1, mbw: int, mbh: int):
+    """Boundary strengths for an all-inter B frame (8.7.2.1 B rules):
+    our B MBs use one ref per list and L0pic != L1pic, so the reference
+    SETS are characterised by the (uses L0, uses L1) flag pair and the
+    swapped-assignment case cannot occur."""
+    gh, gw = 4 * mbh, 4 * mbw
+    nnz = (luma_nnz.reshape(mbh, mbw, 4, 4).transpose(0, 2, 1, 3)
+           .reshape(gh, gw))
+
+    def rep(x):
+        return jnp.repeat(jnp.repeat(x.reshape(mbh, mbw, *x.shape[1:]),
+                                     4, 0), 4, 1)
+
+    m0 = rep(mv0)
+    m1 = rep(mv1)
+    a0 = rep(any0.astype(jnp.int32))
+    a1 = rep(any1.astype(jnp.int32))
+    col = jnp.arange(gw)[None, :]
+    row = jnp.arange(gh)[:, None]
+
+    def one_dir(axis):
+        if axis == 1:
+            def sh(x):
+                pad = [(0, 0)] * x.ndim
+                pad[1] = (1, 0)
+                return jnp.pad(x[:, :-1], pad)
+            exists = col > 0
+        else:
+            def sh(x):
+                pad = [(0, 0)] * x.ndim
+                pad[0] = (1, 0)
+                return jnp.pad(x[:-1], pad)
+            exists = row > 0
+        nz = (nnz > 0) | (sh(nnz) > 0)
+        set_diff = (a0 != sh(a0)) | (a1 != sh(a1))
+        d0 = (jnp.abs(m0 - sh(m0)) >= 4).any(-1) & (a0 > 0)
+        d1 = (jnp.abs(m1 - sh(m1)) >= 4).any(-1) & (a1 > 0)
+        bs = jnp.where(nz, 2,
+                       jnp.where(set_diff | d0 | d1, 1, 0))
+        return jnp.where(exists, bs, 0).astype(jnp.int32)
+
+    return one_dir(1), one_dir(0)
+
+
 def _luma_filter(p3, p2, p1, p0, q0, q1, q2, q3, bs, qp_av, off_a, off_b):
     """Normative luma edge filter on L parallel lines (8.7.2.2/.3)."""
     idx_a = jnp.clip(qp_av + off_a, 0, 51)
@@ -210,10 +254,25 @@ def deblock_core(y, u, v, mb_intra, luma_nnz, mv, ref, qp_mb, qpc_mb,
     dynamic-update-slices (no scatter, no per-lane vmap).  Bit-exact vs
     the MB-raster reference (wavefront schedule preserves the spec's
     read-after-write order; see module docstring)."""
+    bs_v, bs_h = bs_grids(mb_intra, luma_nnz, mv, ref, mbw, mbh)
+    return _deblock_filter(y, u, v, bs_v, bs_h, qp_mb, qpc_mb,
+                           off_a, off_b, mbw=mbw, mbh=mbh)
+
+
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh"))
+def deblock_core_b(y, u, v, luma_nnz, mv0, mv1, any0, any1, qp_mb, qpc_mb,
+                   off_a, off_b, mbw: int, mbh: int):
+    """B-frame variant: strengths from the two-list rules."""
+    bs_v, bs_h = bs_grids_b(luma_nnz, mv0, mv1, any0, any1, mbw, mbh)
+    return _deblock_filter(y, u, v, bs_v, bs_h, qp_mb, qpc_mb,
+                           off_a, off_b, mbw=mbw, mbh=mbh)
+
+
+def _deblock_filter(y, u, v, bs_v, bs_h, qp_mb, qpc_mb,
+                    off_a, off_b, mbw: int, mbh: int):
     h, w = mbh * 16, mbw * 16
     n_steps = mbw + 2 * mbh - 2
     i32 = jnp.int32
-    bs_v, bs_h = bs_grids(mb_intra, luma_nnz, mv, ref, mbw, mbh)
 
     wsk_y = 16 * mbw + 32 * mbh + 24
     wsk_c = 8 * mbw + 16 * mbh + 12

@@ -183,3 +183,106 @@ def header_slots(mb_class, i16_mode, chroma_mode, mvd, cbp_luma, cbp_chroma,
     hl[7] = jnp.where(emits, ln, 0)
 
     return jnp.stack(hv, axis=1), jnp.stack(hl, axis=1)
+
+
+# B-frame 16x16 modes (internal enumeration == CAVLC mb_type values)
+B_DIRECT, B_L0, B_L1, B_BI = 0, 1, 2, 3
+
+
+def header_slots_b(bmode, is_skip, mvd0, mvd1, cbp_luma, cbp_chroma, qp_mb):
+    """Per-MB B-slice header codes (one ref per list, 16x16 partitions):
+    [skip_run, mb_type, mvd0x, mvd0y, mvd1x, mvd1y, cbp, qp_delta].
+    bmode (N,) in {B_DIRECT,B_L0,B_L1,B_BI}; is_skip (N,) bool (direct +
+    no residual).  Returns (hvals, hlens) (N,8) int32."""
+    n = bmode.shape[0]
+    coded = ~is_skip
+    cbp_l = cbp_luma.astype(jnp.int32)
+    cbp_c = cbp_chroma.astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    hv = [jnp.zeros(n, jnp.int32) for _ in range(8)]
+    hl = [jnp.zeros(n, jnp.int32) for _ in range(8)]
+
+    marker = jnp.where(coded, idx, -1)
+    run_max = jax.lax.cummax(marker)
+    prev_coded = jnp.concatenate([jnp.array([-1], jnp.int32), run_max[:-1]])
+    v, ln = ue_codes(idx - prev_coded - 1)
+    hv[0] = v
+    hl[0] = jnp.where(coded, ln, 0)
+
+    v, ln = ue_codes(bmode.astype(jnp.int32))
+    hv[1] = v
+    hl[1] = jnp.where(coded, ln, 0)
+
+    use0 = coded & ((bmode == B_L0) | (bmode == B_BI))
+    use1 = coded & ((bmode == B_L1) | (bmode == B_BI))
+    for c in range(2):
+        v, ln = se_codes(mvd0[:, c])
+        hv[2 + c] = jnp.where(use0, v, 0)
+        hl[2 + c] = jnp.where(use0, ln, 0)
+        v, ln = se_codes(mvd1[:, c])
+        hv[4 + c] = jnp.where(use1, v, 0)
+        hl[4 + c] = jnp.where(use1, ln, 0)
+
+    v, ln = ue_codes(_CBP2G[0, (cbp_c << 4) | cbp_l])
+    hv[6] = v
+    hl[6] = jnp.where(coded, ln, 0)
+
+    emits = coded & ((cbp_l != 0) | (cbp_c != 0))
+    qp = qp_mb.astype(jnp.int32)
+    ordn = jnp.cumsum(emits.astype(jnp.int32)) - 1
+    qp_compact = jnp.zeros(n, jnp.int32).at[
+        jnp.where(emits, ordn, n)].set(qp, mode="drop")
+    prev_qp = jnp.where(ordn > 0, qp_compact[jnp.maximum(ordn - 1, 0)], qp[0])
+    delta = qp - prev_qp
+    delta = jnp.where(delta > 25, delta - 52,
+                      jnp.where(delta < -26, delta + 52, delta))
+    v, ln = se_codes(delta)
+    hv[7] = jnp.where(emits, v, 0)
+    hl[7] = jnp.where(emits, ln, 0)
+
+    return jnp.stack(hv, axis=1), jnp.stack(hl, axis=1)
+
+
+def mvp_for_list(mv, used, mbw: int, mbh: int):
+    """Median MVP over neighbours that use this list (ref 0), 8.4.1.3.
+    mv (N,2), used (N,) bool.  Returns mvp (N,2)."""
+    m = mv.astype(jnp.int32).reshape(mbh, mbw, 2)
+    u = used.reshape(mbh, mbw)
+
+    def shifted(dy, dx):
+        mvn = jnp.zeros_like(m)
+        un = jnp.zeros_like(u)
+        av = jnp.zeros((mbh, mbw), bool)
+        ys = slice(max(dy, 0), mbh + min(dy, 0))
+        xs = slice(max(dx, 0), mbw + min(dx, 0))
+        yd = slice(max(-dy, 0), mbh + min(-dy, 0))
+        xd = slice(max(-dx, 0), mbw + min(-dx, 0))
+        mvn = mvn.at[yd, xd].set(m[ys, xs])
+        un = un.at[yd, xd].set(u[ys, xs])
+        av = av.at[yd, xd].set(True)
+        return mvn, un, av
+
+    mva, ua, av_a = shifted(0, -1)
+    mvb, ub, av_b = shifted(-1, 0)
+    mvc, uc, av_c = shifted(-1, 1)
+    mvd_, ud_, av_d = shifted(-1, -1)
+    use_d = ~av_c
+    mvc = jnp.where(use_d[..., None], mvd_, mvc)
+    uc = jnp.where(use_d, ud_, uc)
+    av_c = jnp.where(use_d, av_d, av_c)
+
+    ua = ua & av_a
+    ub = ub & av_b
+    uc = uc & av_c
+    # 8.4.1.3.2: a neighbour not using this list contributes mv 0
+    za = mva * ua[..., None]
+    zb = mvb * ub[..., None]
+    zc = mvc * uc[..., None]
+    med = jnp.sort(jnp.stack([za, zb, zc], axis=0), axis=0)[1]
+    only_a = av_a & ~av_b & ~av_c
+    one = (ua.astype(jnp.int32) + ub + uc) == 1
+    one_mv = za + zb + zc
+    mvp = jnp.where(only_a[..., None], za,
+                    jnp.where(one[..., None], one_mv, med))
+    return mvp.reshape(-1, 2)

@@ -120,7 +120,11 @@ class EncoderParams:
         if p.qp_min > p.qp:
             p = p.clone(qp_min=p.qp)
         if p.bframes:
-            raise NotImplementedError("B-frames land in a later round")
+            assert p.ref_frames == 1, "bframes requires ref_frames=1 (r2)"
+            assert not p.cabac, "B+CABAC lands with device CABAC (r2)"
+            assert p.slices == 1, "B+slices: round 2"
+            if p.scenecut_threshold:
+                p = p.clone(scenecut_threshold=0)
         if p.cabac and p.slices > 1:
             raise NotImplementedError(
                 "multi-slice CABAC lands with device CABAC (round 2)")
