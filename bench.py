@@ -27,15 +27,24 @@ QP = 26
 
 
 def make_clip():
+    """Panning detailed texture + slow luminance drift: temporally
+    predictable (like real video), spatially rich (exercises residual +
+    entropy), deterministic."""
     rng = np.random.default_rng(20260816)
+    pad = 4 * N_FRAMES
+    tex = rng.integers(-24, 25, (H + pad, W + pad)).astype(np.int16)
+    tex = (tex + np.roll(tex, 1, 0) + np.roll(tex, 1, 1)
+           + np.roll(tex, (1, 1), (0, 1))) // 4          # soften a touch
     yy, xx = np.mgrid[0:H, 0:W]
     frames = []
     for t in range(N_FRAMES):
-        y = (128 + 64 * np.sin((xx + 4 * t) / 37.0)
-             * np.cos((yy - 3 * t) / 53.0)).astype(np.uint8)
-        y = y + rng.integers(0, 5, (H, W)).astype(np.uint8)
-        u = (128 + 32 * np.sin((xx[::2, ::2] + 4 * t) / 61.0)).astype(np.uint8)
-        v = (128 + 32 * np.cos((yy[::2, ::2] - 3 * t) / 59.0)).astype(np.uint8)
+        dx, dy = 3 * t, 2 * t
+        base = (128 + 60 * np.sin((xx + dx) / 41.0)
+                * np.cos((yy + dy) / 59.0))
+        y = np.clip(base + tex[dy:dy + H, dx:dx + W] + t, 0, 255
+                    ).astype(np.uint8)
+        u = (128 + 32 * np.sin((xx[::2, ::2] + dx) / 61.0)).astype(np.uint8)
+        v = (128 + 32 * np.cos((yy[::2, ::2] + dy) / 59.0)).astype(np.uint8)
         frames.append((y, u, v))
     return frames
 
@@ -52,21 +61,27 @@ def bench_ours(frames):
     from x264_tpu.utils.yuv import Frame420
 
     p = EncoderParams(width=W, height=H, qp=QP, me_range=16,
-                      backend="device", deblock=True, keyint_max=250)
+                      backend="device", deblock=True, keyint_max=250,
+                      bframes=2)
     enc = Encoder(p)
     stream = b""
-    warm = 2
+    warm = 4
     for i in range(warm):
-        stream += enc.encode_pipelined(Frame420(*frames[i]))
+        stream += enc.encode(Frame420(*frames[i]))
     t0 = time.perf_counter()
     for i in range(warm, N_FRAMES):
-        stream += enc.encode_pipelined(Frame420(*frames[i]))
+        stream += enc.encode(Frame420(*frames[i]))
     stream += enc.flush()
     dt = time.perf_counter() - t0
     fps = (N_FRAMES - warm) / dt
-    # quality: decoded (== recon) PSNR of the last frame vs source
-    r = enc.last_recon
-    py = psnr(np.asarray(r.y)[:H, :W], frames[-1][0])
+    # quality: decode and average display-order Y-PSNR vs source
+    try:
+        from x264_tpu.utils.oracle import decode_annexb
+        dec = decode_annexb(stream, W, H)
+        py = float(np.mean([psnr(dec[i][0], frames[i][0])
+                            for i in range(len(dec))]))
+    except Exception:
+        py = float("nan")
     return fps, len(stream), py, stream
 
 
@@ -102,7 +117,8 @@ def main():
             sys.path.insert(0, REPO)
             from x264_tpu.utils.oracle import decode_annexb
             dec = decode_annexb(x264_stream, W, H)
-            x264_psnr = psnr(dec[-1][0], frames[-1][0])
+            x264_psnr = float(np.mean([psnr(dec[i][0], frames[i][0])
+                                       for i in range(len(dec))]))
         except Exception:
             x264_psnr = float("nan")
         vs = ours_fps / x264_fps
