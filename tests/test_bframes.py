@@ -62,3 +62,42 @@ def test_bframes_conformance(rng, bf, keyint):
 def test_bframes_qp_extremes(rng):
     _run(rng, 6, 2, 250, 4)
     _run(rng, 6, 2, 250, 51)
+
+
+def test_bframes_cabac(rng):
+    """B + CABAC (main profile combination)."""
+    w, h = 96, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(8):
+        y = (120 + 70 * np.sin((xx + 5 * t) / 13.0)
+             * np.cos((yy - 3 * t) / 19.0)).astype(np.uint8)
+        y += rng.integers(0, 5, (h, w)).astype(np.uint8)
+        u = (128 + 40 * np.sin((xx[::2, ::2] + 5 * t) / 23.0)).astype(np.uint8)
+        v = (128 + 40 * np.cos((yy[::2, ::2] + 7 * t) / 29.0)).astype(np.uint8)
+        frames.append(Frame420(y, u, v))
+    enc = Encoder(EncoderParams(width=w, height=h, qp=26, me_range=8,
+                                backend="device", bframes=2, cabac=True,
+                                keyint_max=250))
+    recs = {}
+    _b, _a = enc._encode_bframe, enc._encode_anchor
+
+    def spyb(fr, d, prev, nxt):
+        data = _b(fr, d, prev, nxt)
+        r = enc.last_recon
+        recs[d] = (np.asarray(r.y), np.asarray(r.u))
+        return data
+
+    def spya(fr, d, ftype):
+        data = _a(fr, d, ftype)
+        r = enc.last_recon
+        recs[d] = (np.asarray(r.y), np.asarray(r.u))
+        return data
+
+    enc._encode_bframe, enc._encode_anchor = spyb, spya
+    stream = b"".join(enc.encode(f) for f in frames) + enc.flush()
+    dec = decode_annexb(stream, w, h)
+    assert len(dec) == 8
+    for d in range(8):
+        assert np.array_equal(dec[d][0], recs[d][0][:h, :w])
+        assert np.array_equal(dec[d][1], recs[d][1][:h // 2, :w // 2])

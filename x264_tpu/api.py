@@ -455,10 +455,25 @@ class Encoder:
         return out
 
     def _encode_anchor(self, fr: Frame420, disp: int, ftype: str) -> bytes:
+        import jax.numpy as jnp
+
         y, u, v = self._pad(fr)
         if ftype == "IDR":
             self.frame_num = 0
         qp = self._qp_for_frame(ftype)
+        if self.p.cabac or self.p.backend in ("reference",
+                                              "device_host_entropy"):
+            out_bytes = b""
+            if ftype == "IDR" and self.p.repeat_headers:
+                out_bytes += self.headers()
+            out_bytes += self._encode_frame_syn(
+                y, u, v, ftype, qp, poc_lsb=self._poc_lsb(disp))
+            rec = self.dpb[0]
+            rec.poc = self._poc_lsb(disp)
+            syn = self._last_syn
+            rec.col_mv = jnp.asarray(syn.mv.astype(np.int32))
+            rec.col_intra = jnp.asarray(syn.mb_class == 0)
+            return out_bytes
         job = self._submit_device(y, u, v, ftype, qp)
         job["poc_lsb"] = self._poc_lsb(disp)
         # stash the colocated motion field for temporal direct
@@ -469,7 +484,6 @@ class Encoder:
             rec.col_mv = out["mv"]
             rec.col_intra = out["mb_class"] == 0
         else:
-            import jax.numpy as jnp
             n = job["mbw"] * job["mbh"]
             rec.col_mv = jnp.zeros((n, 2), jnp.int32)
             rec.col_intra = jnp.ones(n, bool)
@@ -531,14 +545,35 @@ class Encoder:
                            idr=False, frame_num=self.frame_num,
                            qp=qp, num_ref=1, num_ref_l1=1,
                            poc_lsb=poc_cur, is_ref=False)
-        payload, total = merge_mb_strings(words, nbits)
-        append_payload(bs, payload, total)
-        coded = mb_class != 3
-        trailing = int(n - 1 - (np.nonzero(coded)[0][-1]
-                                if coded.any() else -1))
-        if trailing:
-            bs.ue(trailing)
-        data = wrap_slice_nal(bs.to_rbsp(), False, is_ref=False)
+        if self.p.cabac:
+            from x264_tpu.bitstream.cabac_host import write_slice_cabac
+            from x264_tpu.models.syntax import empty_syntax
+            syn = empty_syntax(mbw, mbh)
+            syn.mb_class[:] = mb_class
+            syn.mvd[:] = np.asarray(out["mvd0"])
+            syn.cbp_luma[:] = np.asarray(out["cbp_luma"])
+            syn.cbp_chroma[:] = np.asarray(out["cbp_chroma"])
+            syn.qp[:] = qp
+            syn.luma_ac[:] = np.asarray(out["luma_ac"])
+            syn.chroma_dc[:] = np.asarray(out["chroma_dc"])
+            syn.chroma_ac[:] = np.asarray(out["chroma_ac"])
+            pad = (-bs.bit_length) % 8
+            if pad:
+                bs.put(pad, (1 << pad) - 1)
+            payload = write_slice_cabac(
+                syn, SLICE_B, qp, bmode=np.asarray(out["bmode"]),
+                mvd1=np.asarray(out["mvd1"]))
+            data = wrap_slice_nal(bs.to_bytes_aligned() + payload, False,
+                                  is_ref=False)
+        else:
+            payload, total = merge_mb_strings(words, nbits)
+            append_payload(bs, payload, total)
+            coded = mb_class != 3
+            trailing = int(n - 1 - (np.nonzero(coded)[0][-1]
+                                    if coded.any() else -1))
+            if trailing:
+                bs.ue(trailing)
+            data = wrap_slice_nal(bs.to_rbsp(), False, is_ref=False)
 
         # deblocked recon for output/verification (B is not a reference)
         ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
@@ -677,7 +712,14 @@ class Encoder:
                 "mixing encode() and encode_pipelined(); flush() first"
             job = self._submit_device(y, u, v, ftype, qp)
             return self._finalize_device(job)
+        return out + self._encode_frame_syn(y, u, v, ftype, qp)
 
+    def _encode_frame_syn(self, y, u, v, ftype, qp, poc_lsb=0):
+        """Syntax-tensor encode path (reference backend / CABAC /
+        device_host_entropy): full FrameSyntax on host, host slice
+        writers.  Returns the frame's slice bytes (no SPS/PPS)."""
+        out = b""
+        use_device = self._use_device()
         mbw, mbh = (y.shape[1] // 16, y.shape[0] // 16)
         if self.p.aq_mode:
             qp_arr = self._aq_qp(qp, y, u, v, mbw, mbh)
@@ -733,7 +775,7 @@ class Encoder:
         write_slice_header(bs, self.p, self.sps, slice_type=slice_type,
                            idr=idr, frame_num=self.frame_num,
                            idr_pic_id=self.idr_pic_id, qp=slice_qp,
-                           num_ref=1)
+                           num_ref=1, poc_lsb=poc_lsb)
         if self.p.cabac:
             from x264_tpu.bitstream.cabac_host import write_slice_cabac
             pad = (-bs.bit_length) % 8
@@ -783,6 +825,7 @@ class Encoder:
         cost = int(syn.mb_cost.sum()) if syn.mb_cost is not None else 0
         self.rc.update(ftype, len(out) * 8, cost)
         self._record_stats(ftype, qp, len(out) * 8, cost, syn.mb_class)
+        self._last_syn = syn
         return out
 
     def close(self) -> dict:

@@ -36,6 +36,7 @@ def _lib():
             ctypes.c_int,
             i32p, i32p, i32p, i32p, i32p, i32p, i32p,
             i16p, i16p, i16p, i16p,
+            i32p, i32p,
             u8p, ctypes.c_long,
         ]
         _LIB = lib
@@ -43,19 +44,25 @@ def _lib():
 
 
 def write_slice_cabac(syn, slice_type: int, slice_qp: int,
-                      init_idc: int = 0) -> bytes:
+                      init_idc: int = 0, bmode=None, mvd1=None) -> bytes:
     """Encode slice_data() with CABAC from a FrameSyntax.  Returns the
     byte-aligned payload (starts after cabac_alignment_one_bit, ends with
-    the rbsp stop bit)."""
-    from x264_tpu.bitstream.slice_writer import SLICE_P
+    the rbsp stop bit).  For B slices pass bmode (N,) and mvd1 (N,2)."""
+    from x264_tpu.bitstream.slice_writer import SLICE_B, SLICE_P
 
     n = syn.n_mbs
     cap = 1024 + n * 512
     out = np.zeros(cap, np.uint8)
     c = np.ascontiguousarray
+    kind = (2 if slice_type == SLICE_B
+            else 1 if slice_type == SLICE_P else 0)
+    if bmode is None:
+        bmode = np.zeros(n, np.int32)
+    if mvd1 is None:
+        mvd1 = np.zeros((n, 2), np.int32)
 
     sz = _lib().encode_slice_cabac(
-        syn.mb_width, syn.mb_height, 1 if slice_type == SLICE_P else 0,
+        syn.mb_width, syn.mb_height, kind,
         int(slice_qp), init_idc,
         c(syn.mb_class.astype(np.int32)),
         c(syn.i16_mode.astype(np.int32)),
@@ -68,6 +75,8 @@ def write_slice_cabac(syn, slice_type: int, slice_qp: int,
         c(syn.luma_ac.astype(np.int16)),
         c(syn.chroma_dc.astype(np.int16)),
         c(syn.chroma_ac.astype(np.int16)),
+        c(np.asarray(bmode).astype(np.int32)),
+        c(np.asarray(mvd1).astype(np.int32)),
         out, cap)
     if sz < 0:
         raise RuntimeError("CABAC buffer overflow")

@@ -174,6 +174,8 @@ def b_frame_core(y, u, v,
     return dict(
         words=words, nbits=nbits, mb_class=mb_class, host_blob=host_blob,
         bmode=bmode, mv0=fmv0, mv1=fmv1, any0=any0, any1=any1,
+        mvd0=mvd0, mvd1=mvd1,
+        luma_ac=ac_zz, chroma_dc=cdc, chroma_ac=cac, chroma_nnz=cnnz,
         luma_nnz=nnz, cbp_luma=cbp_l, cbp_chroma=cbp_c, qp_mb=qp,
         mb_cost=jnp.minimum(cost0, cost1),
         recon_y=T.mbs_to_plane(recon_y_mbs, mbh, mbw, 16).astype(jnp.uint8),

@@ -221,10 +221,12 @@ typedef struct {
     int mbw, mbh, n;
     const int32_t *cls, *i16m, *chm, *mvd, *cbpl, *cbpc, *qp;
     const int16_t *ldc, *lac, *cdc, *cac;
+    const int32_t *bmode, *mvd1;   /* B slices only */
     uint8_t *nnz;        /* (4mbh,4mbw) luma block cbf/nnz */
     uint8_t *cnnz[2];    /* (2mbh,2mbw) chroma AC cbf */
     uint8_t *dccbf;      /* (N,3): luma DC, chroma U DC, V DC cbf */
-    uint8_t *amvd;       /* (N,2) capped |mvd| */
+    uint8_t *amvd;       /* (N,2) capped |mvd| (list0) */
+    uint8_t *amvd1;      /* (N,2) capped |mvd| (list1) */
 } frame_t;
 
 static int mb_intra(const frame_t *f, int mb) { return f->cls[mb] == CLS_I16; }
@@ -440,26 +442,186 @@ static void write_mb(cab_t *c, frame_t *f, int mb, int is_p,
 #undef NNZ_T
 }
 
+/* ---- B-slice MB syntax (temporal direct, one ref per list, 16x16) ---- */
+#define BM_DIRECT 0
+#define BM_L0 1
+#define BM_L1 2
+#define BM_BI 3
+
+static void write_mb_b(cab_t *c, frame_t *f, int mb,
+                       int *last_qp, int *last_dqp)
+{
+    int mbx = mb % f->mbw, mby = mb / f->mbw;
+    int has_l = mbx > 0, has_t = mby > 0;
+    int mbl = mb - 1, mbt = mb - f->mbw;
+    int mode = f->bmode[mb];
+    int cbp_l = f->cbpl[mb], cbp_c = f->cbpc[mb];
+    int gx = 4 * mbx, gy = 4 * mby, gw = 4 * f->mbw;
+    int cgx = 2 * mbx, cgy = 2 * mby, cgw = 2 * f->mbw;
+
+    /* mb_type: bin0 ctx from neighbours not direct/skip */
+    int ctx = 0;
+    if (has_l && !(f->cls[mbl] == CLS_SKIP || f->bmode[mbl] == BM_DIRECT))
+        ctx++;
+    if (has_t && !(f->cls[mbt] == CLS_SKIP || f->bmode[mbt] == BM_DIRECT))
+        ctx++;
+    if (mode == BM_DIRECT) {
+        enc_dec(c, 27 + ctx, 0);
+    } else {
+        enc_dec(c, 27 + ctx, 1);
+        int bits = mode == BM_L0 ? 0x4 : mode == BM_L1 ? 0x6 : 0x21;
+        enc_dec(c, 27 + 3, bits & 1);
+        enc_dec(c, 27 + 5 - (bits & 1), (bits >> 1) & 1);
+        bits >>= 2;
+        if (bits != 1) {
+            enc_dec(c, 27 + 5, bits & 1); bits >>= 1;
+            enc_dec(c, 27 + 5, bits & 1); bits >>= 1;
+            enc_dec(c, 27 + 5, bits & 1); bits >>= 1;
+            if (bits != 1)
+                enc_dec(c, 27 + 5, bits & 1);
+        }
+        /* no ref_idx bins (one reference per list); mvd per used list */
+        int use0 = mode == BM_L0 || mode == BM_BI;
+        int use1 = mode == BM_L1 || mode == BM_BI;
+        int al = has_l && f->cls[mbl] != CLS_SKIP;
+        int at = has_t && f->cls[mbt] != CLS_SKIP;
+        if (use0) {
+            int a0 = (al ? f->amvd[2 * mbl] : 0)
+                   + (at ? f->amvd[2 * mbt] : 0);
+            int a1 = (al ? f->amvd[2 * mbl + 1] : 0)
+                   + (at ? f->amvd[2 * mbt + 1] : 0);
+            write_mvd_comp(c, 40, (a0 > 2) + (a0 > 32), f->mvd[2 * mb]);
+            write_mvd_comp(c, 47, (a1 > 2) + (a1 > 32), f->mvd[2 * mb + 1]);
+        }
+        if (use1) {
+            int a0 = (al ? f->amvd1[2 * mbl] : 0)
+                   + (at ? f->amvd1[2 * mbt] : 0);
+            int a1 = (al ? f->amvd1[2 * mbl + 1] : 0)
+                   + (at ? f->amvd1[2 * mbt + 1] : 0);
+            write_mvd_comp(c, 40, (a0 > 2) + (a0 > 32), f->mvd1[2 * mb]);
+            write_mvd_comp(c, 47, (a1 > 2) + (a1 > 32), f->mvd1[2 * mb + 1]);
+        }
+    }
+
+    /* cbp */
+    {
+        int cl = has_l ? f->cbpl[mbl] : -1;
+        int ct = has_t ? f->cbpl[mbt] : -1;
+        enc_dec(c, 76 - ((cl >> 1) & 1) - ((ct >> 1) & 2), (cbp_l >> 0) & 1);
+        enc_dec(c, 76 - ((cbp_l >> 0) & 1) - ((ct >> 2) & 2), (cbp_l >> 1) & 1);
+        enc_dec(c, 76 - ((cl >> 3) & 1) - ((cbp_l << 1) & 2), (cbp_l >> 2) & 1);
+        enc_dec(c, 76 - ((cbp_l >> 2) & 1) - ((cbp_l >> 0) & 2),
+                (cbp_l >> 3) & 1);
+        int cc = 0;
+        if (has_l && f->cbpc[mbl] > 0) cc++;
+        if (has_t && f->cbpc[mbt] > 0) cc += 2;
+        if (cbp_c == 0) {
+            enc_dec(c, 77 + cc, 0);
+        } else {
+            enc_dec(c, 77 + cc, 1);
+            cc = 4;
+            if (has_l && f->cbpc[mbl] == 2) cc++;
+            if (has_t && f->cbpc[mbt] == 2) cc += 2;
+            enc_dec(c, 77 + cc, cbp_c >> 1);
+        }
+    }
+
+    /* mb_qp_delta */
+    if (cbp_l || cbp_c) {
+        int dqp = f->qp[mb] - *last_qp;
+        if (dqp > 25) dqp -= 52;
+        else if (dqp < -26) dqp += 52;
+        int prev_res = mb > 0 && f->cls[mb - 1] != CLS_SKIP
+                       && (f->cbpl[mb - 1] || f->cbpc[mb - 1]);
+        int ctx2 = (*last_dqp != 0) && prev_res;
+        int val = dqp > 0 ? 2 * dqp - 1 : -2 * dqp;
+        for (int i = 0; i < val; i++) {
+            enc_dec(c, 60 + ctx2, 1);
+            ctx2 = 2 + (ctx2 >> 1);
+        }
+        enc_dec(c, 60 + ctx2, 0);
+        *last_qp = f->qp[mb];
+        *last_dqp = dqp;
+    } else {
+        *last_dqp = 0;
+    }
+
+    /* residuals (all inter: cats 2/3/4, b_intra = 0) */
+#define NNZ_L(ggx, ggy, grid, ggw) \
+    ((ggx) > 0 ? grid[(ggy) * (ggw) + (ggx) - 1] != 0 : 0)
+#define NNZ_T(ggx, ggy, grid, ggw) \
+    ((ggy) > 0 ? grid[((ggy) - 1) * (ggw) + (ggx)] != 0 : 0)
+    if (cbp_l) {
+        for (int b8 = 0; b8 < 4; b8++) {
+            if (!((cbp_l >> b8) & 1))
+                continue;
+            for (int k = 0; k < 4; k++) {
+                int r = (b8 >> 1) * 8 + (b8 & 1) * 2 + (k >> 1) * 4 + (k & 1);
+                int bx = gx + (r & 3), by = gy + (r >> 2);
+                int nza = NNZ_L(bx, by, f->nnz, gw);
+                int nzb = NNZ_T(bx, by, f->nnz, gw);
+                int cbf = f->nnz[by * gw + bx] != 0;
+                enc_dec(c, CBF_OFF[2] + nza + 2 * nzb, cbf);
+                if (cbf)
+                    block_residual(c, 2, f->lac + (16 * mb + r) * 16);
+            }
+        }
+    }
+    if (cbp_c) {
+        for (int pl = 0; pl < 2; pl++) {
+            int nza = has_l ? f->dccbf[3 * mbl + 1 + pl] : 0;
+            int nzb = has_t ? f->dccbf[3 * mbt + 1 + pl] : 0;
+            int cbf = f->dccbf[3 * mb + 1 + pl];
+            enc_dec(c, CBF_OFF[3] + nza + 2 * nzb, cbf);
+            if (cbf)
+                block_residual(c, 3, f->cdc + (2 * mb + pl) * 4);
+        }
+    }
+    if (cbp_c == 2) {
+        for (int pl = 0; pl < 2; pl++) {
+            for (int k = 0; k < 4; k++) {
+                int bx = cgx + (k & 1), by = cgy + (k >> 1);
+                const uint8_t *grid = f->cnnz[pl];
+                int nza = NNZ_L(bx, by, grid, cgw);
+                int nzb = NNZ_T(bx, by, grid, cgw);
+                int cbf = grid[by * cgw + bx] != 0;
+                enc_dec(c, CBF_OFF[4] + nza + 2 * nzb, cbf);
+                if (cbf)
+                    block_residual(c, 4, f->cac + ((2 * mb + pl) * 4 + k)
+                                   * 16 + 1);
+            }
+        }
+    }
+#undef NNZ_L
+#undef NNZ_T
+}
+
 /* Returns payload byte count (the stream starts byte-aligned and includes
  * the rbsp stop bit), or -1 on overflow / bad input. */
 long encode_slice_cabac(
-    int mbw, int mbh, int is_p, int slice_qp, int init_idc,
+    int mbw, int mbh, int slice_kind /*0=I,1=P,2=B*/, int slice_qp,
+    int init_idc,
     const int32_t *cls, const int32_t *i16m, const int32_t *chm,
     const int32_t *mvd, const int32_t *cbpl, const int32_t *cbpc,
     const int32_t *qp_mb,
     const int16_t *ldc, const int16_t *lac,
     const int16_t *cdc, const int16_t *cac,
+    const int32_t *bmode, const int32_t *mvd1,
     uint8_t *out, long out_cap)
 {
     int n = mbw * mbh;
+    int is_p = slice_kind == 1, is_b = slice_kind == 2;
     frame_t f = {mbw, mbh, n, cls, i16m, chm, mvd, cbpl, cbpc, qp_mb,
-                 ldc, lac, cdc, cac, NULL, {NULL, NULL}, NULL, NULL};
+                 ldc, lac, cdc, cac, bmode, mvd1,
+                 NULL, {NULL, NULL}, NULL, NULL, NULL};
     f.nnz = calloc((size_t)(16 * n), 1);
     f.cnnz[0] = calloc((size_t)(4 * n), 1);
     f.cnnz[1] = calloc((size_t)(4 * n), 1);
     f.dccbf = calloc((size_t)(3 * n), 1);
     f.amvd = calloc((size_t)(2 * n), 1);
-    if (!f.nnz || !f.cnnz[0] || !f.cnnz[1] || !f.dccbf || !f.amvd)
+    f.amvd1 = calloc((size_t)(2 * n), 1);
+    if (!f.nnz || !f.cnnz[0] || !f.cnnz[1] || !f.dccbf || !f.amvd
+        || !f.amvd1)
         return -1;
 
     int gw = 4 * mbw, cgw = 2 * mbw;
@@ -504,6 +666,13 @@ long encode_slice_cabac(
         int ay = mvd[2 * mb + 1] < 0 ? -mvd[2 * mb + 1] : mvd[2 * mb + 1];
         f.amvd[2 * mb] = (uint8_t)(ax > 66 ? 66 : ax);
         f.amvd[2 * mb + 1] = (uint8_t)(ay > 66 ? 66 : ay);
+        if (is_b && mvd1) {
+            int bx = mvd1[2 * mb] < 0 ? -mvd1[2 * mb] : mvd1[2 * mb];
+            int by = mvd1[2 * mb + 1] < 0 ? -mvd1[2 * mb + 1]
+                                          : mvd1[2 * mb + 1];
+            f.amvd1[2 * mb] = (uint8_t)(bx > 66 ? 66 : bx);
+            f.amvd1[2 * mb + 1] = (uint8_t)(by > 66 ? 66 : by);
+        }
     }
 
     cab_t c;
@@ -514,20 +683,24 @@ long encode_slice_cabac(
     c.buf = out;
     c.bitcap = out_cap * 8;
     memset(out, 0, (size_t)out_cap);
-    ctx_init(&c, !is_p, init_idc, slice_qp);
+    ctx_init(&c, slice_kind == 0, init_idc, slice_qp);
 
     int last_qp = slice_qp, last_dqp = 0;
     for (int mb = 0; mb < n; mb++) {
-        if (is_p) {
+        if (is_p || is_b) {
             int mbx = mb % mbw, mby = mb / mbw;
             int inc = (mbx > 0 && cls[mb - 1] != CLS_SKIP)
                     + (mby > 0 && cls[mb - mbw] != CLS_SKIP);
-            enc_dec(&c, 11 + inc, cls[mb] == CLS_SKIP);
+            enc_dec(&c, (is_b ? 24 : 11) + inc, cls[mb] == CLS_SKIP);
         }
-        if (cls[mb] != CLS_SKIP)
-            write_mb(&c, &f, mb, is_p, &last_qp, &last_dqp);
-        else
+        if (cls[mb] != CLS_SKIP) {
+            if (is_b)
+                write_mb_b(&c, &f, mb, &last_qp, &last_dqp);
+            else
+                write_mb(&c, &f, mb, is_p, &last_qp, &last_dqp);
+        } else {
             last_dqp = 0;
+        }
         enc_terminate(&c, mb == n - 1);
     }
 
@@ -536,6 +709,7 @@ long encode_slice_cabac(
     free(f.cnnz[1]);
     free(f.dccbf);
     free(f.amvd);
+    free(f.amvd1);
     if (c.overflow)
         return -1;
     return (c.bitpos + 7) >> 3;

@@ -121,7 +121,6 @@ class EncoderParams:
             p = p.clone(qp_min=p.qp)
         if p.bframes:
             assert p.ref_frames == 1, "bframes requires ref_frames=1 (r2)"
-            assert not p.cabac, "B+CABAC lands with device CABAC (r2)"
             assert p.slices == 1, "B+slices: round 2"
             if p.scenecut_threshold:
                 p = p.clone(scenecut_threshold=0)
