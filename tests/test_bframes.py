@@ -26,12 +26,13 @@ def _run(rng, nframes, bf, keyint, qp, w=96, h=64):
                                 backend="device", bframes=bf,
                                 keyint_max=keyint))
     recs = {}
-    _b, _a = enc._encode_bframe, enc._encode_anchor
+    _b, _a = enc._finalize_b, enc._encode_anchor
 
-    def spyb(fr, d, prev, nxt):
-        data = _b(fr, d, prev, nxt)
+    def spyb(job):
+        data = _b(job)
         r = enc.last_recon
-        recs[d] = (np.asarray(r.y), np.asarray(r.u), np.asarray(r.v))
+        recs[job["disp"]] = (np.asarray(r.y), np.asarray(r.u),
+                             np.asarray(r.v))
         return data
 
     def spya(fr, d, ftype):
@@ -40,7 +41,7 @@ def _run(rng, nframes, bf, keyint, qp, w=96, h=64):
         recs[d] = (np.asarray(r.y), np.asarray(r.u), np.asarray(r.v))
         return data
 
-    enc._encode_bframe, enc._encode_anchor = spyb, spya
+    enc._finalize_b, enc._encode_anchor = spyb, spya
     stream = b"".join(enc.encode(f) for f in frames) + enc.flush()
     dec = decode_annexb(stream, w, h)
     assert len(dec) == nframes
@@ -80,12 +81,12 @@ def test_bframes_cabac(rng):
                                 backend="device", bframes=2, cabac=True,
                                 keyint_max=250))
     recs = {}
-    _b, _a = enc._encode_bframe, enc._encode_anchor
+    _b, _a = enc._finalize_b, enc._encode_anchor
 
-    def spyb(fr, d, prev, nxt):
-        data = _b(fr, d, prev, nxt)
+    def spyb(job):
+        data = _b(job)
         r = enc.last_recon
-        recs[d] = (np.asarray(r.y), np.asarray(r.u))
+        recs[job["disp"]] = (np.asarray(r.y), np.asarray(r.u))
         return data
 
     def spya(fr, d, ftype):
@@ -94,7 +95,7 @@ def test_bframes_cabac(rng):
         recs[d] = (np.asarray(r.y), np.asarray(r.u))
         return data
 
-    enc._encode_bframe, enc._encode_anchor = spyb, spya
+    enc._finalize_b, enc._encode_anchor = spyb, spya
     stream = b"".join(enc.encode(f) for f in frames) + enc.flush()
     dec = decode_annexb(stream, w, h)
     assert len(dec) == 8

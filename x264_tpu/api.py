@@ -450,9 +450,14 @@ class Encoder:
         prev = self.dpb[0]
         out = self._encode_anchor(anchor, ad, "P")
         nxt = self.dpb[0]
-        for (bf, bd) in pend[:-1]:
-            out += self._encode_bframe(bf, bd, prev, nxt)
+        # submit every B first (device work overlaps host finalization)
+        jobs = [self._submit_b(bf, bd, prev, nxt) for (bf, bd) in pend[:-1]]
+        for j in jobs:
+            out += self._finalize_b(j)
         return out
+
+    def _encode_bframe(self, fr, disp, prev, nxt) -> bytes:
+        return self._finalize_b(self._submit_b(fr, disp, prev, nxt))
 
     def _encode_anchor(self, fr: Frame420, disp: int, ftype: str) -> bytes:
         import jax.numpy as jnp
@@ -489,19 +494,12 @@ class Encoder:
             rec.col_intra = jnp.ones(n, bool)
         return self._finalize_device(job)
 
-    def _encode_bframe(self, fr: Frame420, disp: int,
-                       prev: "ReconFrame", nxt: "ReconFrame") -> bytes:
+    def _submit_b(self, fr: Frame420, disp: int,
+                  prev: "ReconFrame", nxt: "ReconFrame") -> dict:
         import jax
-        import jax.numpy as jnp
 
-        from x264_tpu.bitstream.slice_assemble import (
-            append_payload,
-            merge_mb_strings,
-        )
-        from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
         from x264_tpu.models.b_frame_device import b_frame_core
         from x264_tpu.models.inter_frame import me_lambda
-        from x264_tpu.ops.device.deblock import deblock_core_b
 
         y, u, v = self._pad(fr)
         h, w = y.shape
@@ -525,18 +523,56 @@ class Encoder:
         dsrc = jax.device_put(buf)
         yd, ud, vd = dsrc[:h], dsrc[h:, :w // 2], dsrc[h:, w // 2:]
 
-        for n_words in ladder:
-            out = b_frame_core(
-                yd, ud, vd, prev.y, prev.u, prev.v, nxt.y, nxt.u, nxt.v,
-                nxt.col_mv, nxt.col_intra, np.int32(dsf),
-                np.int32(qp), np.int32(me_lambda(qp)),
-                mbw=mbw, mbh=mbh, me_range=self.p.me_range,
-                cqp_off=self.p.chroma_qp_offset, n_words=n_words,
-                subpel=self.p.subpel)
-            blob = np.asarray(out["host_blob"])
-            nbits = blob[:, n_words]
-            if int(nbits.max(initial=0)) <= 32 * n_words:
-                break
+        n_words = ladder[0]
+        out = b_frame_core(
+            yd, ud, vd, prev.y, prev.u, prev.v, nxt.y, nxt.u, nxt.v,
+            nxt.col_mv, nxt.col_intra, np.int32(dsf),
+            np.int32(qp), np.int32(me_lambda(qp)),
+            mbw=mbw, mbh=mbh, me_range=self.p.me_range,
+            cqp_off=self.p.chroma_qp_offset, n_words=n_words,
+            subpel=self.p.subpel)
+        try:
+            out["host_blob"].copy_to_host_async()
+        except Exception:
+            pass
+        return dict(out=out, mbw=mbw, mbh=mbh, n=n, qp=qp, ladder=ladder,
+                    n_words=n_words, poc_cur=poc_cur, disp=disp,
+                    args=(yd, ud, vd, prev, nxt, dsf))
+
+    def _finalize_b(self, job: dict) -> bytes:
+        import jax.numpy as jnp
+
+        from x264_tpu.bitstream.slice_assemble import (
+            append_payload,
+            merge_mb_strings,
+        )
+        from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
+        from x264_tpu.models.b_frame_device import b_frame_core
+        from x264_tpu.models.inter_frame import me_lambda
+
+        from x264_tpu.ops.device.deblock import deblock_core_b
+
+        out = job["out"]
+        mbw, mbh, n, qp = job["mbw"], job["mbh"], job["n"], job["qp"]
+        poc_cur = job["poc_cur"]
+        n_words = job["n_words"]
+        blob = np.asarray(out["host_blob"])
+        nbits = blob[:, n_words]
+        if int(nbits.max(initial=0)) > 32 * n_words:
+            yd, ud, vd, prev, nxt, dsf = job["args"]
+            for n_words in job["ladder"][1:]:
+                out = b_frame_core(
+                    yd, ud, vd, prev.y, prev.u, prev.v,
+                    nxt.y, nxt.u, nxt.v,
+                    nxt.col_mv, nxt.col_intra, np.int32(dsf),
+                    np.int32(qp), np.int32(me_lambda(qp)),
+                    mbw=mbw, mbh=mbh, me_range=self.p.me_range,
+                    cqp_off=self.p.chroma_qp_offset, n_words=n_words,
+                    subpel=self.p.subpel)
+                blob = np.asarray(out["host_blob"])
+                nbits = blob[:, n_words]
+                if int(nbits.max(initial=0)) <= 32 * n_words:
+                    break
         words = np.ascontiguousarray(blob[:, :n_words]).view(np.uint32)
         mb_class = blob[:, n_words + 1]
 

@@ -30,16 +30,18 @@ from x264_tpu.bitstream.tables import (
 
 BLOCK_SLOTS = 36
 
-_CT_VAL = jnp.asarray(COEFF_TOKEN_VAL.astype(np.int32))
-_CT_LEN = jnp.asarray(COEFF_TOKEN_LEN.astype(np.int32))
-_TZ_VAL = jnp.asarray(TOTAL_ZEROS_VAL.astype(np.int32))
-_TZ_LEN = jnp.asarray(TOTAL_ZEROS_LEN.astype(np.int32))
-_TZ2_VAL = jnp.asarray(TZ_2x2_VAL.astype(np.int32))
-_TZ2_LEN = jnp.asarray(TZ_2x2_LEN.astype(np.int32))
-_TZ24_VAL = jnp.asarray(TZ_2x4_VAL.astype(np.int32))
-_TZ24_LEN = jnp.asarray(TZ_2x4_LEN.astype(np.int32))
-_RB_VAL = jnp.asarray(RUN_BEFORE_VAL.astype(np.int32))
-_RB_LEN = jnp.asarray(RUN_BEFORE_LEN.astype(np.int32))
+# tables flattened to 1-D and fused (val | len<<16) so every lookup is a
+# single-index single-gather
+_CT = jnp.asarray((COEFF_TOKEN_VAL.astype(np.int32)
+                   | (COEFF_TOKEN_LEN.astype(np.int32) << 16)).reshape(-1))
+_TZ = jnp.asarray((TOTAL_ZEROS_VAL.astype(np.int32)
+                   | (TOTAL_ZEROS_LEN.astype(np.int32) << 16)).reshape(-1))
+_TZ2 = jnp.asarray((TZ_2x2_VAL.astype(np.int32)
+                    | (TZ_2x2_LEN.astype(np.int32) << 16)).reshape(-1))
+_TZ24 = jnp.asarray((TZ_2x4_VAL.astype(np.int32)
+                     | (TZ_2x4_LEN.astype(np.int32) << 16)).reshape(-1))
+_RB = jnp.asarray((RUN_BEFORE_VAL.astype(np.int32)
+                   | (RUN_BEFORE_LEN.astype(np.int32) << 16)).reshape(-1))
 
 
 def _level_codes(lc, sl):
@@ -77,15 +79,32 @@ def code_blocks(coefs, blen, nC):
     nC = nC.astype(jnp.int32)
     j = jnp.arange(L, dtype=jnp.int32)
 
+    # reversal by one-hot matmul (blen is 4/15/16 per block): rev[b,k] =
+    # coefs[b, blen-1-k] — a (B,1,L)@(B,L,L) batched matmul on the MXU
+    # beats a take_along_axis gather here
     src = blen[:, None] - 1 - j[None, :]
-    rev = jnp.take_along_axis(coefs, jnp.clip(src, 0, L - 1), axis=1)
-    rev = jnp.where(src >= 0, rev, 0)
+    rev_1h = (src[:, None, :] == j[None, :, None]).astype(jnp.int8)
+    rev = jnp.einsum("bj,bjk->bk", coefs, rev_1h,
+                     preferred_element_type=jnp.int32)
 
     nzmask = rev != 0
     total = nzmask.sum(1).astype(jnp.int32)
-    order = jnp.argsort(~nzmask, axis=1, stable=True).astype(jnp.int32)
-    seq = jnp.take_along_axis(rev, order, axis=1)
-    pos_zig = blen[:, None] - 1 - order
+    # compaction of nonzeros to the front, order preserved: one-hot of
+    # each element's rank among nonzeros (replaces stable argsort +
+    # take_along_axis)
+    rank = jnp.cumsum(nzmask.astype(jnp.int32), axis=1) - 1
+    comp_1h = (nzmask & True)[:, :, None] * \
+        (rank[:, :, None] == j[None, None, :])
+    seq = jnp.einsum("bj,bjk->bk", rev, comp_1h.astype(jnp.int8),
+                     preferred_element_type=jnp.int32)
+    pos_src = blen[:, None] - 1 - j[None, :]
+    pos_zig_nz = jnp.einsum("bj,bjk->bk", pos_src + 1,
+                            comp_1h.astype(jnp.int8),
+                            preferred_element_type=jnp.int32) - 1
+    # entries beyond `total` are -1; original argsort gave arbitrary pos
+    # there — only pos_zig[:, :total] is consumed, plus pos_zig[:, 0] for
+    # total==0 blocks (masked by `some`), so keep a safe value
+    pos_zig = jnp.where(j[None, :] < total[:, None], pos_zig_nz, 0)
 
     in_range = j[None, :] < total[:, None]
     abs1 = in_range & (jnp.abs(seq) == 1)
@@ -102,8 +121,9 @@ def code_blocks(coefs, blen, nC):
         jnp.where(nC < 4, 1,
         jnp.where(nC < 8, 2, 3)))))
     some = total > 0
-    vals[0] = _CT_VAL[t, total, t1]
-    lens[0] = _CT_LEN[t, total, t1]
+    ct = _CT[(t * 17 + total) * 4 + t1]
+    vals[0] = ct & 0xFFFF
+    lens[0] = ct >> 16
 
     for k in range(3):
         on = (k < t1) & some
@@ -126,18 +146,14 @@ def code_blocks(coefs, blen, nC):
 
     tz = pos_zig[:, 0] + 1 - total
     on = some & (total < blen)
-    ridx = jnp.clip(total - 1, 0, 14)
-    tzc = jnp.clip(tz, 0, 15)
-    tz_v = _TZ_VAL[ridx, tzc]
-    tz_l = _TZ_LEN[ridx, tzc]
-    tz2_v = _TZ2_VAL[jnp.clip(total - 1, 0, 2), jnp.clip(tz, 0, 3)]
-    tz2_l = _TZ2_LEN[jnp.clip(total - 1, 0, 2), jnp.clip(tz, 0, 3)]
-    tz24_v = _TZ24_VAL[jnp.clip(total - 1, 0, 6), jnp.clip(tz, 0, 7)]
-    tz24_l = _TZ24_LEN[jnp.clip(total - 1, 0, 6), jnp.clip(tz, 0, 7)]
-    vals[20] = jnp.where(on, jnp.where(nC == -1, tz2_v,
-                         jnp.where(nC == -2, tz24_v, tz_v)), 0)
-    lens[20] = jnp.where(on, jnp.where(nC == -1, tz2_l,
-                         jnp.where(nC == -2, tz24_l, tz_l)), 0)
+    tzw = jnp.where(nC == -1,
+                    _TZ2[jnp.clip(total - 1, 0, 2) * 4 + jnp.clip(tz, 0, 3)],
+          jnp.where(nC == -2,
+                    _TZ24[jnp.clip(total - 1, 0, 6) * 8 + jnp.clip(tz, 0, 7)],
+                    _TZ[jnp.clip(total - 1, 0, 14) * 16
+                        + jnp.clip(tz, 0, 15)]))
+    vals[20] = jnp.where(on, tzw & 0xFFFF, 0)
+    lens[20] = jnp.where(on, tzw >> 16, 0)
 
     zeros_left = jnp.where(some, tz, 0)
     prev_pos = pos_zig[:, 0]
@@ -145,8 +161,9 @@ def code_blocks(coefs, blen, nC):
         active = (k < total) & (zeros_left > 0)
         run = jnp.clip(prev_pos - pos_zig[:, k] - 1, 0, 14)
         ri = jnp.clip(jnp.minimum(zeros_left, 7) - 1, 0, 6)
-        vals[20 + k] = jnp.where(active, _RB_VAL[ri, run], 0)
-        lens[20 + k] = jnp.where(active, _RB_LEN[ri, run], 0)
+        rb = _RB[ri * 15 + run]
+        vals[20 + k] = jnp.where(active, rb & 0xFFFF, 0)
+        lens[20 + k] = jnp.where(active, rb >> 16, 0)
         zeros_left = jnp.where(active, zeros_left - run, zeros_left)
         prev_pos = jnp.where(k < total, pos_zig[:, k], prev_pos)
 

@@ -274,9 +274,11 @@ def _deblock_filter(y, u, v, bs_v, bs_h, qp_mb, qpc_mb,
     n_steps = mbw + 2 * mbh - 2
     i32 = jnp.int32
 
-    wsk_y = 16 * mbw + 32 * mbh + 24
-    wsk_c = 8 * mbw + 16 * mbh + 12
-    wsk_b = 4 * mbw + 8 * mbh - 4 + 4
+    # +1 diagonal of slack so the scan can process diagonals in pairs
+    # (the extra step lands on zero-bs padding and is a no-op)
+    wsk_y = 16 * mbw + 32 * mbh + 24 + 16
+    wsk_c = 8 * mbw + 16 * mbh + 12 + 8
+    wsk_b = 4 * mbw + 8 * mbh - 4 + 4 + 4
     ysk = _skew(y.astype(i32), 16, 32, 36, wsk_y)
     usk = _skew(u.astype(i32), 8, 16, 18, wsk_c)
     vsk = _skew(v.astype(i32), 8, 16, 18, wsk_c)
@@ -285,7 +287,7 @@ def _deblock_filter(y, u, v, bs_v, bs_h, qp_mb, qpc_mb,
     qp_sk = _skew(qp_mb.reshape(mbh, mbw), 1, 2, 2, mbw + 2 * mbh + 2)
     qpc_sk = _skew(qpc_mb.reshape(mbh, mbw), 1, 2, 2, mbw + 2 * mbh + 2)
 
-    def step(carry, t):
+    def one_diag(carry, t):
         ysk, usk, vsk = carry
         slab = jax.lax.dynamic_slice(ysk, (0, 16 * t), (h, 56))
         slab = slab.reshape(mbh, 16, 56)
@@ -375,10 +377,16 @@ def _deblock_filter(y, u, v, bs_v, bs_h, qp_mb, qpc_mb,
 
         usk = chroma(usk)
         vsk = chroma(vsk)
-        return (ysk, usk, vsk), None
+        return (ysk, usk, vsk)
+
+    def step(carry, i):
+        carry = one_diag(carry, 2 * i)
+        carry = one_diag(carry, 2 * i + 1)
+        return carry, None
 
     (ysk, usk, vsk), _ = jax.lax.scan(
-        step, (ysk, usk, vsk), jnp.arange(n_steps, dtype=i32))
+        step, (ysk, usk, vsk),
+        jnp.arange((n_steps + 1) // 2, dtype=i32))
     return (_unskew(ysk, 16, 32, 36, w).astype(jnp.uint8),
             _unskew(usk, 8, 16, 18, w // 2).astype(jnp.uint8),
             _unskew(vsk, 8, 16, 18, w // 2).astype(jnp.uint8))

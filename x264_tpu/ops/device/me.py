@@ -36,22 +36,27 @@ def full_search_16x16(src_y, ref_pad, lam, me_range: int, mbw: int, mbh: int):
 
     def body(t, carry):
         best, best_mv = carry
-        dy = t // span - r
-        dx = t % span - r
-        shifted = jax.lax.dynamic_slice(ref, (PAD + dy, PAD + dx), (h, w))
-        sad = (jnp.abs(src - shifted)
-               .reshape(mbh, 16, mbw, 16).sum((1, 3)).reshape(n))
-        cost = sad + lam * (bits[4 * dy + 4 * r] + bits[4 * dx + 4 * r])
-        better = cost < best
-        best = jnp.where(better, cost, best)
-        cand = jnp.stack([jnp.full(n, 4 * dx, jnp.int32),
-                          jnp.full(n, 4 * dy, jnp.int32)], axis=1)
-        best_mv = jnp.where(better[:, None], cand, best_mv)
+        dy = t - r
+        # one dynamic row-band slice per dy; the dx axis is unrolled as
+        # STATIC slices of the band (33 small fused ops beat 33 sliced
+        # loop iterations by ~20x in dispatch overhead)
+        band = jax.lax.dynamic_slice(ref, (PAD + dy, 0), (h, w + 2 * PAD))
+        cost_y = lam * bits[4 * dy + 4 * r]
+        for dx in range(-r, r + 1):
+            shifted = band[:, PAD + dx:PAD + dx + w]
+            sad = (jnp.abs(src - shifted)
+                   .reshape(mbh, 16, mbw, 16).sum((1, 3)).reshape(n))
+            cost = sad + cost_y + lam * bits[4 * dx + 4 * r]
+            better = cost < best
+            best = jnp.where(better, cost, best)
+            cand = jnp.stack([jnp.full(n, 4 * dx, jnp.int32),
+                              jnp.full(n, 4 * dy, jnp.int32)], axis=1)
+            best_mv = jnp.where(better[:, None], cand, best_mv)
         return best, best_mv
 
     best0 = jnp.full(n, jnp.int32(1 << 30))
     mv0 = jnp.zeros((n, 2), jnp.int32)
-    best, best_mv = jax.lax.fori_loop(0, span * span, body, (best0, mv0))
+    best, best_mv = jax.lax.fori_loop(0, span, body, (best0, mv0))
     return best_mv, best
 
 
