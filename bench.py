@@ -62,7 +62,7 @@ def bench_ours(frames):
 
     p = EncoderParams(width=W, height=H, qp=QP, me_range=16,
                       backend="device", deblock=True, keyint_max=250,
-                      bframes=2)
+                      bframes=2, full_recon=False)
     enc = Encoder(p)
     stream = b""
     warm = 4

@@ -102,3 +102,25 @@ def test_bframes_cabac(rng):
     for d in range(8):
         assert np.array_equal(dec[d][0], recs[d][0][:h, :w])
         assert np.array_equal(dec[d][1], recs[d][1][:h // 2, :w // 2])
+
+
+def test_full_recon_off_same_stream(rng):
+    """full_recon=False (x264 b_full_recon analog) skips deblocking of
+    non-reference B recon; the emitted bitstream must be identical."""
+    w, h = 96, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(7):
+        y = (120 + 70 * np.sin((xx + 5 * t) / 13.0)
+             * np.cos((yy - 3 * t) / 19.0)).astype(np.uint8)
+        y += rng.integers(0, 5, (h, w)).astype(np.uint8)
+        u = (128 + 40 * np.sin((xx[::2, ::2] + 5 * t) / 23.0)).astype(np.uint8)
+        v = (128 + 40 * np.cos((yy[::2, ::2] + 7 * t) / 29.0)).astype(np.uint8)
+        frames.append(Frame420(y, u, v))
+    streams = []
+    for fr in (True, False):
+        enc = Encoder(EncoderParams(width=w, height=h, qp=26, me_range=8,
+                                    backend="device", bframes=2,
+                                    keyint_max=250, full_recon=fr))
+        streams.append(b"".join(enc.encode(f) for f in frames) + enc.flush())
+    assert streams[0] == streams[1]

@@ -611,9 +611,10 @@ class Encoder:
                 bs.ue(trailing)
             data = wrap_slice_nal(bs.to_rbsp(), False, is_ref=False)
 
-        # deblocked recon for output/verification (B is not a reference)
+        # deblocked recon for output/verification (B is not a reference;
+        # skipped when full_recon is off — the x264 b_full_recon analog)
         ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
-        if self.p.deblock:
+        if self.p.deblock and self.p.full_recon:
             qpc = int(CHROMA_QP_TABLE[min(max(
                 qp + self.p.chroma_qp_offset, 0), 51)])
             ry, ru, rv = deblock_core_b(

@@ -106,25 +106,45 @@ def subpel_refine(src_mbs, planes4, mv0, lam, me_range: int, steps: int,
                       jnp.arange(4, dtype=jnp.int32)[:, None, None, None],
                       yi[None], xi[None]]       # (4, N, 18, 18)
 
+    # candidates are evaluated in CHUNKs stacked into one batched SATD
+    # call: 16x16 blocks are tiny for the VPU, so a (chunk*N,16,16)
+    # transform amortizes per-op latency ~chunk-fold.  Tie-break parity
+    # with the scalar loop: argmin picks the FIRST min within a chunk
+    # (candidate list order), strict < keeps the earlier chunk.
+    cands = subpel_candidates(steps)
+    CHUNK = 7
     best = None
     best_mv = mv0
-    for (dy, dx) in subpel_candidates(steps):
-        fy, fx = dy & 3, dx & 3
-        iy, ix = dy >> 2, dx >> 2
-        p1, dy1, dx1, p2, dy2, dx2 = (int(t) for t in
-                                      QPEL_TWO_SAMPLE_TBL[fx, fy])
-        s1 = win[p1, :, 1 + iy + dy1:17 + iy + dy1,
-                 1 + ix + dx1:17 + ix + dx1]
-        s2 = win[p2, :, 1 + iy + dy2:17 + iy + dy2,
-                 1 + ix + dx2:17 + ix + dx2]
-        pred = (s1 + s2 + 1) >> 1
-        cand = mv0 + jnp.array([dx, dy], jnp.int32)
-        c = (satd(src_mbs, pred)
-             + lam * (bits[cand[:, 0] + off] + bits[cand[:, 1] + off]))
+    for ci in range(0, len(cands), CHUNK):
+        chunk = cands[ci:ci + CHUNK]
+        preds, mvs, bitc = [], [], []
+        for (dy, dx) in chunk:
+            fy, fx = dy & 3, dx & 3
+            iy, ix = dy >> 2, dx >> 2
+            p1, dy1, dx1, p2, dy2, dx2 = (int(t) for t in
+                                          QPEL_TWO_SAMPLE_TBL[fx, fy])
+            s1 = win[p1, :, 1 + iy + dy1:17 + iy + dy1,
+                     1 + ix + dx1:17 + ix + dx1]
+            s2 = win[p2, :, 1 + iy + dy2:17 + iy + dy2,
+                     1 + ix + dx2:17 + ix + dx2]
+            preds.append((s1 + s2 + 1) >> 1)
+            cand = mv0 + jnp.array([dx, dy], jnp.int32)
+            mvs.append(cand)
+            bitc.append(bits[cand[:, 0] + off] + bits[cand[:, 1] + off])
+        m = len(chunk)
+        pred = jnp.stack(preds).reshape(m * n, 16, 16)
+        src_rep = jnp.broadcast_to(src_mbs, (m, n, 16, 16)
+                                   ).reshape(m * n, 16, 16)
+        c = (satd(src_rep, pred).reshape(m, n)
+             + lam * jnp.stack(bitc))                       # (m, N)
+        idx = jnp.argmin(c, axis=0)                         # first min wins
+        cmin = jnp.take_along_axis(c, idx[None], axis=0)[0]
+        mvc = jnp.take_along_axis(jnp.stack(mvs), idx[None, :, None],
+                                  axis=0)[0]
         if best is None:
-            best, best_mv = c, cand
+            best, best_mv = cmin, mvc
         else:
-            better = c < best
-            best = jnp.where(better, c, best)
-            best_mv = jnp.where(better[:, None], cand, best_mv)
+            better = cmin < best
+            best = jnp.where(better, cmin, best)
+            best_mv = jnp.where(better[:, None], mvc, best_mv)
     return best_mv, best

@@ -79,6 +79,9 @@ class EncoderParams:
     level_idc: int = 0              # 0 = auto
 
     # misc x264-parity knobs
+    # b_full_recon (x264.h:397): deblock non-reference (B) recon too so
+    # last_recon matches the decoder; off = encode-speed mode
+    full_recon: bool = True
     deterministic: bool = True
     threads: int = 1
     log_level: int = 2
