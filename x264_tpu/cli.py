@@ -43,6 +43,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--qp", type=int, default=None, help="CQP mode")
     ap.add_argument("--crf", type=float, default=None, help="CRF mode")
     ap.add_argument("--bitrate", type=int, default=None, help="ABR kbit/s")
+    ap.add_argument("--vbv-maxrate", type=int, default=None, help="kbit/s")
+    ap.add_argument("--vbv-bufsize", type=int, default=None, help="kbit")
+    ap.add_argument("--vbv-init", type=float, default=None)
     ap.add_argument("--keyint", type=int, default=None)
     ap.add_argument("--merange", type=int, default=None)
     ap.add_argument("--subme", type=int, default=None)
@@ -78,6 +81,12 @@ def params_from_args(args, reader) -> EncoderParams:
         p = p.clone(rc_method=RC_ABR, bitrate=args.bitrate)
     elif args.qp is not None:
         p = p.clone(rc_method=RC_CQP, qp=args.qp)
+    if args.vbv_maxrate is not None:
+        p = p.clone(vbv_maxrate=args.vbv_maxrate)
+    if args.vbv_bufsize is not None:
+        p = p.clone(vbv_bufsize=args.vbv_bufsize)
+    if args.vbv_init is not None:
+        p = p.clone(vbv_init=args.vbv_init)
     if args.keyint is not None:
         p = p.clone(keyint_max=args.keyint)
     if args.merange is not None:

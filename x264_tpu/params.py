@@ -43,6 +43,9 @@ class EncoderParams:
     qp: int = 26                    # CQP
     crf: float = 23.0
     bitrate: int = 0                # kbit/s for ABR
+    vbv_maxrate: int = 0            # kbit/s; 0 = VBV off
+    vbv_bufsize: int = 0            # kbit; 0 = VBV off
+    vbv_init: float = 0.9           # initial buffer fullness fraction
     qp_min: int = 10
     qp_max: int = 51
     chroma_qp_offset: int = 0

@@ -52,6 +52,39 @@ class RateControl:
         self.n_frames = 0
         self.rate_factor = None
         self.last_qscale = qp2qscale(params.qp or 26)
+        # VBV (x264 clip_qscale / update_vbv analog, ratecontrol.c:1375,
+        # :1977): decoder-buffer model — the frame's bits may not exceed
+        # the current fill; fill drains by frame bits and refills at
+        # vbv_maxrate.  Engaged for CRF/ABR when both knobs are set.
+        self.vbv_max = params.vbv_maxrate * 1000.0
+        self.vbv_size = params.vbv_bufsize * 1000.0
+        self.vbv_on = (self.vbv_max > 0 and self.vbv_size > 0
+                       and params.rc_method != RC_CQP)
+        self.vbv_fill = self.vbv_size * params.vbv_init
+
+    def _predict_bits(self, qscale: float) -> float:
+        """bits ~ coeff * cplx / qscale (predict_size analog)."""
+        cplx = max(self.cplx / self.w, 1.0)
+        return max(self.coeff / self.w, 1e-9) * cplx / max(qscale, 1e-9)
+
+    def _clip_qscale_vbv(self, q: float, frame_type: str) -> float:
+        if not self.vbv_on or self.w <= 0:
+            return q
+        bufrate = self.vbv_max / self.fps
+        fill = min(self.vbv_fill + bufrate, self.vbv_size)
+        # underflow guard: predicted frame must fit in a safety fraction
+        # of the available fill (x264 uses fill - size*0.5 headroom for
+        # non-P; a flat 0.8 of fill is our single-predictor analog)
+        max_bits = 0.8 * fill
+        pred = self._predict_bits(q)
+        if pred > max_bits:
+            q *= pred / max_bits
+        # overflow guard: if even after refill the buffer would stay
+        # nearly full, spend more bits (lower qscale) to avoid drift
+        space = self.vbv_size - (fill - self._predict_bits(q))
+        if space < 0.1 * self.vbv_size:
+            q *= max(0.5, space / (0.1 * self.vbv_size) + 1e-9)
+        return q
 
     def _clip_qp(self, qp: float, frame_type: str) -> int:
         if frame_type in ("IDR", "I"):
@@ -87,6 +120,8 @@ class RateControl:
         lstep = 2.0 ** (8.0 / 6.0)
         q = float(np.clip(q, self.last_qscale / lstep,
                           self.last_qscale * lstep))
+        # VBV has priority over lstep smoothing (clip_qscale runs last)
+        q = self._clip_qscale_vbv(q, frame_type)
         self.last_qscale = q
         return self._clip_qp(qscale2qp(max(q, 1e-9)), frame_type)
 
@@ -100,6 +135,10 @@ class RateControl:
         self.actual_bits += bits
         self.wanted_bits += self.bitrate / self.fps if self.bitrate else 0.0
         self.n_frames += 1
+        if self.vbv_on:
+            self.vbv_fill = min(self.vbv_fill + self.vbv_max / self.fps,
+                                self.vbv_size) - bits
+            self.vbv_fill = max(self.vbv_fill, 0.0)
         if self.p.rc_method == RC_CRF:
             cplx = max(self.cplx / self.w, 1.0)
             self.rate_factor = (cplx ** (1.0 - self.qcomp)
