@@ -21,8 +21,12 @@ import numpy as np
 from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
 from x264_tpu.models import mvpred
 from x264_tpu.models.inter_frame import PAD, me_lambda
-from x264_tpu.models.residual_device import encode_chroma, encode_p_luma
+from x264_tpu.models.residual_device import (encode_chroma,
+                                             encode_i16_luma,
+                                             encode_p_luma)
 from x264_tpu.ops.device import header as dheader
+from x264_tpu.ops.device import pixel as P
+from x264_tpu.ops.device import predict as PR
 from x264_tpu.ops.device.bitpack import pack_tokens
 from x264_tpu.ops.device.cavlc import residual_slots
 from x264_tpu.models.syntax import MB_P16, MB_PSKIP, empty_syntax
@@ -120,27 +124,9 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
     ru_mbs, rv_mbs, cdc, cac, cnnz, cbp_c = encode_chroma(
         src_u, src_v, pred_u, pred_v, qpc, intra=False)
 
-    res_vals, res_lens = residual_slots(
-        jnp.zeros((n, 16), jnp.int32), ac_zz, nnz, cdc, cac, cnnz,
-        cbp_l, cbp_c, jnp.zeros(n, bool), mbw, mbh)
-
-    # device MB classification + header codes + per-MB bit packing: the
-    # host only bit-merges N packed strings (bitstream/slice_assemble.py)
-    mb_class, mvd = dheader.classify_p(mv, cbp_l, cbp_c, mbw, mbh,
-                                       ref=ref if n_refs > 1 else None)
-    ref = jnp.where(mb_class == dheader.MB_PSKIP_D, 0, ref)
-    hv, hl = dheader.header_slots(
-        mb_class, jnp.zeros(n, jnp.int32),
-        jnp.zeros(n, jnp.int32), mvd, cbp_l, cbp_c, qp,
-        is_p_slice=True, ref=ref, num_ref=n_refs)
-    words, nbits = pack_tokens(jnp.concatenate([hv, res_vals], axis=1),
-                               jnp.concatenate([hl, res_lens], axis=1),
-                               n_words)
-
-    # source-edge intra cost estimate (scenecut; x264 slicetype's lowres
-    # intra analog — source pixels as neighbours, so it's fully parallel)
-    from x264_tpu.ops.device import pixel as P
-    from x264_tpu.ops.device import predict as PR
+    # source-edge intra cost estimate (scenecut + the intra-in-P decision;
+    # x264 slicetype's lowres intra analog — source pixels as neighbours,
+    # so it's fully parallel)
     ysrc = y.astype(jnp.int32)
     mby = jnp.arange(mbw * mbh, dtype=jnp.int32) // mbw
     mbx = jnp.arange(mbw * mbh, dtype=jnp.int32) % mbw
@@ -157,6 +143,125 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                        jnp.int32(1 << 30))
     icost = jnp.min(icosts, axis=1).astype(jnp.int32)
 
+    # ---- intra-in-P (I16x16 MBs in P slices; encoder/analyse.c
+    # mb_analyse_intra's role).  TPU-first shape: the decision comes from
+    # the already-computed source-edge estimate, and a parallel ISOLATION
+    # rule drops any candidate whose prediction would depend on another
+    # intra MB's recon (neighbour pairs L/R, U/D, UL/DR).  Every surviving
+    # intra MB then predicts from the pure-inter recon plane, so the whole
+    # intra pass is ONE batched computation under a lax.cond that costs
+    # nothing when no MB goes intra (the common case). ----
+    cand = (icost + 8 * lam) < mb_cost
+    cg = cand.reshape(mbh, mbw)
+
+    def _sh(g, dy, dx):
+        out = jnp.zeros_like(g)
+        ys = slice(max(dy, 0), mbh + min(dy, 0))
+        xs = slice(max(dx, 0), mbw + min(dx, 0))
+        yd = slice(max(-dy, 0), mbh + min(-dy, 0))
+        xd = slice(max(-dx, 0), mbw + min(-dx, 0))
+        return out.at[yd, xd].set(g[ys, xs])
+
+    iso = (cg & ~_sh(cg, 0, -1) & ~_sh(cg, 0, 1) & ~_sh(cg, -1, 0)
+           & ~_sh(cg, 1, 0) & ~_sh(cg, -1, -1) & ~_sh(cg, 1, 1))
+    # dense candidate clusters would self-suppress entirely; keep a
+    # conflict-free lattice inside them: the offsets (0,1),(1,0),(1,1)
+    # have (x+2y) differences 1,2,3 (mod 4), so the class-0 lattice never
+    # pairs two kept MBs, and lattice-kept never conflicts with isolated
+    # (isolated has no candidate neighbour at all).  ~25% of a cluster
+    # converts per frame; the rest converges over following frames.
+    xxg = jnp.arange(mbw, dtype=jnp.int32)[None, :]
+    yyg = jnp.arange(mbh, dtype=jnp.int32)[:, None]
+    latt = ((xxg + 2 * yyg) % 4) == 0
+    keep = iso | (cg & latt)
+    intra_mask = keep.reshape(n)
+
+    ry_pl = T.mbs_to_plane(recon_y_mbs, mbh, mbw, 16)
+    ru_pl = T.mbs_to_plane(ru_mbs, mbh, mbw, 8)
+    rv_pl = T.mbs_to_plane(rv_mbs, mbh, mbw, 8)
+
+    def _neigh(plane, s):
+        """(top (N,s), left (N,s), topleft (N,)) of every sxs tile via
+        strided slices of the 1-padded plane (no per-MB gathers)."""
+        tp = jnp.pad(plane, ((1, 0), (0, 0)))[0::s][:mbh]
+        topv = tp.reshape(mbh, mbw, s)
+        lp = jnp.pad(plane, ((0, 0), (1, 0)))[:, 0::s][:, :mbw]
+        leftv = lp.reshape(mbh, s, mbw).transpose(0, 2, 1)
+        tlv = jnp.pad(plane, ((1, 0), (1, 0)))[0::s, 0::s][:mbh, :mbw]
+        return (topv.reshape(n, s), leftv.reshape(n, s), tlv.reshape(n))
+
+    def _intra_fixup(_):
+        itop, ileft, itl = _neigh(ry_pl, 16)
+        preds = PR.predict_16x16_all(itop, ileft, itl, at, al)
+        costs = jnp.where(PR.i16x16_mode_avail(at, al, at & al),
+                          P.satd(src_mbs[:, None], preds), jnp.int32(1 << 30))
+        mode = jnp.argmin(costs, axis=1).astype(jnp.int32)
+        mcost = jnp.min(costs, axis=1).astype(jnp.int32)
+        ipred = jnp.take_along_axis(preds, mode[:, None, None, None],
+                                    axis=1)[:, 0]
+        irec, idc, iac, innz, icbp_l = encode_i16_luma(src_mbs, ipred, qp)
+
+        ctop_u, cleft_u, ctl_u = _neigh(ru_pl, 8)
+        ctop_v, cleft_v, ctl_v = _neigh(rv_pl, 8)
+        cpreds_u = PR.predict_chroma_all(ctop_u, cleft_u, ctl_u, at, al)
+        cpreds_v = PR.predict_chroma_all(ctop_v, cleft_v, ctl_v, at, al)
+        ccosts = jnp.where(PR.chroma_mode_avail(at, al, at & al),
+                           P.satd(src_u[:, None], cpreds_u)
+                           + P.satd(src_v[:, None], cpreds_v),
+                           jnp.int32(1 << 30))
+        cmode = jnp.argmin(ccosts, axis=1).astype(jnp.int32)
+        cpu = jnp.take_along_axis(cpreds_u, cmode[:, None, None, None],
+                                  axis=1)[:, 0]
+        cpv = jnp.take_along_axis(cpreds_v, cmode[:, None, None, None],
+                                  axis=1)[:, 0]
+        icr_u, icr_v, icdc, icac, icnnz, icbp_c = encode_chroma(
+            src_u, src_v, cpu, cpv, qpc, intra=True)
+
+        mk1 = intra_mask[:, None]
+        mk2 = intra_mask[:, None, None]
+        mk3 = intra_mask[:, None, None, None]
+        return (jnp.where(mk1, idc, 0),
+                jnp.where(mk2, iac, ac_zz),
+                jnp.where(mk1, innz, nnz),
+                jnp.where(intra_mask, icbp_l, cbp_l),
+                jnp.where(mk2, icdc, cdc),
+                jnp.where(mk3, icac, cac),
+                jnp.where(mk2, icnnz, cnnz),
+                jnp.where(intra_mask, icbp_c, cbp_c),
+                jnp.where(intra_mask, mode, 0),
+                jnp.where(intra_mask, cmode, 0),
+                jnp.where(intra_mask, mcost, mb_cost),
+                jnp.where(mk2, irec, recon_y_mbs),
+                jnp.where(mk2, icr_u, ru_mbs),
+                jnp.where(mk2, icr_v, rv_mbs))
+
+    def _no_intra(_):
+        return (jnp.zeros((n, 16), jnp.int32), ac_zz, nnz, cbp_l,
+                cdc, cac, cnnz, cbp_c,
+                jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+                mb_cost, recon_y_mbs, ru_mbs, rv_mbs)
+
+    (luma_dc, ac_zz, nnz, cbp_l, cdc, cac, cnnz, cbp_c, i16_mode,
+     chroma_mode, mb_cost, recon_y_mbs, ru_mbs, rv_mbs) = jax.lax.cond(
+        intra_mask.any(), _intra_fixup, _no_intra, None)
+
+    res_vals, res_lens = residual_slots(
+        luma_dc, ac_zz, nnz, cdc, cac, cnnz,
+        cbp_l, cbp_c, intra_mask, mbw, mbh)
+
+    # device MB classification + header codes + per-MB bit packing: the
+    # host only bit-merges N packed strings (bitstream/slice_assemble.py)
+    mb_class, mvd = dheader.classify_p(mv, cbp_l, cbp_c, mbw, mbh,
+                                       ref=ref if n_refs > 1 else None,
+                                       intra=intra_mask)
+    ref = jnp.where(mb_class == dheader.MB_PSKIP_D, 0, ref)
+    hv, hl = dheader.header_slots(
+        mb_class, i16_mode, chroma_mode, mvd, cbp_l, cbp_c, qp,
+        is_p_slice=True, ref=ref, num_ref=n_refs)
+    words, nbits = pack_tokens(jnp.concatenate([hv, res_vals], axis=1),
+                               jnp.concatenate([hl, res_lens], axis=1),
+                               n_words)
+
     host_blob = jnp.concatenate(
         [jax.lax.bitcast_convert_type(words, jnp.int32),
          nbits[:, None], mb_class[:, None], mb_cost[:, None],
@@ -167,6 +272,7 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
         words=words, nbits=nbits, mb_class=mb_class, mvd=mvd,
         host_blob=host_blob, mb_cost=mb_cost, qp_mb=qp, icost=icost,
         mv=mv, ref_mb=ref,
+        i16_mode=i16_mode, chroma_mode=chroma_mode, luma_dc=luma_dc,
         luma_ac=ac_zz, luma_nnz=nnz, cbp_luma=cbp_l,
         chroma_dc=cdc, chroma_ac=cac, chroma_nnz=cnnz, cbp_chroma=cbp_c,
         recon_y=T.mbs_to_plane(recon_y_mbs, mbh, mbw, 16).astype(jnp.uint8),
@@ -314,6 +420,9 @@ def encode_pframe_device(y, u, v, ref, qp, params, lam=None):
     syn.icost = out["icost"].astype(np.int64)
     syn.mv[:] = out["mv"]
     syn.ref[:] = 0
+    syn.i16_mode[:] = out["i16_mode"]
+    syn.chroma_mode[:] = out["chroma_mode"]
+    syn.luma_dc[:] = out["luma_dc"]
     syn.luma_ac[:] = out["luma_ac"]
     syn.luma_nnz[:] = out["luma_nnz"]
     syn.cbp_luma[:] = out["cbp_luma"]
@@ -324,5 +433,8 @@ def encode_pframe_device(y, u, v, ref, qp, params, lam=None):
     syn.res_vals = out["res_vals"]
     syn.res_lens = out["res_lens"]
 
-    classify_pframe_vec(syn, out["mv"], out["cbp_luma"], out["cbp_chroma"])
+    # the pipeline classified on device (incl. intra-in-P neighbour rules)
+    syn.mb_class[:] = out["mb_class"]
+    syn.mvd[:] = np.where((out["mb_class"] == MB_P16)[:, None],
+                          out["mvd"], 0)
     return out["recon_y"], out["recon_u"], out["recon_v"], syn

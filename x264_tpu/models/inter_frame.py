@@ -17,7 +17,8 @@ import numpy as np
 from x264_tpu.bitstream.tables import chroma_qp
 from x264_tpu.models import mvpred
 from x264_tpu.models.intra_frame import encode_chroma_mb, zigzag
-from x264_tpu.models.syntax import MB_P16, MB_PSKIP, FrameSyntax, empty_syntax
+from x264_tpu.models.syntax import (MB_I16, MB_P16, MB_PSKIP,
+                                    FrameSyntax, empty_syntax)
 from x264_tpu.ops.reference import mc, quant, transform
 from x264_tpu.utils.yuv import expand_border
 
@@ -253,10 +254,115 @@ def encode_pframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     syn.cbp_luma[:] = cbp_l
     syn.cbp_chroma[:] = cbp_c
 
+    # ---- intra-in-P fixup: SAME policy as the device tier
+    # (inter_device.p_frame_pipeline) so the bitstreams stay identical:
+    # source-edge estimate decides, parallel isolation (conflict pairs
+    # L/R, U/D, UL/DR) guarantees intra MBs predict only from inter
+    # recon, batched-math mode choice from the pure-inter recon plane ----
+    from x264_tpu.models.intra_frame import encode_i16x16_mb
+    from x264_tpu.ops.reference import pixel as rpixel
+    from x264_tpu.ops.reference import predict as rpredict
+
+    cand = ((syn.icost + 8 * lam) < syn.mb_cost).reshape(mbh, mbw)
+
+    def _sh(g, dy, dx):
+        out = np.zeros_like(g)
+        ys = slice(max(dy, 0), mbh + min(dy, 0))
+        xs = slice(max(dx, 0), mbw + min(dx, 0))
+        yd = slice(max(-dy, 0), mbh + min(-dy, 0))
+        xd = slice(max(-dx, 0), mbw + min(-dx, 0))
+        out[yd, xd] = g[ys, xs]
+        return out
+
+    iso = (cand & ~_sh(cand, 0, -1) & ~_sh(cand, 0, 1)
+           & ~_sh(cand, -1, 0) & ~_sh(cand, 1, 0)
+           & ~_sh(cand, -1, -1) & ~_sh(cand, 1, 1))
+    # conflict-free lattice inside dense clusters (see inter_device)
+    latt = ((np.arange(mbw)[None, :] + 2 * np.arange(mbh)[:, None])
+            % 4) == 0
+    keep = (iso | (cand & latt)).reshape(-1)
+    intra_mb = np.zeros(n, bool)
+    for i in np.nonzero(keep)[0]:
+        mby, mbx = divmod(int(i), mbw)
+        y0, x0 = mby * 16, mbx * 16
+        at, al = mby > 0, mbx > 0
+        top = (ry[y0 - 1, x0:x0 + 16].astype(np.int64) if at
+               else np.zeros(16, np.int64))
+        lft = (ry[y0:y0 + 16, x0 - 1].astype(np.int64) if al
+               else np.zeros(16, np.int64))
+        tl = int(ry[y0 - 1, x0 - 1]) if (at and al) else 0
+        preds = rpredict.predict_16x16_all(
+            top[None], lft[None], np.array([tl], np.int64),
+            np.array([at]), np.array([al]))[0]
+        avail = rpredict.i16x16_mode_avail(
+            np.array([at]), np.array([al]), np.array([at and al]))[0]
+        src = y[y0:y0 + 16, x0:x0 + 16].astype(np.int64)
+        costs = np.where(avail, rpixel.satd(src[None, None],
+                                            preds[None])[0], 1 << 30)
+        mode = int(np.argmin(costs))
+        qp_i = int(qp_mb[i])
+        recon, dc_zz, ac_zz, nnz, cl = encode_i16x16_mb(
+            src, preds[mode], qp_i)
+        ry[y0:y0 + 16, x0:x0 + 16] = recon
+        syn.luma_dc[i] = dc_zz
+        syn.luma_ac[i] = ac_zz
+        syn.luma_nnz[i] = nnz
+        cbp_l[i] = cl
+
+        cy0, cx0 = mby * 8, mbx * 8
+        ctop_u = (ru[cy0 - 1, cx0:cx0 + 8].astype(np.int64) if at
+                  else np.zeros(8, np.int64))
+        ctop_v = (rv[cy0 - 1, cx0:cx0 + 8].astype(np.int64) if at
+                  else np.zeros(8, np.int64))
+        clft_u = (ru[cy0:cy0 + 8, cx0 - 1].astype(np.int64) if al
+                  else np.zeros(8, np.int64))
+        clft_v = (rv[cy0:cy0 + 8, cx0 - 1].astype(np.int64) if al
+                  else np.zeros(8, np.int64))
+        ctl_u = int(ru[cy0 - 1, cx0 - 1]) if (at and al) else 0
+        ctl_v = int(rv[cy0 - 1, cx0 - 1]) if (at and al) else 0
+        cpreds_u = rpredict.predict_chroma_all(
+            ctop_u[None], clft_u[None], np.array([ctl_u], np.int64),
+            np.array([at]), np.array([al]))[0]
+        cpreds_v = rpredict.predict_chroma_all(
+            ctop_v[None], clft_v[None], np.array([ctl_v], np.int64),
+            np.array([at]), np.array([al]))[0]
+        cavail = rpredict.chroma_mode_avail(
+            np.array([at]), np.array([al]), np.array([at and al]))[0]
+        csrc_u = u[cy0:cy0 + 8, cx0:cx0 + 8].astype(np.int64)
+        csrc_v = v[cy0:cy0 + 8, cx0:cx0 + 8].astype(np.int64)
+        ccosts = np.where(
+            cavail,
+            rpixel.satd(csrc_u[None, None], cpreds_u[None])[0]
+            + rpixel.satd(csrc_v[None, None], cpreds_v[None])[0], 1 << 30)
+        cmode = int(np.argmin(ccosts))
+        qpc_i = chroma_qp(qp_i, params.chroma_qp_offset)
+        crecons, cdc, cac, cnnz, cc = encode_chroma_mb(
+            [csrc_u, csrc_v], [cpreds_u[cmode], cpreds_v[cmode]],
+            qpc_i, intra=True)
+        ru[cy0:cy0 + 8, cx0:cx0 + 8] = crecons[0]
+        rv[cy0:cy0 + 8, cx0:cx0 + 8] = crecons[1]
+        syn.chroma_dc[i] = cdc
+        syn.chroma_ac[i] = cac
+        syn.chroma_nnz[i] = cnnz
+        cbp_c[i] = cc
+
+        intra_mb[i] = True
+        syn.i16_mode[i] = mode
+        syn.chroma_mode[i] = cmode
+        syn.mb_cost[i] = int(costs[mode])
+
+    syn.cbp_luma[:] = cbp_l
+    syn.cbp_chroma[:] = cbp_c
+
     # ---- sequential host scan: skip classification + normative mvd ----
     mv_dec = np.zeros((n, 2), np.int32)   # decoded-state mvs
     ref_dec = np.full(n, -1, np.int32)
     for i in range(n):
+        if intra_mb[i]:
+            syn.mb_class[i] = MB_I16
+            mv_dec[i] = 0
+            ref_dec[i] = -1
+            continue
         mby, mbx = divmod(i, mbw)
         skip_mv = mvpred.pskip_mv(mv_dec, ref_dec, mbx, mby, mbw)
         if (cbp_l[i] == 0 and cbp_c[i] == 0

@@ -40,15 +40,22 @@ def se_codes(v):
     return ue_codes(jnp.where(v > 0, 2 * v - 1, -2 * v))
 
 
-def classify_p(mv, cbp_luma, cbp_chroma, mbw: int, mbh: int, ref=None):
+def classify_p(mv, cbp_luma, cbp_chroma, mbw: int, mbh: int, ref=None,
+               intra=None):
     """P16x16 skip/MVP classification (8.4.1), fully parallel (see
     classify_pframe_vec for why; still true with multi-ref: every decoded
     (mv, ref) equals the chosen one).  mv (N,2) int32 qpel; ref (N,) or
-    None (all 0).  Returns (mb_class (N,), mvd (N,2))."""
+    None (all 0); intra (N,) bool or None — intra-coded MBs contribute
+    (mv 0, ref -1) to their neighbours (8.4.1.3.2) and are classed
+    MB_I16_D.  Returns (mb_class (N,), mvd (N,2))."""
     n = mbw * mbh
     m = mv.astype(jnp.int32).reshape(mbh, mbw, 2)
     r = (jnp.zeros(n, jnp.int32) if ref is None
          else ref.astype(jnp.int32)).reshape(mbh, mbw)
+    if intra is not None:
+        ig = intra.reshape(mbh, mbw)
+        m = jnp.where(ig[..., None], 0, m)
+        r = jnp.where(ig, -1, r)
 
     def shifted(dy, dx):
         mvn = jnp.zeros_like(m)
@@ -105,6 +112,8 @@ def classify_p(mv, cbp_luma, cbp_chroma, mbw: int, mbh: int, ref=None):
                & (r.reshape(-1) == 0)
                & (flat_mv == skip_mv.reshape(-1, 2)).all(1))
     mb_class = jnp.where(is_skip, MB_PSKIP_D, MB_P16_D).astype(jnp.int32)
+    if intra is not None:
+        mb_class = jnp.where(intra, MB_I16_D, mb_class)
     mvd = jnp.where(is_skip[:, None], 0, flat_mv - mvp.reshape(-1, 2))
     return mb_class, mvd
 

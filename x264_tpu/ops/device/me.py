@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from x264_tpu.models.inter_frame import PAD, mv_bits_arr
+from x264_tpu.ops.device.pixel import satd
+from x264_tpu.ops.reference.mc import QPEL_TWO_SAMPLE_TBL
 
 
 @functools.partial(jax.jit, static_argnames=("me_range", "mbw", "mbh"))
@@ -85,9 +87,6 @@ def subpel_refine(src_mbs, planes4, mv0, lam, me_range: int, steps: int,
     ref_idx (N,) given, stacked (K,4,Hp,Wp) planes gathered per MB's
     chosen reference; mv0 (N,2) fullpel-aligned qpel mvs.
     Returns (mv (N,2), cost (N,))."""
-    from x264_tpu.ops.device.pixel import satd
-    from x264_tpu.ops.reference.mc import QPEL_TWO_SAMPLE_TBL
-
     n = mbw * mbh
     off = 4 * me_range + 4
     bits = jnp.asarray(mv_bits_arr(off).astype(np.int32))

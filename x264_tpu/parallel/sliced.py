@@ -75,6 +75,8 @@ def build_sliced_p_step(mesh: Mesh, mbw: int, mbh_per_band: int,
         ref_mb=PS("band"),
         mb_class=PS("band"), mvd=PS("band", None),
         mv=PS("band", None),
+        i16_mode=PS("band"), chroma_mode=PS("band"),
+        luma_dc=PS("band", None),
         luma_ac=PS("band", None, None), luma_nnz=PS("band", None),
         cbp_luma=PS("band"),
         chroma_dc=PS("band", None, None),
