@@ -123,3 +123,28 @@ def test_multiref_conformance(rng):
         for i, (dy, du, dv) in enumerate(dec):
             assert np.array_equal(dy, recs[i][0][:h, :w])
             assert np.array_equal(du, recs[i][1][:h // 2, :w // 2])
+
+
+def test_cabac_fast_path_matches_syn(rng):
+    """The compact-blob fast path (device blob -> C packed entry) must
+    produce the same bitstream as the syntax-tensor path."""
+    from x264_tpu.utils.yuv import Frame420
+    w, h = 96, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(6):
+        y = (120 + 70 * np.sin((xx + 4 * t) / 13.0)
+             * np.cos((yy - 3 * t) / 19.0)).astype(np.uint8)
+        y += rng.integers(0, 5, (h, w)).astype(np.uint8)
+        if t == 3:
+            y[16:48, 32:80] = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+        u = (128 + 40 * np.sin((xx[::2, ::2] + 4 * t) / 23.0)).astype(np.uint8)
+        v = (128 + 40 * np.cos((yy[::2, ::2] + 5 * t) / 29.0)).astype(np.uint8)
+        frames.append(Frame420(y, u, v))
+    streams = []
+    for backend in ("device", "device_host_entropy"):
+        enc = Encoder(EncoderParams(width=w, height=h, qp=27, me_range=8,
+                                    backend=backend, cabac=True,
+                                    scenecut_threshold=0, deblock=True))
+        streams.append(b"".join(enc.encode(f) for f in frames) + enc.flush())
+    assert streams[0] == streams[1]

@@ -2,7 +2,7 @@
  * X264_BUILD 164 as the reference, distro-built WITH asm) through
  * libavcodec, for honest bench.py comparisons on this host.
  *
- * usage: avenc W H fps nframes preset qp < raw_i420 > out.264
+ * usage: avenc W H fps nframes preset qp [x264-params] < raw_i420 > out.264
  * prints to stderr: encode_s=<wall seconds> bytes=<total>
  *
  * build: gcc -O2 tools/avenc.c -o tools/avenc -lavcodec -lavutil
@@ -42,6 +42,8 @@ int main(int argc, char **argv) {
     av_opt_set(c->priv_data, "preset", preset, 0);
     if (qp[0] == 'c' ) av_opt_set(c->priv_data, "crf", qp + 1, 0);
     else av_opt_set(c->priv_data, "qp", qp, 0);
+    if (argc > 7 && argv[7][0])
+        av_opt_set(c->priv_data, "x264-params", argv[7], 0);
     if (avcodec_open2(c, codec, NULL) < 0) { fprintf(stderr, "open fail\n"); return 1; }
 
     AVFrame *f = av_frame_alloc();

@@ -80,6 +80,13 @@ class Encoder:
     def headers(self) -> bytes:
         return self._sps_bytes + self._pps_bytes
 
+    def _cabac_fast(self) -> bool:
+        """CABAC via the device fast path (compact blob + native C
+        entropy).  Multi-slice and multi-ref CABAC stay on the syntax
+        path for now."""
+        return (self.p.cabac and self.p.slices <= 1
+                and self.p.ref_frames <= 1)
+
     def _use_device(self) -> bool:
         if self.p.backend == "reference":
             return False
@@ -100,12 +107,14 @@ class Encoder:
     def _run_core(self, yd, ud, vd, ref, idr: bool, base_qp: int, qp_arr,
                   n_words: int, mbw: int, mbh: int):
         from x264_tpu.models.inter_frame import me_lambda
+        ent = "cabac" if self._cabac_fast() else "cavlc"
+        ekw = (dict(entropy="cabac", lv_cap=n_words) if ent == "cabac"
+               else dict(n_words=n_words))
         if idr or ref is None:
             from x264_tpu.models.intra_device import i_frame_core
             out = i_frame_core(yd, ud, vd, qp_arr,
                                mbw=mbw, mbh=mbh,
-                               cqp_off=self.p.chroma_qp_offset,
-                               n_words=n_words)
+                               cqp_off=self.p.chroma_qp_offset, **ekw)
             return out, SLICE_I
         import jax.numpy as jnp
 
@@ -121,7 +130,7 @@ class Encoder:
                            qp_arr, np.int32(me_lambda(base_qp)),
                            mbw=mbw, mbh=mbh, me_range=self.p.me_range,
                            cqp_off=self.p.chroma_qp_offset,
-                           n_words=n_words, subpel=self.p.subpel)
+                           subpel=self.p.subpel, **ekw)
         return out, SLICE_P
 
     def _requantize_idr(self, qp: int) -> int:
@@ -291,7 +300,11 @@ class Encoder:
         h, w = y.shape
         mbw, mbh = w // 16, h // 16
         idr = ftype == "IDR"
-        ladder = [24, 64, 160, 416] if qp >= 16 else [64, 160, 416]
+        if self._cabac_fast():
+            # level-cap ladder for the compact CABAC blob
+            ladder = [64, 216, 408] if qp >= 16 else [216, 408]
+        else:
+            ladder = [24, 64, 160, 416] if qp >= 16 else [64, 160, 416]
         n_words = ladder[0]
 
         buf = np.empty((h + h // 2, w), np.uint8)
@@ -318,8 +331,13 @@ class Encoder:
             # the P cost is already computed; promote to IDR if inter
             # prediction is no cheaper than intra
             blob = np.asarray(out["host_blob"])
-            p_cost = float(blob[:, n_words + 2].astype(np.int64).sum())
-            i_cost = float(blob[:, n_words + 3].astype(np.int64).sum())
+            if self._cabac_fast():
+                foff = 13 + n_words // 2
+                p_cost = float(blob[:, foff + 9].astype(np.int64).sum())
+                i_cost = float(blob[:, foff + 10].astype(np.int64).sum())
+            else:
+                p_cost = float(blob[:, n_words + 2].astype(np.int64).sum())
+                i_cost = float(blob[:, n_words + 3].astype(np.int64).sum())
             bias = self.p.scenecut_threshold / 100.0
             if p_cost >= (1.0 - bias) * i_cost:
                 idr = True
@@ -371,6 +389,8 @@ class Encoder:
         blob = job.get("blob")
         if blob is None:
             blob = np.asarray(job["out"]["host_blob"])
+        if self._cabac_fast():
+            return self._finalize_cabac(job, blob)
         nbits = blob[:, n_words]
         if int(nbits.max(initial=0)) > 32 * n_words:
             # CAVLC word-budget overflow: re-run entropy at a bigger budget
@@ -411,6 +431,54 @@ class Encoder:
         self.stats.append(FrameStats(job["ftype"], len(out_bytes) * 8,
                                      job["qp"]))
         cost = int(blob[:, n_words + 2].astype(np.int64).sum())
+        self.rc.update(job["ftype"], len(out_bytes) * 8, cost)
+        self._record_stats(job["ftype"], job["qp"], len(out_bytes) * 8,
+                           cost, mb_class)
+        return out_bytes
+
+    def _finalize_cabac(self, job: dict, blob: np.ndarray) -> bytes:
+        """Fast-path CABAC finalization: the compact device blob
+        (ops/device/entropy_pack.py) goes straight to the native C coder
+        (native/cabac.c encode_slice_cabac_packed)."""
+        from x264_tpu.bitstream.cabac_host import write_slice_cabac_packed
+
+        K = job["n_words"]
+        foff = 13 + K // 2
+        if int(blob[:, foff + 8].max(initial=0)) > K:
+            # level-cap overflow: re-run the frame core at the next cap
+            yd, ud, vd = job["planes"]
+            for K in job["ladder"][1:]:
+                job["n_words"] = K
+                out, _ = self._run_core(yd, ud, vd, job["ref"], job["idr"],
+                                        job["qp"], job["qp_arr"], K,
+                                        job["mbw"], job["mbh"])
+                blob = np.asarray(out["host_blob"])
+                foff = 13 + K // 2
+                if int(blob[:, foff + 8].max(initial=0)) <= K:
+                    break
+        mb_class = blob[:, foff]
+
+        out_bytes = b""
+        if job["ftype"] == "IDR" and self.p.repeat_headers:
+            out_bytes += self.headers()
+        bs = BitWriter()
+        write_slice_header(bs, self.p, self.sps,
+                           slice_type=job["slice_type"], idr=job["idr"],
+                           frame_num=job["frame_num"],
+                           idr_pic_id=job["idr_pic_id"], qp=job["slice_qp"],
+                           num_ref=job.get("num_ref", 1),
+                           poc_lsb=job.get("poc_lsb", 0))
+        pad = (-bs.bit_length) % 8
+        if pad:
+            bs.put(pad, (1 << pad) - 1)    # cabac_alignment_one_bit
+        kind = 0 if job["slice_type"] == SLICE_I else 1
+        payload = write_slice_cabac_packed(
+            blob, job["mbw"], job["mbh"], kind, job["slice_qp"], K)
+        out_bytes += wrap_slice_nal(bs.to_bytes_aligned() + payload,
+                                    job["idr"])
+        cost = int(blob[:, foff + 9].astype(np.int64).sum())
+        self.stats.append(FrameStats(job["ftype"], len(out_bytes) * 8,
+                                     job["qp"]))
         self.rc.update(job["ftype"], len(out_bytes) * 8, cost)
         self._record_stats(job["ftype"], job["qp"], len(out_bytes) * 8,
                            cost, mb_class)
@@ -466,8 +534,8 @@ class Encoder:
         if ftype == "IDR":
             self.frame_num = 0
         qp = self._qp_for_frame(ftype)
-        if self.p.cabac or self.p.backend in ("reference",
-                                              "device_host_entropy"):
+        if ((self.p.cabac and not self._cabac_fast())
+                or self.p.backend in ("reference", "device_host_entropy")):
             out_bytes = b""
             if ftype == "IDR" and self.p.repeat_headers:
                 out_bytes += self.headers()
@@ -506,7 +574,10 @@ class Encoder:
         mbw, mbh = w // 16, h // 16
         n = mbw * mbh
         qp = min(self.rc.frame_qp("P") + 2, 51)   # pb_factor analog
-        ladder = [24, 64, 160, 416] if qp >= 16 else [64, 160, 416]
+        if self._cabac_fast():
+            ladder = [64, 216, 408] if qp >= 16 else [216, 408]
+        else:
+            ladder = [24, 64, 160, 416] if qp >= 16 else [64, 160, 416]
 
         poc_cur = self._poc_lsb(disp)
         tb = int(np.clip(poc_cur - prev.poc, -128, 127))
@@ -524,13 +595,15 @@ class Encoder:
         yd, ud, vd = dsrc[:h], dsrc[h:, :w // 2], dsrc[h:, w // 2:]
 
         n_words = ladder[0]
+        ekw = (dict(entropy="cabac", lv_cap=n_words) if self._cabac_fast()
+               else dict(n_words=n_words))
         out = b_frame_core(
             yd, ud, vd, prev.y, prev.u, prev.v, nxt.y, nxt.u, nxt.v,
             nxt.col_mv, nxt.col_intra, np.int32(dsf),
             np.int32(qp), np.int32(me_lambda(qp)),
             mbw=mbw, mbh=mbh, me_range=self.p.me_range,
-            cqp_off=self.p.chroma_qp_offset, n_words=n_words,
-            subpel=self.p.subpel)
+            cqp_off=self.p.chroma_qp_offset,
+            subpel=self.p.subpel, **ekw)
         try:
             out["host_blob"].copy_to_host_async()
         except Exception:
@@ -556,49 +629,53 @@ class Encoder:
         mbw, mbh, n, qp = job["mbw"], job["mbh"], job["n"], job["qp"]
         poc_cur = job["poc_cur"]
         n_words = job["n_words"]
+        cab = self._cabac_fast()
         blob = np.asarray(out["host_blob"])
-        nbits = blob[:, n_words]
-        if int(nbits.max(initial=0)) > 32 * n_words:
+
+        def _over(blob, n_words):
+            if cab:
+                return int(blob[:, 13 + n_words // 2 + 8]
+                           .max(initial=0)) > n_words
+            return int(blob[:, n_words].max(initial=0)) > 32 * n_words
+
+        if _over(blob, n_words):
             yd, ud, vd, prev, nxt, dsf = job["args"]
             for n_words in job["ladder"][1:]:
+                ekw = (dict(entropy="cabac", lv_cap=n_words) if cab
+                       else dict(n_words=n_words))
                 out = b_frame_core(
                     yd, ud, vd, prev.y, prev.u, prev.v,
                     nxt.y, nxt.u, nxt.v,
                     nxt.col_mv, nxt.col_intra, np.int32(dsf),
                     np.int32(qp), np.int32(me_lambda(qp)),
                     mbw=mbw, mbh=mbh, me_range=self.p.me_range,
-                    cqp_off=self.p.chroma_qp_offset, n_words=n_words,
-                    subpel=self.p.subpel)
+                    cqp_off=self.p.chroma_qp_offset,
+                    subpel=self.p.subpel, **ekw)
                 blob = np.asarray(out["host_blob"])
-                nbits = blob[:, n_words]
-                if int(nbits.max(initial=0)) <= 32 * n_words:
+                if not _over(blob, n_words):
                     break
-        words = np.ascontiguousarray(blob[:, :n_words]).view(np.uint32)
-        mb_class = blob[:, n_words + 1]
+        if cab:
+            foff = 13 + n_words // 2
+            mb_class = blob[:, foff]
+            cost_total = int(blob[:, foff + 9].astype(np.int64).sum())
+        else:
+            nbits = blob[:, n_words]
+            words = np.ascontiguousarray(blob[:, :n_words]).view(np.uint32)
+            mb_class = blob[:, n_words + 1]
+            cost_total = int(blob[:, n_words + 2].astype(np.int64).sum())
 
         bs = BitWriter()
         write_slice_header(bs, self.p, self.sps, slice_type=SLICE_B,
                            idr=False, frame_num=self.frame_num,
                            qp=qp, num_ref=1, num_ref_l1=1,
                            poc_lsb=poc_cur, is_ref=False)
-        if self.p.cabac:
-            from x264_tpu.bitstream.cabac_host import write_slice_cabac
-            from x264_tpu.models.syntax import empty_syntax
-            syn = empty_syntax(mbw, mbh)
-            syn.mb_class[:] = mb_class
-            syn.mvd[:] = np.asarray(out["mvd0"])
-            syn.cbp_luma[:] = np.asarray(out["cbp_luma"])
-            syn.cbp_chroma[:] = np.asarray(out["cbp_chroma"])
-            syn.qp[:] = qp
-            syn.luma_ac[:] = np.asarray(out["luma_ac"])
-            syn.chroma_dc[:] = np.asarray(out["chroma_dc"])
-            syn.chroma_ac[:] = np.asarray(out["chroma_ac"])
+        if cab:
+            from x264_tpu.bitstream.cabac_host import write_slice_cabac_packed
             pad = (-bs.bit_length) % 8
             if pad:
                 bs.put(pad, (1 << pad) - 1)
-            payload = write_slice_cabac(
-                syn, SLICE_B, qp, bmode=np.asarray(out["bmode"]),
-                mvd1=np.asarray(out["mvd1"]))
+            payload = write_slice_cabac_packed(blob, mbw, mbh, 2, qp,
+                                               n_words)
             data = wrap_slice_nal(bs.to_bytes_aligned() + payload, False,
                                   is_ref=False)
         else:
@@ -625,8 +702,7 @@ class Encoder:
                 np.int32(self.p.deblock_beta * 2), mbw=mbw, mbh=mbh)
         self.last_recon = ReconFrame(ry, ru, rv)
         self.stats.append(FrameStats("B", len(data) * 8, qp))
-        self._record_stats("B", qp, len(data) * 8,
-                           int(blob[:, n_words + 2].astype(np.int64).sum()),
+        self._record_stats("B", qp, len(data) * 8, cost_total,
                            np.where(mb_class == 3, 3, 2))
         return data
 
@@ -744,7 +820,7 @@ class Encoder:
 
         use_device = self._use_device()
         if (use_device and self.p.backend != "device_host_entropy"
-                and not self.p.cabac):
+                and (not self.p.cabac or self._cabac_fast())):
             assert self._pending is None, \
                 "mixing encode() and encode_pipelined(); flush() first"
             job = self._submit_device(y, u, v, ftype, qp)

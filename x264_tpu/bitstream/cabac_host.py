@@ -39,8 +39,34 @@ def _lib():
             i32p, i32p,
             u8p, ctypes.c_long,
         ]
+        lib.encode_slice_cabac_packed.restype = ctypes.c_long
+        lib.encode_slice_cabac_packed.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            i32p, ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_long,
+        ]
         _LIB = lib
     return _LIB
+
+
+def write_slice_cabac_packed(blob: np.ndarray, mbw: int, mbh: int,
+                             slice_kind: int, slice_qp: int, K: int,
+                             init_idc: int = 0) -> bytes:
+    """Encode slice_data() with CABAC from the device's compact blob
+    (ops/device/entropy_pack.cabac_blob layout).  slice_kind 0=I/1=P/2=B.
+    Raises OverflowError when a MB exceeded the level cap K (caller
+    retries the frame core with the next ladder K)."""
+    n = mbw * mbh
+    cap = 1024 + n * 512
+    out = np.zeros(cap, np.uint8)
+    blob = np.ascontiguousarray(blob.astype(np.int32, copy=False))
+    sz = _lib().encode_slice_cabac_packed(
+        mbw, mbh, slice_kind, int(slice_qp), init_idc,
+        blob, K, blob.shape[1], out, cap)
+    if sz < 0:
+        raise OverflowError("CABAC level cap or buffer overflow")
+    return out[:sz].tobytes()
 
 
 def write_slice_cabac(syn, slice_type: int, slice_qp: int,

@@ -52,12 +52,14 @@ def _pad_edge(p, pad):
 
 @functools.partial(jax.jit,
                    static_argnames=("mbw", "mbh", "me_range", "cqp_off",
-                                    "n_words", "subpel"))
+                                    "n_words", "subpel", "entropy",
+                                    "lv_cap"))
 def b_frame_core(y, u, v,
                  l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
                  col_mv, col_intra, dist_scale, qp, lam,
                  mbw: int, mbh: int, me_range: int, cqp_off: int,
-                 n_words: int = 24, subpel: int = 2):
+                 n_words: int = 24, subpel: int = 2,
+                 entropy: str = "cavlc", lv_cap: int = 64):
     """Encode one B frame.  col_mv (N,2): the L1 anchor's per-MB motion
     field; col_intra (N,) bool; dist_scale: temporal-direct
     DistScaleFactor (8.4.1.2.3), traced int32."""
@@ -148,31 +150,16 @@ def b_frame_core(y, u, v,
     ru_mbs, rv_mbs, cdc, cac, cnnz, cbp_c = encode_chroma(
         src_u, src_v, cpred_u, cpred_v, qpc, intra=False)
 
-    res_vals, res_lens = residual_slots(
-        jnp.zeros((n, 16), jnp.int32), ac_zz, nnz, cdc, cac, cnnz,
-        cbp_l, cbp_c, jnp.zeros(n, bool), mbw, mbh)
-
     # ---- mvd vs per-list median MVP; skip = direct + no residual ----
     mvp0 = dheader.mvp_for_list(fmv0, any0, mbw, mbh)
     mvp1 = dheader.mvp_for_list(fmv1, any1, mbw, mbh)
     mvd0 = jnp.where(use0[:, None], mv0 - mvp0, 0)
     mvd1 = jnp.where(use1[:, None], mv1 - mvp1, 0)
     is_skip = (bmode == dheader.B_DIRECT) & (cbp_l == 0) & (cbp_c == 0)
-
-    hv, hl = dheader.header_slots_b(bmode, is_skip, mvd0, mvd1,
-                                    cbp_l, cbp_c, qp)
-    words, nbits = pack_tokens(jnp.concatenate([hv, res_vals], axis=1),
-                               jnp.concatenate([hl, res_lens], axis=1),
-                               n_words)
-
     mb_class = jnp.where(is_skip, 3, 2).astype(jnp.int32)  # skip / coded
-    host_blob = jnp.concatenate(
-        [jax.lax.bitcast_convert_type(words, jnp.int32),
-         nbits[:, None], mb_class[:, None],
-         jnp.minimum(cost0, cost1)[:, None]], axis=1)
 
-    return dict(
-        words=words, nbits=nbits, mb_class=mb_class, host_blob=host_blob,
+    outs = dict(
+        mb_class=mb_class,
         bmode=bmode, mv0=fmv0, mv1=fmv1, any0=any0, any1=any1,
         mvd0=mvd0, mvd1=mvd1,
         luma_ac=ac_zz, chroma_dc=cdc, chroma_ac=cac, chroma_nnz=cnnz,
@@ -182,3 +169,28 @@ def b_frame_core(y, u, v,
         recon_u=T.mbs_to_plane(ru_mbs, mbh, mbw, 8).astype(jnp.uint8),
         recon_v=T.mbs_to_plane(rv_mbs, mbh, mbw, 8).astype(jnp.uint8),
     )
+
+    if entropy == "cabac":
+        from x264_tpu.ops.device.entropy_pack import cabac_blob
+        z = jnp.zeros(n, jnp.int32)
+        outs["host_blob"] = cabac_blob(
+            jnp.zeros((n, 16), jnp.int32), ac_zz, cdc, cac, mb_class,
+            mvd0, z, z, cbp_l, cbp_c, qp, jnp.minimum(cost0, cost1), z,
+            K=lv_cap, bmode=bmode, mvd1=mvd1)
+        return outs
+
+    res_vals, res_lens = residual_slots(
+        jnp.zeros((n, 16), jnp.int32), ac_zz, nnz, cdc, cac, cnnz,
+        cbp_l, cbp_c, jnp.zeros(n, bool), mbw, mbh)
+    hv, hl = dheader.header_slots_b(bmode, is_skip, mvd0, mvd1,
+                                    cbp_l, cbp_c, qp)
+    words, nbits = pack_tokens(jnp.concatenate([hv, res_vals], axis=1),
+                               jnp.concatenate([hl, res_lens], axis=1),
+                               n_words)
+    outs.update(
+        words=words, nbits=nbits,
+        host_blob=jnp.concatenate(
+            [jax.lax.bitcast_convert_type(words, jnp.int32),
+             nbits[:, None], mb_class[:, None],
+             jnp.minimum(cost0, cost1)[:, None]], axis=1))
+    return outs

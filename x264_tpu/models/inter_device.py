@@ -58,7 +58,8 @@ def _te_ref_bits(num_ref: int) -> np.ndarray:
 
 def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                      mbw: int, mbh: int, me_range: int, cqp_off: int,
-                     n_words: int = 24, subpel: int = 0):
+                     n_words: int = 24, subpel: int = 0,
+                     entropy: str = "cavlc", lv_cap: int = 64):
     """All-device P-frame pixel pipeline on *pre-padded* reference planes
     (so the sharded band path can hand in halo slices — parallel/sliced.py).
     y/u/v: source planes (uint8, H=16*mbh x W=16*mbw); ref_*_pad: STACKED
@@ -245,32 +246,15 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
      chroma_mode, mb_cost, recon_y_mbs, ru_mbs, rv_mbs) = jax.lax.cond(
         intra_mask.any(), _intra_fixup, _no_intra, None)
 
-    res_vals, res_lens = residual_slots(
-        luma_dc, ac_zz, nnz, cdc, cac, cnnz,
-        cbp_l, cbp_c, intra_mask, mbw, mbh)
-
-    # device MB classification + header codes + per-MB bit packing: the
-    # host only bit-merges N packed strings (bitstream/slice_assemble.py)
+    # device MB classification (shared by both entropy modes)
     mb_class, mvd = dheader.classify_p(mv, cbp_l, cbp_c, mbw, mbh,
                                        ref=ref if n_refs > 1 else None,
                                        intra=intra_mask)
     ref = jnp.where(mb_class == dheader.MB_PSKIP_D, 0, ref)
-    hv, hl = dheader.header_slots(
-        mb_class, i16_mode, chroma_mode, mvd, cbp_l, cbp_c, qp,
-        is_p_slice=True, ref=ref, num_ref=n_refs)
-    words, nbits = pack_tokens(jnp.concatenate([hv, res_vals], axis=1),
-                               jnp.concatenate([hl, res_lens], axis=1),
-                               n_words)
 
-    host_blob = jnp.concatenate(
-        [jax.lax.bitcast_convert_type(words, jnp.int32),
-         nbits[:, None], mb_class[:, None], mb_cost[:, None],
-         icost[:, None]], axis=1)
-
-    return dict(
-        res_vals=res_vals, res_lens=res_lens,
-        words=words, nbits=nbits, mb_class=mb_class, mvd=mvd,
-        host_blob=host_blob, mb_cost=mb_cost, qp_mb=qp, icost=icost,
+    outs = dict(
+        mb_class=mb_class, mvd=mvd,
+        mb_cost=mb_cost, qp_mb=qp, icost=icost,
         mv=mv, ref_mb=ref,
         i16_mode=i16_mode, chroma_mode=chroma_mode, luma_dc=luma_dc,
         luma_ac=ac_zz, luma_nnz=nnz, cbp_luma=cbp_l,
@@ -280,20 +264,51 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
         recon_v=T.mbs_to_plane(rv_mbs, mbh, mbw, 8).astype(jnp.uint8),
     )
 
+    if entropy == "cabac":
+        # compact syntax blob; the serial arithmetic coding runs in C on
+        # the host (ops/device/entropy_pack.py rationale)
+        from x264_tpu.ops.device.entropy_pack import cabac_blob
+        outs["host_blob"] = cabac_blob(
+            luma_dc, ac_zz, cdc, cac, mb_class, mvd, i16_mode,
+            chroma_mode, cbp_l, cbp_c, qp, mb_cost, icost, K=lv_cap)
+        return outs
+
+    # CAVLC: full entropy on device — slot grids + per-MB bit packing;
+    # the host only bit-merges N packed strings (slice_assemble.py)
+    res_vals, res_lens = residual_slots(
+        luma_dc, ac_zz, nnz, cdc, cac, cnnz,
+        cbp_l, cbp_c, intra_mask, mbw, mbh)
+    hv, hl = dheader.header_slots(
+        mb_class, i16_mode, chroma_mode, mvd, cbp_l, cbp_c, qp,
+        is_p_slice=True, ref=ref, num_ref=n_refs)
+    words, nbits = pack_tokens(jnp.concatenate([hv, res_vals], axis=1),
+                               jnp.concatenate([hl, res_lens], axis=1),
+                               n_words)
+    outs.update(
+        res_vals=res_vals, res_lens=res_lens, words=words, nbits=nbits,
+        host_blob=jnp.concatenate(
+            [jax.lax.bitcast_convert_type(words, jnp.int32),
+             nbits[:, None], mb_class[:, None], mb_cost[:, None],
+             icost[:, None]], axis=1))
+    return outs
+
 
 # band entry for multi-slice encoding: same pipeline, pre-sliced padded
 # refs (parallel/sliced.py uses the identical contract under shard_map)
 p_band_core = functools.partial(
     jax.jit, static_argnames=("mbw", "mbh", "me_range", "cqp_off",
-                              "n_words", "subpel"))(p_frame_pipeline)
+                              "n_words", "subpel", "entropy",
+                              "lv_cap"))(p_frame_pipeline)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("mbw", "mbh", "me_range", "cqp_off",
-                                    "n_words", "subpel"))
+                                    "n_words", "subpel", "entropy",
+                                    "lv_cap"))
 def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
                  mbw: int, mbh: int, me_range: int, cqp_off: int,
-                 n_words: int = 24, subpel: int = 0):
+                 n_words: int = 24, subpel: int = 0,
+                 entropy: str = "cavlc", lv_cap: int = 64):
     """Single-chip entry: edge-pad the references on device, run the
     pipeline (see p_frame_pipeline for the contract).  ref_* may be
     (H, W) single-ref or stacked (K, H, W) in list0 order."""
@@ -307,7 +322,8 @@ def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
                             padk(ref_v, PAD // 2),
                             qp, lam, mbw=mbw, mbh=mbh,
                             me_range=me_range, cqp_off=cqp_off,
-                            n_words=n_words, subpel=subpel)
+                            n_words=n_words, subpel=subpel,
+                            entropy=entropy, lv_cap=lv_cap)
 
 
 def classify_pframe_vec(syn, mv: np.ndarray, cbp_l: np.ndarray,

@@ -45,9 +45,11 @@ def _gather_block(plane, y0, x0, s):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mbw", "mbh", "cqp_off", "n_words"))
+                   static_argnames=("mbw", "mbh", "cqp_off", "n_words",
+                                    "entropy", "lv_cap"))
 def i_frame_core(y, u, v, qp, mbw: int, mbh: int, cqp_off: int,
-                 n_words: int = 32):
+                 n_words: int = 32, entropy: str = "cavlc",
+                 lv_cap: int = 64):
     """All-device I-frame pipeline.  Returns per-MB syntax tensors (raster
     MB order) + recon planes (pre-deblock)."""
     n = mbw * mbh
@@ -174,13 +176,27 @@ def i_frame_core(y, u, v, qp, mbw: int, mbh: int, cqp_off: int,
         jnp.arange(n_diag, dtype=jnp.int32))
 
     out = dict(acc)
+    mb_class = jnp.full(n, dheader.MB_I16_D, jnp.int32)
+    if entropy == "cabac":
+        from x264_tpu.ops.device.entropy_pack import cabac_blob
+        out["mb_class"] = mb_class
+        out["host_blob"] = cabac_blob(
+            acc["luma_dc"], acc["luma_ac"], acc["chroma_dc"],
+            acc["chroma_ac"], mb_class, jnp.zeros((n, 2), jnp.int32),
+            acc["i16_mode"], acc["chroma_mode"], acc["cbp_luma"],
+            acc["cbp_chroma"], qp, acc["mb_cost"], jnp.zeros(n, jnp.int32),
+            K=lv_cap)
+        out["recon_y"] = ry.astype(jnp.uint8)
+        out["recon_u"] = ru.astype(jnp.uint8)
+        out["recon_v"] = rv.astype(jnp.uint8)
+        out["qp_mb"] = qp
+        return out
     out["res_vals"], out["res_lens"] = residual_slots(
         acc["luma_dc"], acc["luma_ac"], acc["luma_nnz"],
         acc["chroma_dc"], acc["chroma_ac"], acc["chroma_nnz"],
         acc["cbp_luma"], acc["cbp_chroma"],
         jnp.ones(n, bool), mbw, mbh)
 
-    mb_class = jnp.full(n, dheader.MB_I16_D, jnp.int32)
     hv, hl = dheader.header_slots(
         mb_class, acc["i16_mode"], acc["chroma_mode"],
         jnp.zeros((n, 2), jnp.int32), acc["cbp_luma"], acc["cbp_chroma"],

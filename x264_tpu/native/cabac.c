@@ -714,3 +714,81 @@ long encode_slice_cabac(
         return -1;
     return (c.bitpos + 7) >> 3;
 }
+
+/* ---- packed-blob entry (device "phase 2" handoff) ----
+ * Per-MB int32 layout (see ops/device/entropy_pack.py):
+ *   [0:13)        significance bitmap over the 408-value emission order
+ *                 [ldc 16 | lac 256 | cdc 8 | cac 128]
+ *   [13:13+K/2)   nonzero levels as int16 pairs (lo | hi<<16)
+ *   then fields:  cls, mvd_x, mvd_y, i16m, chm, cbpl, cbpc, qp,
+ *                 nnz_total, mb_cost, icost [, bmode, mvd1_x, mvd1_y]
+ * Returns payload bytes, or -1 on error / level-cap overflow. */
+long encode_slice_cabac_packed(
+    int mbw, int mbh, int slice_kind, int slice_qp, int init_idc,
+    const int32_t *blob, int K, int stride,
+    uint8_t *out, long out_cap)
+{
+    int n = mbw * mbh;
+    int is_b = slice_kind == 2;
+    int foff = 13 + K / 2;
+    size_t sz16 = sizeof(int16_t), sz32 = sizeof(int32_t);
+    int16_t *ldc = calloc((size_t)16 * n, sz16);
+    int16_t *lac = calloc((size_t)256 * n, sz16);
+    int16_t *cdc = calloc((size_t)8 * n, sz16);
+    int16_t *cac = calloc((size_t)128 * n, sz16);
+    int32_t *cls = malloc((size_t)n * sz32);
+    int32_t *mvd = malloc((size_t)2 * n * sz32);
+    int32_t *i16m = malloc((size_t)n * sz32);
+    int32_t *chm = malloc((size_t)n * sz32);
+    int32_t *cbpl = malloc((size_t)n * sz32);
+    int32_t *cbpc = malloc((size_t)n * sz32);
+    int32_t *qp = malloc((size_t)n * sz32);
+    int32_t *bmode = is_b ? malloc((size_t)n * sz32) : NULL;
+    int32_t *mvd1 = is_b ? malloc((size_t)2 * n * sz32) : NULL;
+    long ret = -1;
+    if (!ldc || !lac || !cdc || !cac || !cls || !mvd || !i16m || !chm
+        || !cbpl || !cbpc || !qp || (is_b && (!bmode || !mvd1)))
+        goto done;
+
+    for (int mb = 0; mb < n; mb++) {
+        const int32_t *row = blob + (size_t)mb * stride;
+        const int32_t *fields = row + foff;
+        if (fields[8] > K)
+            goto done;                 /* level cap overflow: caller retries */
+        cls[mb] = fields[0];
+        mvd[2 * mb] = fields[1];
+        mvd[2 * mb + 1] = fields[2];
+        i16m[mb] = fields[3];
+        chm[mb] = fields[4];
+        cbpl[mb] = fields[5];
+        cbpc[mb] = fields[6];
+        qp[mb] = fields[7];
+        if (is_b) {
+            bmode[mb] = fields[11];
+            mvd1[2 * mb] = fields[12];
+            mvd1[2 * mb + 1] = fields[13];
+        }
+        int16_t *dst[4] = {ldc + 16 * mb, lac + 256 * mb,
+                           cdc + 8 * mb, cac + 128 * mb};
+        int lim[4] = {16, 256, 8, 128};
+        int sec = 0, secbase = 0, r = 0;
+        for (int j = 0; j < 408; j++) {
+            while (j - secbase >= lim[sec]) { secbase += lim[sec]; sec++; }
+            if ((row[j >> 5] >> (j & 31)) & 1) {
+                int32_t w = row[13 + (r >> 1)];
+                int16_t v = (int16_t)((r & 1) ? (w >> 16) : (w & 0xffff));
+                dst[sec][j - secbase] = v;
+                r++;
+            }
+        }
+    }
+    ret = encode_slice_cabac(mbw, mbh, slice_kind, slice_qp, init_idc,
+                             cls, i16m, chm, mvd, cbpl, cbpc, qp,
+                             ldc, lac, cdc, cac, bmode, mvd1,
+                             out, out_cap);
+done:
+    free(ldc); free(lac); free(cdc); free(cac); free(cls); free(mvd);
+    free(i16m); free(chm); free(cbpl); free(cbpc); free(qp);
+    free(bmode); free(mvd1);
+    return ret;
+}

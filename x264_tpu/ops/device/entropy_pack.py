@@ -1,0 +1,73 @@
+"""Compact syntax blob for host CABAC (device -> host, "phase 2").
+
+CABAC is an adaptive binary arithmetic coder — inherently serial, so it
+runs on the host in C (native/cabac.c), exactly as x264 runs entropy on
+CPU threads (reference encoder/encoder.c slice_write).  What the device
+can do is make the handoff cheap: the residual tensors are ~97% zeros,
+so instead of shipping (N,408) int32 coefficient grids we ship, per MB,
+a 408-bit significance bitmap + the nonzero levels compacted to a fixed
+cap K (ladder-retried on overflow, like the CAVLC n_words ladder), plus
+the dozen small header fields.  ~6x smaller than the dense arrays and
+fully formed inside the frame core jit (no extra device round-trip).
+
+Flattened emission order (must match expand_blob() in native/cabac.c):
+  [luma_dc 16 | luma_ac 16x16 raster-block zigzag | chroma_dc 2x4 |
+   chroma_ac 2x4x16] = 408 values per MB.
+
+Blob layout per MB, int32 words:
+  [0:13)            significance bitmap (little-endian bits, 408 used)
+  [13:13+K/2)       nonzero levels, int16 pairs (lo | hi<<16)
+  [13+K/2: ...)     fields: mb_class, mvd_x, mvd_y, i16_mode,
+                    chroma_mode, cbp_luma, cbp_chroma, qp, nnz_total,
+                    mb_cost, icost [, bmode, mvd1_x, mvd1_y]
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+N_VALS = 408
+N_BITMAP = 13
+FIELDS_P = 11
+FIELDS_B = 14
+
+
+def blob_width(K: int, b: bool = False) -> int:
+    return N_BITMAP + K // 2 + (FIELDS_B if b else FIELDS_P)
+
+
+def cabac_blob(luma_dc, luma_ac, chroma_dc, chroma_ac, mb_class, mvd,
+               i16_mode, chroma_mode, cbp_luma, cbp_chroma, qp, mb_cost,
+               icost, K: int, bmode=None, mvd1=None):
+    """All inputs per-MB int32 tensors (see p_frame_pipeline); K even.
+    Returns (N, blob_width(K)) int32."""
+    n = mb_class.shape[0]
+    flat = jnp.concatenate([
+        luma_dc.reshape(n, 16), luma_ac.reshape(n, 256),
+        chroma_dc.reshape(n, 8), chroma_ac.reshape(n, 128)],
+        axis=1).astype(jnp.int32)                      # (N, 408)
+    mask = flat != 0
+
+    j = jnp.arange(N_VALS, dtype=jnp.int32)
+    bit = (mask.astype(jnp.int32) << (j % 32)[None, :])
+    onehot = ((j // 32)[:, None]
+              == jnp.arange(N_BITMAP, dtype=jnp.int32)[None, :])
+    # disjoint bit positions within a word => sum == or
+    bitmap = jnp.einsum("nj,jw->nw", bit, onehot.astype(jnp.int32))
+
+    rank = jnp.cumsum(mask, axis=1) - 1
+    idx = jnp.where(mask & (rank < K), rank, K)
+    lv = (jnp.zeros((n, K + 1), jnp.int32)
+          .at[jnp.arange(n, dtype=jnp.int32)[:, None], idx]
+          .set(flat, mode="drop")[:, :K])
+    lv16 = lv & 0xffff
+    packed = lv16[:, 0::2] | (lv16[:, 1::2] << 16)     # (N, K//2)
+
+    nnz_total = mask.sum(axis=1).astype(jnp.int32)
+    fields = [mb_class, mvd[:, 0], mvd[:, 1], i16_mode, chroma_mode,
+              cbp_luma, cbp_chroma, qp, nnz_total, mb_cost, icost]
+    if bmode is not None:
+        fields += [bmode, mvd1[:, 0], mvd1[:, 1]]
+    return jnp.concatenate(
+        [bitmap, packed] + [f.astype(jnp.int32)[:, None] for f in fields],
+        axis=1)
