@@ -4,8 +4,9 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
 
-- ours: x264_tpu device backend (single chip), CQP26, ESA fullpel ME
-  range 16, deblock on — steady-state fps after compile warmup.
+- ours: x264_tpu device backend (single chip), CQP26, ESA ME range 16,
+  qpel subme2, 2 B-frames, CABAC, deblock on — steady-state fps after
+  compile warmup.
 - baseline: the system libx264 (X264_BUILD 164 — the same build as the
   reference repo, distro-compiled WITH asm) driven via tools/avenc,
   --preset medium --qp 26, all 4 host cores.
@@ -62,7 +63,7 @@ def bench_ours(frames):
 
     p = EncoderParams(width=W, height=H, qp=QP, me_range=16,
                       backend="device", deblock=True, keyint_max=250,
-                      bframes=2, full_recon=False)
+                      bframes=2, full_recon=False, cabac=True)
     enc = Encoder(p)
     stream = b""
     warm = 4
