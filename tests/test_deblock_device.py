@@ -95,3 +95,46 @@ class TestDeblockDevice:
                               mbw=syn.mb_width, mbh=syn.mb_height)
             for a, b in zip(r1, r2):
                 np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_pallas_kernel_bit_exact(rng):
+    """The Mosaic wavefront kernel (interpret mode on CPU) must match the
+    XLA scan exactly — P-style and B-style strengths."""
+    import jax.numpy as jnp
+
+    from x264_tpu.ops.device.deblock import (bs_grids, bs_grids_b,
+                                             _deblock_filter)
+    from x264_tpu.ops.device.deblock_pallas import deblock_filter_pallas
+
+    for (mbw, mbh) in [(6, 4), (5, 7)]:
+        h, w = mbh * 16, mbw * 16
+        n = mbw * mbh
+        y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        u = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+        v = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+        nnz = (rng.random((n, 16)) < 0.4).astype(np.int32)
+        mv = rng.integers(-32, 33, (n, 2)).astype(np.int32)
+        qp = rng.integers(10, 46, n).astype(np.int32)
+        qpc = np.clip(qp - 3, 0, 51).astype(np.int32)
+        grids = [
+            bs_grids(jnp.asarray(rng.random(n) < 0.2), jnp.asarray(nnz),
+                     jnp.asarray(mv), jnp.asarray(np.zeros(n, np.int32)),
+                     mbw, mbh),
+            bs_grids_b(jnp.asarray(nnz), jnp.asarray(mv),
+                       jnp.asarray(-mv),
+                       jnp.asarray(rng.random(n) < 0.8),
+                       jnp.asarray(rng.random(n) < 0.8), mbw, mbh),
+        ]
+        for bs_v, bs_h in grids:
+            a = _deblock_filter(jnp.asarray(y), jnp.asarray(u),
+                                jnp.asarray(v), bs_v, bs_h,
+                                jnp.asarray(qp), jnp.asarray(qpc),
+                                np.int32(2), np.int32(-2),
+                                mbw=mbw, mbh=mbh)
+            b = deblock_filter_pallas(jnp.asarray(y), jnp.asarray(u),
+                                      jnp.asarray(v), bs_v, bs_h,
+                                      jnp.asarray(qp), jnp.asarray(qpc),
+                                      np.int32(2), np.int32(-2),
+                                      mbw=mbw, mbh=mbh, interpret=True)
+            for x1, x2 in zip(a, b):
+                assert np.array_equal(np.asarray(x1), np.asarray(x2))

@@ -694,12 +694,14 @@ class Encoder:
         if self.p.deblock and self.p.full_recon:
             qpc = int(CHROMA_QP_TABLE[min(max(
                 qp + self.p.chroma_qp_offset, 0), 51)])
+            from x264_tpu.ops.device.deblock import deblock_impl
             ry, ru, rv = deblock_core_b(
                 ry, ru, rv, out["luma_nnz"], out["mv0"], out["mv1"],
                 out["any0"], out["any1"],
                 jnp.full(n, qp, jnp.int32), jnp.full(n, qpc, jnp.int32),
                 np.int32(self.p.deblock_alpha * 2),
-                np.int32(self.p.deblock_beta * 2), mbw=mbw, mbh=mbh)
+                np.int32(self.p.deblock_beta * 2), mbw=mbw, mbh=mbh,
+                impl=deblock_impl())
         self.last_recon = ReconFrame(ry, ru, rv)
         self.stats.append(FrameStats("B", len(data) * 8, qp))
         self._record_stats("B", qp, len(data) * 8, cost_total,
@@ -752,13 +754,15 @@ class Encoder:
         qp_mb = jnp.where(last >= 0, qp_mb[jnp.maximum(last, 0)], qp_mb[0])
         qpc_tab = jnp.asarray(CHROMA_QP_TABLE.astype(np.int32))
         qpc_mb = qpc_tab[jnp.clip(qp_mb + self.p.chroma_qp_offset, 0, 51)]
+        from x264_tpu.ops.device.deblock import deblock_impl
         return deblock_core(
             ry, ru, rv, out["mb_class"] == 0, out["luma_nnz"],
             out["mv"] if "mv" in out else jnp.zeros((n, 2), jnp.int32),
             out["ref_mb"] if "ref_mb" in out else jnp.zeros(n, jnp.int32),
             qp_mb, qpc_mb,
             np.int32(self.p.deblock_alpha * 2),
-            np.int32(self.p.deblock_beta * 2), mbw=mbw, mbh=mbh)
+            np.int32(self.p.deblock_beta * 2), mbw=mbw, mbh=mbh,
+            impl=deblock_impl())
 
     def _pad(self, fr: Frame420):
         y = pad_to_mb(fr.y, 16)
@@ -911,13 +915,15 @@ class Encoder:
                 intra_mb = np.isin(syn.mb_class, (MB_I16, MB_I4))
                 qpc = CHROMA_QP_TABLE[np.clip(
                     eff_qp + self.p.chroma_qp_offset, 0, 51)].astype(np.int32)
+                from x264_tpu.ops.device.deblock import deblock_impl
                 ry, ru, rv = deblock_core(
                     ry, ru, rv, intra_mb, syn.luma_nnz.astype(np.int32),
                     syn.mv.astype(np.int32), syn.ref.astype(np.int32),
                     eff_qp, qpc,
                     np.int32(self.p.deblock_alpha * 2),
                     np.int32(self.p.deblock_beta * 2),
-                    mbw=syn.mb_width, mbh=syn.mb_height)
+                    mbw=syn.mb_width, mbh=syn.mb_height,
+                    impl=deblock_impl())
                 ry, ru, rv = (np.asarray(ry), np.asarray(ru), np.asarray(rv))
             else:
                 import dataclasses as _dc
