@@ -150,3 +150,30 @@ class TestFramePipelines:
                             for (y, u, v) in frames)
             outs.append(data)
         assert outs[0] == outs[1]
+
+
+def test_me_pallas_bit_exact(rng):
+    """The Mosaic exhaustive-search kernel (interpret mode on CPU) must
+    match the XLA fori_loop search exactly, mv and cost."""
+    import jax.numpy as jnp
+
+    from x264_tpu.models.inter_frame import PAD
+    from x264_tpu.ops.device.me import _full_search_xla
+    from x264_tpu.ops.device.me_pallas import full_search_pallas
+
+    for (mbw, mbh, mer) in [(6, 4, 8), (7, 5, 16)]:
+        h, w = mbh * 16, mbw * 16
+        src = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        big = rng.integers(0, 256, (h + 2 * PAD, w + 2 * PAD)
+                           ).astype(np.int32)
+        big[PAD - 3:PAD - 3 + h, PAD + 5:PAD + 5 + w] = src
+        ref = np.clip(big + rng.integers(-6, 7, big.shape), 0, 255
+                      ).astype(np.uint8)
+        lam = np.int32(14)
+        mv_a, c_a = _full_search_xla(jnp.asarray(src), jnp.asarray(ref),
+                                     lam, me_range=mer, mbw=mbw, mbh=mbh)
+        mv_b, c_b = full_search_pallas(jnp.asarray(src), jnp.asarray(ref),
+                                       lam, me_range=mer, mbw=mbw,
+                                       mbh=mbh, interpret=True)
+        assert np.array_equal(np.asarray(mv_a), np.asarray(mv_b))
+        assert np.array_equal(np.asarray(c_a), np.asarray(c_b))
