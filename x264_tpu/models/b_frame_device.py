@@ -88,15 +88,15 @@ def b_frame_core(y, u, v,
         mv, cost = full_search_16x16(y, plane_pad, lam, me_range=me_range,
                                      mbw=mbw, mbh=mbh)
         if subpel > 0:
-            mv, cost = subpel_refine(src_mbs, planes, mv, lam, me_range,
-                                     subpel, mbw, mbh)
-        return mv, cost
+            mv, cost, pred = subpel_refine(src_mbs, planes, mv, lam,
+                                           me_range, subpel, mbw, mbh,
+                                           return_pred=True)
+        else:
+            pred = mc_luma_qpel(planes, mv, mbw, mbh, PAD)
+        return mv, cost, pred
 
-    mv0, cost0 = me(l0y, planes0)
-    mv1, cost1 = me(l1y, planes1)
-
-    pred0 = mc_luma_qpel(planes0, mv0, mbw, mbh, PAD)
-    pred1 = mc_luma_qpel(planes1, mv1, mbw, mbh, PAD)
+    mv0, cost0, pred0 = me(l0y, planes0)
+    mv1, cost1, pred1 = me(l1y, planes1)
     pred_bi = (pred0 + pred1 + 1) >> 1
     pd0 = mc_luma_qpel(planes0, dmv0, mbw, mbh, PAD)
     pd1 = mc_luma_qpel(planes1, dmv1, mbw, mbh, PAD)

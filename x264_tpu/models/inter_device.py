@@ -97,9 +97,9 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
     if subpel > 0:
         planes = jnp.stack([mc_hpel_planes(ref_y_pad[k])
                             for k in range(n_refs)])      # (K,4,Hp,Wp)
-        mv, mb_cost = subpel_refine(src_mbs, planes, mv, lam, me_range,
-                                    subpel, mbw, mbh, ref_idx=ref)
-        pred = mc_luma_qpel(planes, mv, mbw, mbh, PAD, ref_idx=ref)
+        mv, mb_cost, pred = subpel_refine(src_mbs, planes, mv, lam,
+                                          me_range, subpel, mbw, mbh,
+                                          ref_idx=ref, return_pred=True)
     else:
         mb_cost = _cost
         if n_refs == 1:

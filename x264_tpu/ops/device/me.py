@@ -89,7 +89,7 @@ def subpel_candidates(steps: int):
 
 
 def subpel_refine(src_mbs, planes4, mv0, lam, me_range: int, steps: int,
-                  mbw: int, mbh: int, ref_idx=None):
+                  mbw: int, mbh: int, ref_idx=None, return_pred=False):
     """SATD subpel refinement, exhaustive over the +-3 qpel window of the
     fullpel best (parity intent: reference encoder/me.c refine_subpel; an
     exhaustive window is the TPU-shaped equivalent of its iterated
@@ -128,6 +128,7 @@ def subpel_refine(src_mbs, planes4, mv0, lam, me_range: int, steps: int,
     CHUNK = 7
     best = None
     best_mv = mv0
+    best_pred = None
     for ci in range(0, len(cands), CHUNK):
         chunk = cands[ci:ci + CHUNK]
         preds, mvs, bitc = [], [], []
@@ -145,19 +146,31 @@ def subpel_refine(src_mbs, planes4, mv0, lam, me_range: int, steps: int,
             mvs.append(cand)
             bitc.append(bits[cand[:, 0] + off] + bits[cand[:, 1] + off])
         m = len(chunk)
-        pred = jnp.stack(preds).reshape(m * n, 16, 16)
+        predm = jnp.stack(preds)                            # (m, N, 16, 16)
         src_rep = jnp.broadcast_to(src_mbs, (m, n, 16, 16)
                                    ).reshape(m * n, 16, 16)
-        c = (satd(src_rep, pred).reshape(m, n)
+        c = (satd(src_rep, predm.reshape(m * n, 16, 16)).reshape(m, n)
              + lam * jnp.stack(bitc))                       # (m, N)
         idx = jnp.argmin(c, axis=0)                         # first min wins
         cmin = jnp.take_along_axis(c, idx[None], axis=0)[0]
         mvc = jnp.take_along_axis(jnp.stack(mvs), idx[None, :, None],
                                   axis=0)[0]
+        if return_pred:
+            predc = jnp.take_along_axis(
+                predm, idx[None, :, None, None], axis=0)[0]  # (N, 16, 16)
         if best is None:
             best, best_mv = cmin, mvc
+            best_pred = predc if return_pred else None
         else:
             better = cmin < best
             best = jnp.where(better, cmin, best)
             best_mv = jnp.where(better[:, None], mvc, best_mv)
+            if return_pred:
+                best_pred = jnp.where(better[:, None, None], predc,
+                                      best_pred)
+    if return_pred:
+        # the winner's prediction IS the motion-compensated block (same
+        # two-sample interpolation as mc_luma_qpel, selected by the same
+        # better-mask as the mv), so callers skip a second qpel gather
+        return best_mv, best, best_pred
     return best_mv, best
