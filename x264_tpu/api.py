@@ -504,19 +504,41 @@ class Encoder:
             out += self.flush()           # close the open mini-GOP
             self._idr_disp = d
             out += self._encode_anchor(fr, d, "IDR")
+            if self.p.b_adapt:
+                self._lookahead().push_anchor(self._pad(fr)[0])
             return out
         self._bq.append((fr, d))
         if len(self._bq) == self.p.bframes + 1:
-            out += self._flush_bq()
+            if self.p.b_adapt:
+                # adaptive mini-GOP cut (slicetype b_adapt=1 analog):
+                # lowres costs pick how many queued frames stay B
+                m = self._lookahead().plan(
+                    [self._pad(f)[0] for (f, _) in self._bq])
+                split = min(m + 1, len(self._bq))
+                pend, self._bq = self._bq[:split], self._bq[split:]
+                out += self._flush_bq(pend)
+            else:
+                out += self._flush_bq()
         return out
 
-    def _flush_bq(self) -> bytes:
-        if not self._bq:
+    _la = None
+
+    def _lookahead(self):
+        if self._la is None:
+            from x264_tpu.models.lookahead import Lookahead
+            self._la = Lookahead(self.p)
+        return self._la
+
+    def _flush_bq(self, pend=None) -> bytes:
+        if pend is None:
+            pend, self._bq = self._bq, []
+        if not pend:
             return b""
-        pend, self._bq = self._bq, []
         anchor, ad = pend[-1]
         prev = self.dpb[0]
         out = self._encode_anchor(anchor, ad, "P")
+        if self.p.b_adapt:
+            self._lookahead().push_anchor(self._pad(anchor)[0])
         nxt = self.dpb[0]
         # submit every B first (device work overlaps host finalization)
         jobs = [self._submit_b(bf, bd, prev, nxt) for (bf, bd) in pend[:-1]]

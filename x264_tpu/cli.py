@@ -46,6 +46,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--vbv-maxrate", type=int, default=None, help="kbit/s")
     ap.add_argument("--vbv-bufsize", type=int, default=None, help="kbit")
     ap.add_argument("--vbv-init", type=float, default=None)
+    ap.add_argument("--bframes", type=int, default=None)
+    ap.add_argument("--b-adapt", type=int, default=None, choices=[0, 1])
     ap.add_argument("--keyint", type=int, default=None)
     ap.add_argument("--merange", type=int, default=None)
     ap.add_argument("--subme", type=int, default=None)
@@ -87,6 +89,10 @@ def params_from_args(args, reader) -> EncoderParams:
         p = p.clone(vbv_bufsize=args.vbv_bufsize)
     if args.vbv_init is not None:
         p = p.clone(vbv_init=args.vbv_init)
+    if args.bframes is not None:
+        p = p.clone(bframes=args.bframes)
+    if args.b_adapt is not None:
+        p = p.clone(b_adapt=args.b_adapt)
     if args.keyint is not None:
         p = p.clone(keyint_max=args.keyint)
     if args.merange is not None:

@@ -34,7 +34,8 @@ class EncoderParams:
     # GOP structure
     keyint_max: int = 250           # --keyint
     keyint_min: int = 25
-    bframes: int = 0                # round-1: 0 (P-only); B support later
+    bframes: int = 0                # max consecutive B frames
+    b_adapt: int = 0                # 0 fixed pattern, 1 lowres-cost adaptive
     scenecut_threshold: int = 40
     intra_refresh: bool = False
 
