@@ -148,3 +148,43 @@ def test_cabac_fast_path_matches_syn(rng):
                                     scenecut_threshold=0, deblock=True))
         streams.append(b"".join(enc.encode(f) for f in frames) + enc.flush())
     assert streams[0] == streams[1]
+
+
+def test_blob_compaction_stress(rng):
+    """The log-shift stable compaction in cabac_blob must equal python
+    nonzero-compaction for adversarial density patterns."""
+    import jax.numpy as jnp
+
+    from x264_tpu.ops.device.entropy_pack import N_VALS, cabac_blob
+
+    for trial in range(8):
+        n = int(rng.integers(1, 24))
+        flat = rng.integers(-3000, 3000, (n, N_VALS)).astype(np.int64)
+        style = trial % 4
+        if style == 0:
+            flat[rng.random((n, N_VALS)) > 0.05] = 0
+        elif style == 1:
+            flat[rng.random((n, N_VALS)) > 0.7] = 0      # dense
+        elif style == 2:
+            flat[:, ::2] = 0                              # alternating
+        else:
+            flat[:, :200] = 0                             # long zero run
+        flat[flat == 0] += 0
+        K = int(rng.choice([8, 64, 216, 408]))
+        z = jnp.zeros(n, jnp.int32)
+        blob = np.asarray(cabac_blob(
+            jnp.asarray(flat[:, :16], jnp.int32),
+            jnp.asarray(flat[:, 16:272].reshape(n, 16, 16), jnp.int32),
+            jnp.asarray(flat[:, 272:280].reshape(n, 2, 4), jnp.int32),
+            jnp.asarray(flat[:, 280:].reshape(n, 2, 4, 16), jnp.int32),
+            z, jnp.zeros((n, 2), jnp.int32), z, z, z, z, z, z, z, K))
+        for i in range(n):
+            nz = flat[i][flat[i] != 0].astype(np.int16)
+            lvw = blob[i, 13:13 + K // 2].astype(np.uint32)
+            got = np.zeros(K, np.int16)
+            got[0::2] = (lvw & 0xffff).astype(np.uint16).astype(np.int16)
+            got[1::2] = (lvw >> 16).astype(np.uint16).astype(np.int16)
+            m = min(len(nz), K)
+            assert np.array_equal(got[:m], nz[:m]), (trial, i)
+            if len(nz) < K:
+                assert not got[len(nz):].any(), (trial, i)

@@ -34,7 +34,7 @@ from x264_tpu.ops.device.bitpack import pack_tokens
 from x264_tpu.ops.device.cavlc import residual_slots
 from x264_tpu.ops.device.mc import (
     hpel_planes as mc_hpel_planes,
-    mc_chroma,
+    mc_chroma_uv,
     mc_luma_qpel,
 )
 from x264_tpu.ops.device.me import (
@@ -136,10 +136,8 @@ def b_frame_core(y, u, v,
     l0v = _pad_edge(l0_v, PAD // 2)
     l1u = _pad_edge(l1_u, PAD // 2)
     l1v = _pad_edge(l1_v, PAD // 2)
-    cu0 = mc_chroma(l0u, fmv0, mbw, mbh, PAD // 2)
-    cv0 = mc_chroma(l0v, fmv0, mbw, mbh, PAD // 2)
-    cu1 = mc_chroma(l1u, fmv1, mbw, mbh, PAD // 2)
-    cv1 = mc_chroma(l1v, fmv1, mbw, mbh, PAD // 2)
+    cu0, cv0 = mc_chroma_uv(l0u, l0v, fmv0, mbw, mbh, PAD // 2)
+    cu1, cv1 = mc_chroma_uv(l1u, l1v, fmv1, mbw, mbh, PAD // 2)
     both = (any0 & any1)[:, None, None]
     cpred_u = jnp.where(both, (cu0 + cu1 + 1) >> 1,
                         jnp.where(any0[:, None, None], cu0, cu1))

@@ -33,7 +33,7 @@ from x264_tpu.models.syntax import MB_P16, MB_PSKIP, empty_syntax
 from x264_tpu.ops.device import transform as T
 from x264_tpu.ops.device.mc import (
     hpel_planes as mc_hpel_planes,
-    mc_chroma,
+    mc_chroma_uv,
     mc_luma_fullpel,
     mc_luma_qpel,
 )
@@ -114,12 +114,10 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                 mv, mbw, mbh, PAD, ref_idx=ref)
     recon_y_mbs, ac_zz, nnz, cbp_l = encode_p_luma(src_mbs, pred, qp)
 
-    pred_u = mc_chroma(ref_u_pad[0] if n_refs == 1 else ref_u_pad,
-                       mv, mbw, mbh, PAD // 2,
-                       ref_idx=None if n_refs == 1 else ref)
-    pred_v = mc_chroma(ref_v_pad[0] if n_refs == 1 else ref_v_pad,
-                       mv, mbw, mbh, PAD // 2,
-                       ref_idx=None if n_refs == 1 else ref)
+    pred_u, pred_v = mc_chroma_uv(
+        ref_u_pad[0] if n_refs == 1 else ref_u_pad,
+        ref_v_pad[0] if n_refs == 1 else ref_v_pad,
+        mv, mbw, mbh, PAD // 2, ref_idx=None if n_refs == 1 else ref)
     src_u = T.plane_to_mbs(u.astype(jnp.int32), mbh, mbw, 8)
     src_v = T.plane_to_mbs(v.astype(jnp.int32), mbh, mbw, 8)
     ru_mbs, rv_mbs, cdc, cac, cnnz, cbp_c = encode_chroma(

@@ -25,6 +25,7 @@ Blob layout per MB, int32 words:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 N_VALS = 408
 N_BITMAP = 13
@@ -55,11 +56,28 @@ def cabac_blob(luma_dc, luma_ac, chroma_dc, chroma_ac, mb_class, mvd,
     # disjoint bit positions within a word => sum == or
     bitmap = jnp.einsum("nj,jw->nw", bit, onehot.astype(jnp.int32))
 
-    rank = jnp.cumsum(mask, axis=1) - 1
-    idx = jnp.where(mask & (rank < K), rank, K)
-    lv = (jnp.zeros((n, K + 1), jnp.int32)
-          .at[jnp.arange(n, dtype=jnp.int32)[:, None], idx]
-          .set(flat, mode="drop")[:, :K])
+    # stable left-compaction of the nonzeros WITHOUT a scatter (XLA
+    # scatter costs ~22ms here at 1080p): each kept element must move
+    # left by dist = (#zeros before it), which is non-decreasing along
+    # the row, so shifting movers by one distance-bit at a time is
+    # collision-free (classic parallel stream compaction).
+    dist = jnp.cumsum((~mask).astype(jnp.int32), axis=1) - (~mask)
+    vals = jnp.where(mask, flat, 0)
+    keep = mask
+    for b in range(int(np.ceil(np.log2(max(N_VALS, 2))))):
+        sft = 1 << b
+        v_in = jnp.concatenate(
+            [vals[:, sft:], jnp.zeros((n, sft), jnp.int32)], axis=1)
+        d_in = jnp.concatenate(
+            [dist[:, sft:], jnp.zeros((n, sft), jnp.int32)], axis=1)
+        k_in = jnp.concatenate(
+            [keep[:, sft:], jnp.zeros((n, sft), bool)], axis=1)
+        arrive = k_in & (((d_in >> b) & 1) == 1)
+        depart = keep & (((dist >> b) & 1) == 1)
+        vals = jnp.where(arrive, v_in, jnp.where(depart, 0, vals))
+        dist = jnp.where(arrive, d_in - sft, jnp.where(depart, 0, dist))
+        keep = arrive | (keep & ~depart)
+    lv = vals[:, :K]
     lv16 = lv & 0xffff
     packed = lv16[:, 0::2] | (lv16[:, 1::2] << 16)     # (N, K//2)
 

@@ -115,3 +115,32 @@ def mc_chroma(ref_c_pad, mv, mbw: int, mbh: int, pad_c: int, ref_idx=None):
     fy = fy[:, None, None]
     return ((8 - fx) * (8 - fy) * p00 + fx * (8 - fy) * p01
             + (8 - fx) * fy * p10 + fx * fy * p11 + 32) >> 6
+
+
+def mc_chroma_uv(ref_u_pad, ref_v_pad, mv, mbw: int, mbh: int,
+                 pad_c: int, ref_idx=None):
+    """Both chroma planes in ONE window gather (the per-MB indices are
+    identical, and the gather dominates mc_chroma's cost — one indexed
+    read of a (2,Hc,Wc) stack halves it).  Returns (pred_u, pred_v),
+    each (N,8,8) int32; bit-identical to two mc_chroma calls."""
+    n = mbw * mbh
+    mby = jnp.arange(n, dtype=jnp.int32) // mbw
+    mbx = jnp.arange(n, dtype=jnp.int32) % mbw
+    ix, iy = mv[:, 0] >> 3, mv[:, 1] >> 3
+    fx, fy = mv[:, 0] & 7, mv[:, 1] & 7
+    y0 = pad_c + mby * 8 + iy
+    x0 = pad_c + mbx * 8 + ix
+    yi = y0[:, None, None] + jnp.arange(9, dtype=jnp.int32)[None, :, None]
+    xi = x0[:, None, None] + jnp.arange(9, dtype=jnp.int32)[None, None, :]
+    uv = jnp.stack([ref_u_pad, ref_v_pad])         # (2,Hc,Wc) / (2,K,...)
+    if ref_idx is None:
+        a = uv[:, yi, xi].astype(jnp.int32)        # (2, N, 9, 9)
+    else:
+        a = uv[:, ref_idx[:, None, None], yi, xi].astype(jnp.int32)
+    p00, p01 = a[:, :, :8, :8], a[:, :, :8, 1:]
+    p10, p11 = a[:, :, 1:, :8], a[:, :, 1:, 1:]
+    fx = fx[None, :, None, None]
+    fy = fy[None, :, None, None]
+    pred = ((8 - fx) * (8 - fy) * p00 + fx * (8 - fy) * p01
+            + (8 - fx) * fy * p10 + fx * fy * p11 + 32) >> 6
+    return pred[0], pred[1]
