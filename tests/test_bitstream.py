@@ -117,3 +117,28 @@ def test_cavlc_15coeff_blocks(rng):
             out = read_residual_block(br, nC, 15)
             np.testing.assert_array_equal(out, c)
             assert br.u(1) == 1
+
+
+def test_sei_version_decodes(rng):
+    """SEI version header (user_data_unregistered) must not disturb
+    decoding and must carry the encoder identification."""
+    import pytest
+    pytest.importorskip("jax")
+    from x264_tpu.api import Encoder
+    from x264_tpu.params import EncoderParams
+    from x264_tpu.utils.oracle import decode_annexb
+    from x264_tpu.utils.yuv import Frame420
+
+    w, h = 64, 48
+    frames = [Frame420(rng.integers(0, 256, (h, w)).astype(np.uint8),
+                       np.full((h // 2, w // 2), 128, np.uint8),
+                       np.full((h // 2, w // 2), 128, np.uint8))
+              for _ in range(3)]
+    enc = Encoder(EncoderParams(width=w, height=h, qp=28,
+                                backend="device", deblock=True))
+    stream = b"".join(enc.encode(f) for f in frames) + enc.flush()
+    assert b"x264_tpu" in stream
+    dec = decode_annexb(stream, w, h)
+    assert len(dec) == 3
+    r = enc.last_recon
+    assert np.array_equal(dec[2][0], np.asarray(r.y)[:h, :w])

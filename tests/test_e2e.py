@@ -68,7 +68,8 @@ def test_pframes_static_all_skip():
     frames = [Frame420(np.full((48, 64), 100, np.uint8),
                        np.full((24, 32), 110, np.uint8),
                        np.full((24, 32), 120, np.uint8)) for _ in range(4)]
-    p = EncoderParams(width=64, height=48, qp=30, keyint_max=250, deblock=False)
+    p = EncoderParams(width=64, height=48, qp=30, keyint_max=250,
+                      deblock=False, sei_version=False)
     stream = encode_and_check(frames, p)
     assert len(stream) < 200  # P frames must collapse to skip runs
 

@@ -78,7 +78,11 @@ class Encoder:
 
     # -- x264_encoder_headers ------------------------------------------------
     def headers(self) -> bytes:
-        return self._sps_bytes + self._pps_bytes
+        out = self._sps_bytes + self._pps_bytes
+        if self.p.sei_version:
+            from x264_tpu.bitstream.sei import version_sei
+            out += version_sei(self.p)
+        return out
 
     def _cabac_fast(self) -> bool:
         """CABAC via the device fast path (compact blob + native C

@@ -79,6 +79,7 @@ class EncoderParams:
 
     # output
     repeat_headers: bool = True
+    sei_version: bool = True    # x264_sei_version_write analog
     annexb: bool = True
     level_idc: int = 0              # 0 = auto
 
