@@ -88,8 +88,31 @@ def subpel_candidates(steps: int):
                        if not (dy == 0 and dx == 0)]
 
 
+def _filt6(a, b, c, d, e, f):
+    return a - 5 * b + 20 * c + 20 * d - 5 * e + f
+
+
+def _hpel_windows(g):
+    """Per-MB half-pel windows from fullpel windows g (N,23,23) int32
+    whose [0,0] sits at plane position (y0-2, x0-2).  Returns
+    (4, N, 18, 18) [fp, hh, hv, hc] — bit-exact with gathering the same
+    windows from mc.hpel_planes (same 6-tap chain, and the window's
+    2-sample margin covers every tap the 18x18 interior needs)."""
+    bh = _filt6(g[:, :, 0:18], g[:, :, 1:19], g[:, :, 2:20],
+                g[:, :, 3:21], g[:, :, 4:22], g[:, :, 5:23])  # (N,23,18)
+    hh = jnp.clip((bh[:, 2:20, :] + 16) >> 5, 0, 255)
+    bv = _filt6(g[:, 0:18, :], g[:, 1:19, :], g[:, 2:20, :],
+                g[:, 3:21, :], g[:, 4:22, :], g[:, 5:23, :])  # (N,18,23)
+    hv = jnp.clip((bv[:, :, 2:20] + 16) >> 5, 0, 255)
+    cc = _filt6(bh[:, 0:18], bh[:, 1:19], bh[:, 2:20],
+                bh[:, 3:21], bh[:, 4:22], bh[:, 5:23])        # (N,18,18)
+    hc = jnp.clip((cc + 512) >> 10, 0, 255)
+    return jnp.stack([g[:, 2:20, 2:20], hh, hv, hc])
+
+
 def subpel_refine(src_mbs, planes4, mv0, lam, me_range: int, steps: int,
-                  mbw: int, mbh: int, ref_idx=None, return_pred=False):
+                  mbw: int, mbh: int, ref_idx=None, return_pred=False,
+                  ref_pad=None):
     """SATD subpel refinement, exhaustive over the +-3 qpel window of the
     fullpel best (parity intent: reference encoder/me.c refine_subpel; an
     exhaustive window is the TPU-shaped equivalent of its iterated
@@ -109,15 +132,29 @@ def subpel_refine(src_mbs, planes4, mv0, lam, me_range: int, steps: int,
     mbx = jnp.arange(n, dtype=jnp.int32) % mbw
     y0 = PAD + mby * 16 + (mv0[:, 1] >> 2) - 1
     x0 = PAD + mbx * 16 + (mv0[:, 0] >> 2) - 1
-    r18 = jnp.arange(18, dtype=jnp.int32)
-    yi = y0[:, None, None] + r18[None, :, None]
-    xi = x0[:, None, None] + r18[None, None, :]
-    if ref_idx is None:
-        win = planes4[:, yi, xi]                # (4, N, 18, 18)
+    if ref_pad is not None:
+        # gather only the fullpel window and run the 6-tap chain inside
+        # it: ~2.4x fewer gathered elements than indexing 4 hpel planes,
+        # and the caller can skip computing them entirely
+        r23 = jnp.arange(23, dtype=jnp.int32)
+        yi = (y0 - 2)[:, None, None] + r23[None, :, None]
+        xi = (x0 - 2)[:, None, None] + r23[None, None, :]
+        if ref_pad.ndim == 2:
+            g = ref_pad[yi, xi].astype(jnp.int32)
+        else:
+            g = ref_pad[ref_idx[:, None, None], yi, xi].astype(jnp.int32)
+        win = _hpel_windows(g)                  # (4, N, 18, 18)
     else:
-        win = planes4[ref_idx[None, :, None, None],
-                      jnp.arange(4, dtype=jnp.int32)[:, None, None, None],
-                      yi[None], xi[None]]       # (4, N, 18, 18)
+        r18 = jnp.arange(18, dtype=jnp.int32)
+        yi = y0[:, None, None] + r18[None, :, None]
+        xi = x0[:, None, None] + r18[None, None, :]
+        if ref_idx is None:
+            win = planes4[:, yi, xi]            # (4, N, 18, 18)
+        else:
+            win = planes4[ref_idx[None, :, None, None],
+                          jnp.arange(4, dtype=jnp.int32)[:, None, None,
+                                                         None],
+                          yi[None], xi[None]]   # (4, N, 18, 18)
 
     # candidates are evaluated in CHUNKs stacked into one batched SATD
     # call: 16x16 blocks are tiny for the VPU, so a (chunk*N,16,16)
