@@ -88,10 +88,9 @@ def b_frame_core(y, u, v,
         mv, cost = full_search_16x16(y, plane_pad, lam, me_range=me_range,
                                      mbw=mbw, mbh=mbh)
         if subpel > 0:
-            mv, cost, pred = subpel_refine(src_mbs, None, mv, lam,
+            mv, cost, pred = subpel_refine(src_mbs, planes, mv, lam,
                                            me_range, subpel, mbw, mbh,
-                                           return_pred=True,
-                                           ref_pad=plane_pad)
+                                           return_pred=True)
         else:
             pred = mc_luma_qpel(planes, mv, mbw, mbh, PAD)
         return mv, cost, pred

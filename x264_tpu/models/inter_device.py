@@ -95,12 +95,11 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
 
     src_mbs = T.plane_to_mbs(y.astype(jnp.int32), mbh, mbw, 16)
     if subpel > 0:
-        # half-pel planes are no longer materialized: subpel gathers the
-        # fullpel windows and runs the 6-tap chain in-window
-        mv, mb_cost, pred = subpel_refine(
-            src_mbs, None, mv, lam, me_range, subpel, mbw, mbh,
-            ref_idx=None if n_refs == 1 else ref, return_pred=True,
-            ref_pad=ref_y_pad[0] if n_refs == 1 else ref_y_pad)
+        planes = jnp.stack([mc_hpel_planes(ref_y_pad[k])
+                            for k in range(n_refs)])      # (K,4,Hp,Wp)
+        mv, mb_cost, pred = subpel_refine(src_mbs, planes, mv, lam,
+                                          me_range, subpel, mbw, mbh,
+                                          ref_idx=ref, return_pred=True)
     else:
         mb_cost = _cost
         if n_refs == 1:
