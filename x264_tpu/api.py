@@ -324,6 +324,12 @@ class Encoder:
         else:
             qp_arr = np.int32(qp)
             slice_qp = qp
+        if self._mbt_off is not None:
+            base = np.broadcast_to(np.atleast_1d(qp_arr),
+                                   (mbw * mbh,)).astype(np.float64)
+            qp_arr = np.clip(np.round(base + self._mbt_off),
+                             self.p.qp_min, self.p.qp_max).astype(np.int32)
+            slice_qp = int(qp_arr[0])
 
         ref = None if (idr or not self.dpb) else self.dpb
         out, slice_type = self._run_core(yd, ud, vd, ref, idr, qp, qp_arr,
@@ -749,6 +755,12 @@ class Encoder:
 
     def flush(self) -> bytes:
         out = b""
+        while self._mbt_q:
+            out += self._pop_mbtree()
+        return out + self._flush_rest()
+
+    def _flush_rest(self) -> bytes:
+        out = b""
         if self.p.bframes > 0 and self._bq:
             out += self._flush_bq()
         if getattr(self, "_pending", None) is not None:
@@ -838,6 +850,73 @@ class Encoder:
     def encode(self, fr: Frame420) -> bytes:
         if self.p.bframes > 0:
             return self._encode_bgop(fr)
+        if self._mbtree_on():
+            return self._encode_mbtree(fr)
+        return self._encode_now(fr)
+
+    # ---- MB-tree lookahead window (bframes=0 path this round) ----------
+    _mbt_q = None
+
+    def _mbtree_on(self) -> bool:
+        from x264_tpu.params import RC_CQP
+        return (self.p.mbtree and self.p.bframes == 0
+                and self.p.rc_method != RC_CQP and self.p.slices <= 1
+                and self._use_device())
+
+    def _encode_mbtree(self, fr: Frame420) -> bytes:
+        """Queue rc_lookahead frames; encode the head with QP offsets
+        from backward cost propagation (models/mbtree.py)."""
+        import jax.numpy as jnp
+
+        from x264_tpu.models.inter_frame import (intra_cost_estimate,
+                                                 me_lambda)
+        from x264_tpu.models.lookahead import lowres_plane
+        from x264_tpu.ops.device.me import full_search_16x16
+
+        if self._mbt_q is None:
+            self._mbt_q = []
+        y, _, _ = self._pad(fr)
+        lr = lowres_plane(jnp.asarray(y))
+        lrn = np.asarray(lr)
+        mbw_lr, mbh_lr = lrn.shape[1] // 16, lrn.shape[0] // 16
+        ic = intra_cost_estimate(lrn, mbw_lr, mbh_lr)
+        pc = mv = None
+        if self._mbt_q:
+            ref = jnp.pad(self._mbt_q[-1]["lr"], 32, mode="edge")
+            mv, pc = full_search_16x16(lr, ref,
+                                       np.int32(me_lambda(24)),
+                                       me_range=8, mbw=mbw_lr,
+                                       mbh=mbh_lr)
+        self._mbt_q.append(dict(fr=fr, lr=lr, ic=ic, pc=pc, mv=mv))
+        if len(self._mbt_q) <= max(1, self.p.rc_lookahead):
+            return b""
+        return self._pop_mbtree()
+
+    def _pop_mbtree(self) -> bytes:
+        from x264_tpu.models import mbtree as MT
+
+        q = self._mbt_q
+        head = q.pop(0)
+        lrn = np.asarray(head["lr"])
+        mbw_lr, mbh_lr = lrn.shape[1] // 16, lrn.shape[0] // 16
+        ics = [head["ic"]] + [e["ic"] for e in q]
+        pcs = [None] + [np.asarray(e["pc"]) for e in q]
+        mvs = [None] + [np.asarray(e["mv"]) for e in q]
+        if q:
+            prop = MT.propagate(ics, pcs, mvs, mbw_lr, mbh_lr)
+            off = MT.finish(head["ic"], prop)
+            self._mbt_off = MT.expand_offsets(
+                off, mbw_lr, mbh_lr, self.p.mb_width, self.p.mb_height)
+        else:
+            self._mbt_off = None
+        try:
+            return self._encode_now(head["fr"])
+        finally:
+            self._mbt_off = None
+
+    _mbt_off = None
+
+    def _encode_now(self, fr: Frame420) -> bytes:
         y, u, v = self._pad(fr)
         ftype = self._decide_type()
         qp = self._qp_for_frame(ftype)

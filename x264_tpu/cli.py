@@ -51,6 +51,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--keyint", type=int, default=None)
     ap.add_argument("--merange", type=int, default=None)
     ap.add_argument("--subme", type=int, default=None)
+    ap.add_argument("--mbtree", action="store_true")
+    ap.add_argument("--rc-lookahead", type=int, default=None)
     ap.add_argument("--aq-mode", type=int, default=None)
     ap.add_argument("--aq-strength", type=float, default=None)
     ap.add_argument("--no-deblock", action="store_true")
@@ -99,6 +101,10 @@ def params_from_args(args, reader) -> EncoderParams:
         p = p.clone(me_range=args.merange)
     if args.subme is not None:
         p = p.clone(subpel=min(args.subme, 2))
+    if args.mbtree:
+        p = p.clone(mbtree=True)
+    if args.rc_lookahead is not None:
+        p = p.clone(rc_lookahead=args.rc_lookahead)
     if args.aq_mode is not None:
         p = p.clone(aq_mode=args.aq_mode)
     if args.aq_strength is not None:

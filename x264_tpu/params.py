@@ -36,6 +36,8 @@ class EncoderParams:
     keyint_min: int = 25
     bframes: int = 0                # max consecutive B frames
     b_adapt: int = 0                # 0 fixed pattern, 1 lowres-cost adaptive
+    mbtree: bool = False            # MB-tree QP propagation (CRF/ABR)
+    rc_lookahead: int = 8           # lookahead depth for MB-tree
     scenecut_threshold: int = 40
     intra_refresh: bool = False
 
