@@ -124,3 +124,12 @@ def test_full_recon_off_same_stream(rng):
                                     keyint_max=250, full_recon=fr))
         streams.append(b"".join(enc.encode(f) for f in frames) + enc.flush())
     assert streams[0] == streams[1]
+
+
+def test_poc_lsb_wrap(rng):
+    """POC LSB wraps mid-GOP (~128 display frames after IDR with
+    log2_max_poc_lsb=8): temporal-direct tb/td must use UNWRAPPED POC
+    (8.4.1.2.3) or every B after the wrap decodes corrupt.  135 frames
+    crosses the wrap; bit-exact recon proves the fix."""
+    types = _run(rng, 135, 1, 250, 30, w=32, h=32)
+    assert types.count("B") > 60

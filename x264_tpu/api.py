@@ -234,7 +234,10 @@ class Encoder:
 
         job = dict(sliced=True, outs=outs, starts=starts, heights=heights,
                    slice_type=st, idr=idr, qp=qp, mbw=mbw, mbh=mbh,
-                   n_words=n_words, qp_arr=qp_arr,
+                   n_words=n_words, qp_arr=qp_arr, ladder=ladder,
+                   planes=(yd, ud, vd), w=w,
+                   refpads=(None if ref is None
+                            else (ry_pad, ru_pad, rv_pad)),
                    frame_num=self.frame_num, idr_pic_id=self.idr_pic_id,
                    ftype=ftype)
         new = ReconFrame(*recon, frame_num=self.frame_num)
@@ -247,6 +250,39 @@ class Encoder:
         self.frame_idx += 1
         return job
 
+    def _rerun_band(self, job: dict, b: int, n_words: int) -> dict:
+        """Re-run one slice band at a larger entropy word budget (recon
+        is budget-independent; only the packed blob changes)."""
+        import jax
+        from x264_tpu.models.inter_device import p_band_core
+        from x264_tpu.models.inter_frame import PAD, me_lambda
+        from x264_tpu.models.intra_device import i_frame_core
+
+        yd, ud, vd = job["planes"]
+        y0, bh = int(job["starts"][b]), job["heights"][b]
+        w, mbw = job["w"], job["mbw"]
+        yb = yd[16 * y0:16 * (y0 + bh)]
+        ub = ud[8 * y0:8 * (y0 + bh)]
+        vb = vd[8 * y0:8 * (y0 + bh)]
+        qpb = job["qp_arr"][y0 * mbw:(y0 + bh) * mbw]
+        if job["refpads"] is None:
+            return i_frame_core(yb, ub, vb, qpb, mbw=mbw, mbh=bh,
+                                cqp_off=self.p.chroma_qp_offset,
+                                n_words=n_words)
+        ry_pad, ru_pad, rv_pad = job["refpads"]
+        return p_band_core(
+            yb, ub, vb,
+            jax.lax.dynamic_slice(
+                ry_pad, (16 * y0, 0), (16 * bh + 2 * PAD, w + 2 * PAD)),
+            jax.lax.dynamic_slice(
+                ru_pad, (8 * y0, 0), (8 * bh + PAD, w // 2 + PAD)),
+            jax.lax.dynamic_slice(
+                rv_pad, (8 * y0, 0), (8 * bh + PAD, w // 2 + PAD)),
+            qpb, np.int32(me_lambda(job["qp"])),
+            mbw=mbw, mbh=bh, me_range=self.p.me_range,
+            cqp_off=self.p.chroma_qp_offset,
+            n_words=n_words, subpel=self.p.subpel)
+
     def _finalize_device_sliced(self, job: dict) -> bytes:
         from x264_tpu.bitstream.slice_assemble import (
             append_payload,
@@ -254,7 +290,6 @@ class Encoder:
         )
         from x264_tpu.models.syntax import MB_PSKIP
 
-        n_words = job["n_words"]
         mbw = job["mbw"]
         out_bytes = b""
         if job["ftype"] == "IDR" and self.p.repeat_headers:
@@ -262,9 +297,22 @@ class Encoder:
         total_cost = 0
         classes = []
         for b, ob in enumerate(job["outs"]):
+            n_words = job["n_words"]
             blob = np.asarray(ob["host_blob"])
             nbits = blob[:, n_words]
-            assert int(nbits.max(initial=0)) <= 32 * n_words,                 "sliced overflow ladder: TODO"
+            if int(nbits.max(initial=0)) > 32 * n_words:
+                # per-band word-budget overflow: re-run this band's
+                # entropy at the next ladder rungs (the sliced analog of
+                # _finalize_device's re-encode, encoder.c:2893 pattern)
+                for n_words in job["ladder"][1:]:
+                    ob = self._rerun_band(job, b, n_words)
+                    blob = np.asarray(ob["host_blob"])
+                    nbits = blob[:, n_words]
+                    if int(nbits.max(initial=0)) <= 32 * n_words:
+                        break
+                else:
+                    raise RuntimeError(
+                        "sliced CAVLC overflow beyond the largest budget")
             words = np.ascontiguousarray(blob[:, :n_words]).view(np.uint32)
             mb_class = blob[:, n_words + 1]
             classes.append(mb_class)
@@ -500,8 +548,12 @@ class Encoder:
     _idr_disp = 0
 
     def _poc_lsb(self, disp: int) -> int:
-        return (2 * (disp - self._idr_disp)) % (
-            1 << self.sps.log2_max_frame_num)
+        """UNWRAPPED POC 2*(disp - idr_disp).  The reference keeps full
+        i_poc internally (encoder.c:3512) and masks only when writing
+        pic_order_cnt_lsb (encoder.c:241) — write_slice_header masks.
+        Temporal-direct tb/td must use the unwrapped values or the
+        dist_scale_factor diverges from the decoder mid-GOP (8.4.1.2.3)."""
+        return 2 * (disp - self._idr_disp)
 
     def _encode_bgop(self, fr: Frame420) -> bytes:
         if self._bq is None:
@@ -605,7 +657,7 @@ class Encoder:
         h, w = y.shape
         mbw, mbh = w // 16, h // 16
         n = mbw * mbh
-        qp = min(self.rc.frame_qp("P") + 2, 51)   # pb_factor analog
+        qp = self._qp_for_frame("B")
         if self._cabac_fast():
             ladder = [64, 216, 408] if qp >= 16 else [216, 408]
         else:
@@ -736,6 +788,7 @@ class Encoder:
                 impl=deblock_impl())
         self.last_recon = ReconFrame(ry, ru, rv)
         self.stats.append(FrameStats("B", len(data) * 8, qp))
+        self.rc.update("B", len(data) * 8, cost_total)
         self._record_stats("B", qp, len(data) * 8, cost_total,
                            np.where(mb_class == 3, 3, 2))
         return data
@@ -808,10 +861,17 @@ class Encoder:
         v = pad_to_mb(fr.v, 8)
         return y, u, v
 
+    _enc_idx = 0       # encode-order frame counter (anchors AND B)
+
     def _qp_for_frame(self, ftype: str) -> int:
+        """One call per encoded frame, in encode order — the pass-2 plan
+        is indexed per encoded frame (incl. B), matching the stats file."""
+        i = self._enc_idx
+        self._enc_idx += 1
         if self._pass2_qps is not None:
-            i = min(self.frame_idx, len(self._pass2_qps) - 1)
-            return self._pass2_qps[i]
+            return self._pass2_qps[min(i, len(self._pass2_qps) - 1)]
+        if ftype == "B":
+            return self.rc.b_qp()
         return self.rc.frame_qp(ftype)
 
     def _record_stats(self, ftype, qp, bits, cost, mb_class):

@@ -138,7 +138,10 @@ def write_slice_header(bs: BitWriter, p: EncoderParams, sps: SpsInfo, *,
     if idr:
         bs.ue(idr_pic_id)
     if sps.poc_type == 0:
-        bs.put(sps.log2_max_frame_num, poc_lsb)
+        # callers pass the UNWRAPPED POC; only the LSBs go in the header
+        # (reference encoder.c:241 masks i_poc the same way)
+        bs.put(sps.log2_max_frame_num,
+               poc_lsb & ((1 << sps.log2_max_frame_num) - 1))
     if slice_type == SLICE_B:
         bs.put1(0)                          # direct_spatial_mv_pred: temporal
     if slice_type in (SLICE_P, SLICE_B):

@@ -199,7 +199,9 @@ def main(argv=None) -> int:
     if recon_frames is not None:
         from x264_tpu.utils.y4m import write_y4m
         write_y4m(args.dump_recon, recon_frames,
-                  (p.fps_num, p.fps_den))
+                  (p.fps_num, p.fps_den),
+                  colorspace=getattr(reader, "colorspace", "420mpeg2"),
+                  aspect=getattr(reader, "aspect", "0:0"))
     enc.close()
     return 0
 

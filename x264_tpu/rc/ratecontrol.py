@@ -35,6 +35,7 @@ class RateControl:
     frame's prediction cost (SATD sum) after each frame."""
 
     IP_OFFSET = 2      # I frames a touch finer (x264 ip_factor analog)
+    PB_OFFSET = 2      # B frames coarser (x264 pb_factor analog)
 
     def __init__(self, params):
         self.p = params
@@ -125,11 +126,25 @@ class RateControl:
         self.last_qscale = q
         return self._clip_qp(qscale2qp(max(q, 1e-9)), frame_type)
 
+    def b_qp(self) -> int:
+        """B-frame QP derived from the last anchor qscale (pb_factor
+        analog, ratecontrol.c pb ratio).  Does NOT mutate RC state —
+        B decisions must not drift the anchor lstep chain."""
+        if self.p.rc_method == RC_CQP:
+            return int(np.clip(self.p.qp + self.PB_OFFSET, 0, 51))
+        qp = qscale2qp(max(self.last_qscale, 1e-9)) + self.PB_OFFSET
+        return int(np.clip(round(qp), self.p.qp_min, self.p.qp_max))
+
     def update(self, frame_type: str, bits: int, cost: float) -> None:
         cost = max(float(cost), 1.0)
         decay = 0.9
+        # B frames were coded at last_qscale * pb ratio; feed the coeff
+        # predictor at the qscale actually used so ABR/CRF see B bits
+        qscale = self.last_qscale
+        if frame_type == "B":
+            qscale *= 2.0 ** (self.PB_OFFSET / 6.0)
         self.cplx = self.cplx * decay + cost
-        self.coeff = self.coeff * decay + bits * self.last_qscale / cost
+        self.coeff = self.coeff * decay + bits * qscale / cost
         self.cq = self.cq * decay + cost ** self.qcomp
         self.w = self.w * decay + 1.0
         self.actual_bits += bits

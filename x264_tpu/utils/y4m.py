@@ -23,9 +23,13 @@ class Y4MReader:
         self.width = self.height = 0
         self.fps_num, self.fps_den = 25, 1
         self.interlaced = False
+        self.colorspace = "420mpeg2"     # y4m default chroma siting
+        self.aspect = "0:0"
         for tok in header.split()[1:]:
             if tok[0] == "W":
                 self.width = int(tok[1:])
+            elif tok[0] == "A":
+                self.aspect = tok[1:]
             elif tok[0] == "H":
                 self.height = int(tok[1:])
             elif tok[0] == "F":
@@ -36,6 +40,7 @@ class Y4MReader:
             elif tok[0] == "C":
                 if not tok[1:].startswith("420"):
                     raise ValueError(f"unsupported y4m colorspace {tok}")
+                self.colorspace = tok[1:]
         if not (self.width and self.height):
             raise ValueError("y4m missing geometry")
         self._fsz = self.width * self.height * 3 // 2
@@ -82,15 +87,18 @@ def _unpack_i420(data: bytes, w: int, h: int) -> Frame420:
     return Frame420(y.copy(), u.copy(), v.copy())
 
 
-def write_y4m(path, frames, fps=(25, 1)) -> None:
-    """Y4M muxer (for recon dumps / tooling)."""
+def write_y4m(path, frames, fps=(25, 1), colorspace="420mpeg2",
+              aspect="0:0") -> None:
+    """Y4M muxer (for recon dumps / tooling).  Carries the source's
+    chroma-siting/aspect tokens through instead of mislabeling
+    (defaults match the y4m spec's implied C420mpeg2)."""
     with open(path, "wb") as f:
         first = True
         for fr in frames:
             if first:
                 h, w = fr.y.shape
-                f.write(f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 "
-                        f"C420jpeg\n".encode())
+                f.write(f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip "
+                        f"A{aspect} C{colorspace}\n".encode())
                 first = False
             f.write(b"FRAME\n")
             f.write(fr.y.tobytes())
