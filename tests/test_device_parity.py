@@ -50,6 +50,39 @@ class TestTransforms:
             _eq(dtransform.dequant4x4(jnp.asarray(lv_r), jnp.int32(qp)),
                 rquant.dequant4x4(lv_r, qp))
 
+    def test_dct8_idct8(self, rng):
+        res = rng.integers(-255, 256, (32, 8, 8))
+        _eq(dtransform.dct8x8(jnp.asarray(res)), rtransform.dct8x8(res))
+        coefs = rng.integers(-16320, 16321, (32, 8, 8))
+        _eq(dtransform.idct8x8(jnp.asarray(coefs)), rtransform.idct8x8(coefs))
+
+    @pytest.mark.parametrize("qp", QPS)
+    def test_quant8_roundtrip(self, rng, qp):
+        coefs = rng.integers(-16320, 16321, (32, 8, 8))
+        for intra in (True, False):
+            lv_r = rquant.quant8x8(coefs, qp, intra)
+            _eq(dtransform.quant8x8(jnp.asarray(coefs), jnp.int32(qp), intra),
+                lv_r)
+            _eq(dtransform.dequant8x8(jnp.asarray(lv_r), jnp.int32(qp)),
+                rquant.dequant8x8(lv_r, qp))
+        # encode/decode closes the loop: idct8(dequant8(quant8(dct8(r))))
+        # stays within the usual quantization error bound.
+        res = rng.integers(-255, 256, (8, 8, 8))
+        lv = rquant.quant8x8(rtransform.dct8x8(res), qp, False)
+        r2 = rtransform.idct8x8(rquant.dequant8x8(lv, qp))
+        assert np.abs(r2 - res).max() <= (1 << (qp // 6 + 3))
+
+    def test_blocks8_layout(self, rng):
+        mb = rng.integers(0, 256, (5, 16, 16))
+        b_r = rtransform.mb_luma_to_blocks8(mb)
+        _eq(dtransform.mb_luma_to_blocks8(jnp.asarray(mb)), b_r)
+        _eq(dtransform.blocks8_to_mb_luma(jnp.asarray(b_r)), mb)
+        assert (rtransform.blocks8_to_mb_luma(b_r) == mb).all()
+        from x264_tpu.bitstream.tables import ZIGZAG_8x8
+        blk = rng.integers(-99, 100, (6, 8, 8))
+        _eq(dtransform.zigzag8(jnp.asarray(blk)),
+            blk.reshape(6, 64)[:, ZIGZAG_8x8])
+
     @pytest.mark.parametrize("qp", QPS)
     def test_dc_paths(self, rng, qp):
         fdc = rng.integers(-32640, 32641, (16, 4, 4))

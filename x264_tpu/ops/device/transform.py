@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from x264_tpu.bitstream.tables import DEQUANT4, QUANT4_MF, ZIGZAG_4x4
+from x264_tpu.bitstream.tables import (DEQUANT4, DEQUANT8, QUANT4_MF,
+                                       QUANT8_MF, ZIGZAG_4x4, ZIGZAG_8x8)
 
 _CF = jnp.array([[1, 1, 1, 1],
                  [2, 1, -1, -2],
@@ -58,6 +59,58 @@ def idct4x4(d):
     return (h + 32) >> 6
 
 
+def _dct8_1d(s, axis):
+    """Standard High-profile forward 8-point transform along `axis`
+    (bit-exact twin of ops/reference/transform._dct8_1d)."""
+    s = jnp.moveaxis(s.astype(jnp.int32), axis, -1)
+    d = [s[..., k] for k in range(8)]
+    s07, s16, s25, s34 = d[0] + d[7], d[1] + d[6], d[2] + d[5], d[3] + d[4]
+    a0, a1 = s07 + s34, s16 + s25
+    a2, a3 = s07 - s34, s16 - s25
+    d07, d16, d25, d34 = d[0] - d[7], d[1] - d[6], d[2] - d[5], d[3] - d[4]
+    a4 = d16 + d25 + (d07 + (d07 >> 1))
+    a5 = d07 - d34 - (d25 + (d25 >> 1))
+    a6 = d07 + d34 - (d16 + (d16 >> 1))
+    a7 = d16 - d25 + (d34 + (d34 >> 1))
+    out = jnp.stack([
+        a0 + a1, a4 + (a7 >> 2), a2 + (a3 >> 1), a5 + (a6 >> 2),
+        a0 - a1, a6 - (a5 >> 2), (a2 >> 1) - a3, (a4 >> 2) - a7], axis=-1)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _idct8_1d(s, axis):
+    """Normative inverse 8-point transform (8.5.12.3) along `axis`."""
+    s = jnp.moveaxis(s.astype(jnp.int32), axis, -1)
+    d = [s[..., k] for k in range(8)]
+    e0 = d[0] + d[4]
+    e2 = d[0] - d[4]
+    e4 = (d[2] >> 1) - d[6]
+    e6 = d[2] + (d[6] >> 1)
+    e1 = -d[3] + d[5] - d[7] - (d[7] >> 1)
+    e3 = d[1] + d[7] - d[3] - (d[3] >> 1)
+    e5 = -d[1] + d[7] + d[5] + (d[5] >> 1)
+    e7 = d[3] + d[5] + d[1] + (d[1] >> 1)
+    f0, f2, f4, f6 = e0 + e6, e2 + e4, e2 - e4, e0 - e6
+    f1 = e1 + (e7 >> 2)
+    f3 = e3 + (e5 >> 2)
+    f5 = (e3 >> 2) - e5
+    f7 = e7 - (e1 >> 2)
+    out = jnp.stack([f0 + f7, f2 + f5, f4 + f3, f6 + f1,
+                     f6 - f1, f4 - f3, f2 - f5, f0 - f7], axis=-1)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def dct8x8(residual):
+    """Forward 8x8 transform on (..., 8, 8): vertical then horizontal
+    (x264/JM ordering).  |res|<=255 -> |coef| <= 64*255 = 16320."""
+    return _dct8_1d(_dct8_1d(residual, -2), -1)
+
+
+def idct8x8(d):
+    """Normative inverse 8x8 (8.5.12.3): horizontal, vertical, (+32)>>6."""
+    return (_idct8_1d(_idct8_1d(d, -1), -2) + 32) >> 6
+
+
 def hadamard4x4_fwd(dc):
     y = _mat2(_H4, dc.astype(jnp.int32))
     return (y + 1) >> 1
@@ -100,6 +153,57 @@ def dequant4x4(levels, qp):
     qp = jnp.asarray(qp, jnp.int32)
     v = _DEQUANT4[qp % 6]
     return (levels.astype(jnp.int32) * v) << _bcast(qp // 6, qp)
+
+
+_QUANT8_MF = jnp.asarray(QUANT8_MF.astype(np.int32))    # (6,8,8)
+_DEQUANT8 = jnp.asarray(DEQUANT8.astype(np.int32))      # (6,8,8)
+_ZZ8 = jnp.asarray(ZIGZAG_8x8.astype(np.int32))         # (64,)
+
+
+def quant8x8(coefs, qp, intra: bool):
+    """Deadzone 8x8 quant (qbits = 16 + qp/6); max |coef|*mf =
+    16320*20972 < 2^31."""
+    qp = jnp.asarray(qp, jnp.int32)
+    qbits = 16 + qp // 6
+    f = jnp.where(jnp.bool_(intra), (1 << qbits) // 3, (1 << qbits) // 6)
+    mf = _QUANT8_MF[qp % 6]
+    c = coefs.astype(jnp.int32)
+    level = (jnp.abs(c) * mf + _bcast(f, qp)) >> _bcast(qbits, qp)
+    return jnp.where(c < 0, -level, level)
+
+
+def dequant8x8(levels, qp):
+    """Normative 8x8 dequant (8.5.13.1), both shift regimes selected
+    elementwise (LevelScale8x8 = 16 * normAdjust, flat weightScale)."""
+    qp = jnp.asarray(qp, jnp.int32)
+    ls16 = _DEQUANT8[qp % 6] * 16
+    lv = levels.astype(jnp.int32)
+    q6 = _bcast(qp // 6, qp)
+    hi = (lv * ls16) << jnp.maximum(q6 - 6, 0)
+    lo = (lv * ls16 + (1 << jnp.maximum(5 - q6, 0))) >> jnp.maximum(6 - q6, 0)
+    return jnp.where(q6 >= 6, hi, lo)
+
+
+def zigzag8(blocks8):
+    """(..., 8, 8) -> (..., 64) in 8x8 zigzag order."""
+    return blocks8.reshape(*blocks8.shape[:-2], 64)[..., _ZZ8]
+
+
+def mb_luma_to_blocks8(mb):
+    """(..., 16, 16) -> (..., 4, 8, 8) raster 8x8 quadrants."""
+    sh = mb.shape[:-2]
+    nd = len(sh)
+    return (mb.reshape(*sh, 2, 8, 2, 8)
+              .transpose(*range(nd), nd, nd + 2, nd + 1, nd + 3)
+              .reshape(*sh, 4, 8, 8))
+
+
+def blocks8_to_mb_luma(blocks):
+    sh = blocks.shape[:-3]
+    nd = len(sh)
+    return (blocks.reshape(*sh, 2, 2, 8, 8)
+                  .transpose(*range(nd), nd, nd + 2, nd + 1, nd + 3)
+                  .reshape(*sh, 16, 16))
 
 
 def quant_dc4(coefs, qp, intra: bool = True):

@@ -6,7 +6,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from x264_tpu.bitstream.tables import DEQUANT4, QUANT4_MF
+from x264_tpu.bitstream.tables import (DEQUANT4, DEQUANT8, QUANT4_MF,
+                                       QUANT8_MF)
 
 
 def quant_params(qp: int, intra: bool):
@@ -28,6 +29,28 @@ def dequant4x4(levels: np.ndarray, qp: int) -> np.ndarray:
     """Normative dequant: d = (c * LevelScale4x4) << (qp/6)."""
     v = DEQUANT4[qp % 6].astype(np.int64)
     return (levels.astype(np.int64) * v) << (qp // 6)
+
+
+def quant8x8(coefs: np.ndarray, qp: int, intra: bool) -> np.ndarray:
+    """Deadzone quant of (..., 8, 8) coefs (qbits = 16 + qp/6; parity:
+    reference common/quant.c quant_8x8)."""
+    qbits = 16 + qp // 6
+    f = (1 << qbits) // 3 if intra else (1 << qbits) // 6
+    mf = QUANT8_MF[qp % 6].astype(np.int64)
+    c = coefs.astype(np.int64)
+    level = (np.abs(c) * mf + f) >> qbits
+    return np.where(c < 0, -level, level)
+
+
+def dequant8x8(levels: np.ndarray, qp: int) -> np.ndarray:
+    """Normative 8x8 dequant (8.5.13.1): LevelScale8x8 includes the flat
+    weightScale 16; shift regime splits at qp 36."""
+    ls16 = DEQUANT8[qp % 6].astype(np.int64) * 16
+    lv = levels.astype(np.int64)
+    q6 = qp // 6
+    if q6 >= 6:
+        return (lv * ls16) << (q6 - 6)
+    return (lv * ls16 + (1 << (5 - q6))) >> (6 - q6)
 
 
 def quant_dc4(coefs: np.ndarray, qp: int, intra: bool = True) -> np.ndarray:

@@ -73,6 +73,79 @@ def hadamard2x2(dc: np.ndarray) -> np.ndarray:
 
 
 # -----------------------------------------------------------------------------
+# 8x8 transform (High profile; capability parity with reference
+# common/dct.c sub8x8_dct8/add8x8_idct8).  The 1-D butterflies use >>1
+# floor shifts, so they are expressed directly (not as matrices).
+# -----------------------------------------------------------------------------
+
+def _dct8_1d(s, axis):
+    """Standard High-profile forward 8-point transform along `axis`."""
+    s = np.moveaxis(s.astype(np.int64), axis, -1)
+    d = [s[..., k] for k in range(8)]
+    s07, s16, s25, s34 = d[0] + d[7], d[1] + d[6], d[2] + d[5], d[3] + d[4]
+    a0, a1 = s07 + s34, s16 + s25
+    a2, a3 = s07 - s34, s16 - s25
+    d07, d16, d25, d34 = d[0] - d[7], d[1] - d[6], d[2] - d[5], d[3] - d[4]
+    a4 = d16 + d25 + (d07 + (d07 >> 1))
+    a5 = d07 - d34 - (d25 + (d25 >> 1))
+    a6 = d07 + d34 - (d16 + (d16 >> 1))
+    a7 = d16 - d25 + (d34 + (d34 >> 1))
+    out = np.stack([
+        a0 + a1, a4 + (a7 >> 2), a2 + (a3 >> 1), a5 + (a6 >> 2),
+        a0 - a1, a6 - (a5 >> 2), (a2 >> 1) - a3, (a4 >> 2) - a7], axis=-1)
+    return np.moveaxis(out, -1, axis)
+
+
+def _idct8_1d(s, axis):
+    """Normative inverse 8-point transform (8.5.12.3) along `axis`."""
+    s = np.moveaxis(s.astype(np.int64), axis, -1)
+    d = [s[..., k] for k in range(8)]
+    e0 = d[0] + d[4]
+    e2 = d[0] - d[4]
+    e4 = (d[2] >> 1) - d[6]
+    e6 = d[2] + (d[6] >> 1)
+    e1 = -d[3] + d[5] - d[7] - (d[7] >> 1)
+    e3 = d[1] + d[7] - d[3] - (d[3] >> 1)
+    e5 = -d[1] + d[7] + d[5] + (d[5] >> 1)
+    e7 = d[3] + d[5] + d[1] + (d[1] >> 1)
+    f0, f2, f4, f6 = e0 + e6, e2 + e4, e2 - e4, e0 - e6
+    f1 = e1 + (e7 >> 2)
+    f3 = e3 + (e5 >> 2)
+    f5 = (e3 >> 2) - e5
+    f7 = e7 - (e1 >> 2)
+    out = np.stack([f0 + f7, f2 + f5, f4 + f3, f6 + f1,
+                    f6 - f1, f4 - f3, f2 - f5, f0 - f7], axis=-1)
+    return np.moveaxis(out, -1, axis)
+
+
+def dct8x8(residual: np.ndarray) -> np.ndarray:
+    """Forward 8x8 transform on (..., 8, 8) residual: vertical then
+    horizontal 1-D passes (the x264/JM ordering)."""
+    return _dct8_1d(_dct8_1d(residual, -2), -1)
+
+
+def idct8x8(d: np.ndarray) -> np.ndarray:
+    """Normative inverse 8x8 transform (8.5.12.3): horizontal then
+    vertical 1-D passes, final (x + 32) >> 6."""
+    return (_idct8_1d(_idct8_1d(d, -1), -2) + 32) >> 6
+
+
+def mb_luma_to_blocks8(mb: np.ndarray) -> np.ndarray:
+    """(..., 16, 16) MB -> (..., 4, 8, 8) raster 8x8 quadrants."""
+    sh = mb.shape[:-2]
+    return (mb.reshape(*sh, 2, 8, 2, 8)
+              .transpose(*range(len(sh)), -4, -2, -3, -1)
+              .reshape(*sh, 4, 8, 8))
+
+
+def blocks8_to_mb_luma(blocks: np.ndarray) -> np.ndarray:
+    sh = blocks.shape[:-3]
+    return (blocks.reshape(*sh, 2, 2, 8, 8)
+                  .transpose(*range(len(sh)), -4, -2, -3, -1)
+                  .reshape(*sh, 16, 16))
+
+
+# -----------------------------------------------------------------------------
 # Block (de)interleave helpers: frame planes <-> (..., nBlocks, 4, 4)
 # -----------------------------------------------------------------------------
 
