@@ -104,3 +104,23 @@ def test_deblock_iframes_high_qp():
     frames = synth_frames(64, 48, 2)
     p = EncoderParams(width=64, height=48, qp=48, keyint_max=1, deblock=True)
     encode_and_check(frames, p)
+
+
+@pytest.mark.parametrize("qp,db", [(20, False), (30, True), (40, True)])
+def test_transform_8x8_bitexact(qp, db):
+    """High-profile adaptive 8x8 transform on P frames (CAVLC), oracle
+    bit-exact incl. the t8 deblock edge rule (8.7: no interior 4x4 luma
+    edges in 8x8-coded MBs)."""
+    frames = synth_frames(96, 64, 4)
+    p = EncoderParams(width=96, height=64, qp=qp, keyint_max=250,
+                      deblock=db, me_range=8, cabac=False,
+                      transform_8x8=True)
+    encode_and_check(frames, p)
+
+
+def test_transform_8x8_with_aq_multiref():
+    frames = synth_frames(96, 64, 5)
+    p = EncoderParams(width=96, height=64, qp=30, keyint_max=250,
+                      deblock=True, me_range=8, cabac=False,
+                      transform_8x8=True, aq_mode=1, ref_frames=2)
+    encode_and_check(frames, p)

@@ -134,7 +134,8 @@ class Encoder:
                            qp_arr, np.int32(me_lambda(base_qp)),
                            mbw=mbw, mbh=mbh, me_range=self.p.me_range,
                            cqp_off=self.p.chroma_qp_offset,
-                           subpel=self.p.subpel, **ekw)
+                           subpel=self.p.subpel,
+                           t8=self.p.transform_8x8, **ekw)
         return out, SLICE_P
 
     def _requantize_idr(self, qp: int) -> int:
@@ -847,13 +848,15 @@ class Encoder:
         qpc_mb = qpc_tab[jnp.clip(qp_mb + self.p.chroma_qp_offset, 0, 51)]
         from x264_tpu.ops.device.deblock import deblock_impl
         return deblock_core(
-            ry, ru, rv, out["mb_class"] == 0, out["luma_nnz"],
+            ry, ru, rv, out["mb_class"] == 0,
+            out["nnz_deblock"] if "nnz_deblock" in out else out["luma_nnz"],
             out["mv"] if "mv" in out else jnp.zeros((n, 2), jnp.int32),
             out["ref_mb"] if "ref_mb" in out else jnp.zeros(n, jnp.int32),
             qp_mb, qpc_mb,
             np.int32(self.p.deblock_alpha * 2),
             np.int32(self.p.deblock_beta * 2), mbw=mbw, mbh=mbh,
-            impl=deblock_impl())
+            impl=deblock_impl(),
+            t8=out["t8"] if "t8" in out and self.p.transform_8x8 else None)
 
     def _pad(self, fr: Frame420):
         y = pad_to_mb(fr.y, 16)

@@ -121,6 +121,11 @@ def write_pps(p: EncoderParams) -> bytes:
     bs.put1(1)                              # deblocking_filter_control_present
     bs.put1(1 if p.constrained_intra else 0)
     bs.put1(0)                              # redundant_pic_cnt_present
+    if p.transform_8x8:
+        # PPS extension (7.3.2.2 more_rbsp_data branch)
+        bs.put1(1)                          # transform_8x8_mode_flag
+        bs.put1(0)                          # pic_scaling_matrix_present
+        bs.se(p.chroma_qp_offset)           # second_chroma_qp_index_offset
     return make_nal(NAL_PPS, NAL_PRIORITY_HIGHEST, bs.to_rbsp())
 
 

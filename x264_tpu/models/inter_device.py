@@ -23,7 +23,8 @@ from x264_tpu.models import mvpred
 from x264_tpu.models.inter_frame import PAD, me_lambda
 from x264_tpu.models.residual_device import (encode_chroma,
                                              encode_i16_luma,
-                                             encode_p_luma)
+                                             encode_p_luma,
+                                             encode_p_luma_t8)
 from x264_tpu.ops.device import header as dheader
 from x264_tpu.ops.device import pixel as P
 from x264_tpu.ops.device import predict as PR
@@ -56,10 +57,46 @@ def _te_ref_bits(num_ref: int) -> np.ndarray:
                      for k in range(num_ref)], np.int32)
 
 
+def _cavlc_bits_proxy(ac):
+    """Per-MB CAVLC rate estimate over (N, B, 16) zigzag levels:
+    sum of (2*bit_length(|l|) + 1) per nonzero level — the exp-golombish
+    cost the transform-size decision trades against SSD (the non-RDO
+    analog of reference encoder/analyse.c x264_mb_analyse_transform)."""
+    a = jnp.abs(ac.astype(jnp.int32))
+    nbits = jnp.zeros_like(a)
+    for k in range(14):                      # levels fit in 14 bits
+        nbits = nbits + (a >= (1 << k)).astype(jnp.int32)
+    return (2 * nbits + (a > 0).astype(jnp.int32)).sum((-1, -2))
+
+
+def select_transform_8x8(src_mbs, pred, qp, lam,
+                         recon4, ac4, nnz4, cbp4):
+    """Per-MB adaptive transform size: encode the 8x8 alternative and pick
+    by SSD + lambda2*rate (both encodings are batched device work, so the
+    true-cost decision is free vs x264's satd/sa8d proxy).  Returns
+    (t8 (N,) bool, recon, ac_zz, nnz, nnz_deblock, cbp_luma)."""
+    rec8, ac8, nnz8, nnzdb8, cbp8 = encode_p_luma_t8(src_mbs, pred, qp)
+    lam2 = jnp.maximum((lam * lam * 9) // 10, jnp.int32(1))
+    cost4 = P.ssd(src_mbs, recon4) + lam2 * _cavlc_bits_proxy(ac4)
+    cost8 = P.ssd(src_mbs, rec8) + lam2 * _cavlc_bits_proxy(ac8)
+    sel8 = cost8 < cost4
+    # an all-zero 8x8 winner is emitted as a zero-residual 4x4 MB (the
+    # flag is only written when cbp_luma > 0 and is inferred 0 otherwise)
+    t8 = sel8 & (cbp8 > 0)
+    m1, m2 = sel8[:, None], sel8[:, None, None]
+    return (t8,
+            jnp.where(m2, rec8, recon4),
+            jnp.where(m2, ac8, ac4),
+            jnp.where(m1, nnz8, nnz4),
+            jnp.where(m1, nnzdb8, nnz4),
+            jnp.where(sel8, cbp8, cbp4))
+
+
 def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                      mbw: int, mbh: int, me_range: int, cqp_off: int,
                      n_words: int = 24, subpel: int = 0,
-                     entropy: str = "cavlc", lv_cap: int = 64):
+                     entropy: str = "cavlc", lv_cap: int = 64,
+                     t8: bool = False):
     """All-device P-frame pixel pipeline on *pre-padded* reference planes
     (so the sharded band path can hand in halo slices — parallel/sliced.py).
     y/u/v: source planes (uint8, H=16*mbh x W=16*mbw); ref_*_pad: STACKED
@@ -113,6 +150,12 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                                  + stacked.shape[1:]),
                 mv, mbw, mbh, PAD, ref_idx=ref)
     recon_y_mbs, ac_zz, nnz, cbp_l = encode_p_luma(src_mbs, pred, qp)
+    nnz_deblock = nnz
+    t8_flag = jnp.zeros(n, bool)
+    if t8:
+        (t8_flag, recon_y_mbs, ac_zz, nnz, nnz_deblock,
+         cbp_l) = select_transform_8x8(src_mbs, pred, qp, lam,
+                                       recon_y_mbs, ac_zz, nnz, cbp_l)
 
     pred_u, pred_v = mc_chroma_uv(
         ref_u_pad[0] if n_refs == 1 else ref_u_pad,
@@ -222,6 +265,7 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
         return (jnp.where(mk1, idc, 0),
                 jnp.where(mk2, iac, ac_zz),
                 jnp.where(mk1, innz, nnz),
+                jnp.where(mk1, innz, nnz_deblock),
                 jnp.where(intra_mask, icbp_l, cbp_l),
                 jnp.where(mk2, icdc, cdc),
                 jnp.where(mk3, icac, cac),
@@ -235,14 +279,16 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                 jnp.where(mk2, icr_v, rv_mbs))
 
     def _no_intra(_):
-        return (jnp.zeros((n, 16), jnp.int32), ac_zz, nnz, cbp_l,
-                cdc, cac, cnnz, cbp_c,
+        return (jnp.zeros((n, 16), jnp.int32), ac_zz, nnz, nnz_deblock,
+                cbp_l, cdc, cac, cnnz, cbp_c,
                 jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
                 mb_cost, recon_y_mbs, ru_mbs, rv_mbs)
 
-    (luma_dc, ac_zz, nnz, cbp_l, cdc, cac, cnnz, cbp_c, i16_mode,
-     chroma_mode, mb_cost, recon_y_mbs, ru_mbs, rv_mbs) = jax.lax.cond(
+    (luma_dc, ac_zz, nnz, nnz_deblock, cbp_l, cdc, cac, cnnz, cbp_c,
+     i16_mode, chroma_mode, mb_cost, recon_y_mbs, ru_mbs,
+     rv_mbs) = jax.lax.cond(
         intra_mask.any(), _intra_fixup, _no_intra, None)
+    t8_flag = t8_flag & ~intra_mask & (cbp_l > 0)
 
     # device MB classification (shared by both entropy modes)
     mb_class, mvd = dheader.classify_p(mv, cbp_l, cbp_c, mbw, mbh,
@@ -255,7 +301,8 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
         mb_cost=mb_cost, qp_mb=qp, icost=icost,
         mv=mv, ref_mb=ref,
         i16_mode=i16_mode, chroma_mode=chroma_mode, luma_dc=luma_dc,
-        luma_ac=ac_zz, luma_nnz=nnz, cbp_luma=cbp_l,
+        luma_ac=ac_zz, luma_nnz=nnz, nnz_deblock=nnz_deblock,
+        t8=t8_flag, cbp_luma=cbp_l,
         chroma_dc=cdc, chroma_ac=cac, chroma_nnz=cnnz, cbp_chroma=cbp_c,
         recon_y=T.mbs_to_plane(recon_y_mbs, mbh, mbw, 16).astype(jnp.uint8),
         recon_u=T.mbs_to_plane(ru_mbs, mbh, mbw, 8).astype(jnp.uint8),
@@ -278,7 +325,8 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
         cbp_l, cbp_c, intra_mask, mbw, mbh)
     hv, hl = dheader.header_slots(
         mb_class, i16_mode, chroma_mode, mvd, cbp_l, cbp_c, qp,
-        is_p_slice=True, ref=ref, num_ref=n_refs)
+        is_p_slice=True, ref=ref, num_ref=n_refs,
+        t8=t8_flag if t8 else None)
     words, nbits = pack_tokens(jnp.concatenate([hv, res_vals], axis=1),
                                jnp.concatenate([hl, res_lens], axis=1),
                                n_words)
@@ -296,17 +344,18 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
 p_band_core = functools.partial(
     jax.jit, static_argnames=("mbw", "mbh", "me_range", "cqp_off",
                               "n_words", "subpel", "entropy",
-                              "lv_cap"))(p_frame_pipeline)
+                              "lv_cap", "t8"))(p_frame_pipeline)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("mbw", "mbh", "me_range", "cqp_off",
                                     "n_words", "subpel", "entropy",
-                                    "lv_cap"))
+                                    "lv_cap", "t8"))
 def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
                  mbw: int, mbh: int, me_range: int, cqp_off: int,
                  n_words: int = 24, subpel: int = 0,
-                 entropy: str = "cavlc", lv_cap: int = 64):
+                 entropy: str = "cavlc", lv_cap: int = 64,
+                 t8: bool = False):
     """Single-chip entry: edge-pad the references on device, run the
     pipeline (see p_frame_pipeline for the contract).  ref_* may be
     (H, W) single-ref or stacked (K, H, W) in list0 order."""
@@ -321,7 +370,7 @@ def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
                             qp, lam, mbw=mbw, mbh=mbh,
                             me_range=me_range, cqp_off=cqp_off,
                             n_words=n_words, subpel=subpel,
-                            entropy=entropy, lv_cap=lv_cap)
+                            entropy=entropy, lv_cap=lv_cap, t8=t8)
 
 
 def classify_pframe_vec(syn, mv: np.ndarray, cbp_l: np.ndarray,

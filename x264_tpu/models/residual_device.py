@@ -78,6 +78,51 @@ def encode_p_luma(src, pred, qp):
     return recon, ac_zz, nnz, cbp
 
 
+# raster 4x4 index -> coded (zigzag-of-quadrant) index; inverse of the
+# _C2R permutation in ops/device/cavlc.py
+_R2C = jnp.asarray(np.argsort(np.array(
+    [0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15])).astype(np.int32))
+
+
+def encode_p_luma_t8(src, pred, qp):
+    """Inter luma residual with the High-profile 8x8 transform
+    (transform_size_8x8_flag=1; parity anchor: reference common/dct.c
+    sub8x8_dct8 + encoder/macroblock.c's 8x8 branch).
+
+    Returns (recon (N,16,16), ac_zz (N,16,16), nnz (N,16), nnz_deblock
+    (N,16), cbp_luma (N,)).  ac_zz/nnz use the CAVLC interleave (8.5.6 run
+    inverse): coded 4x4 block i4 of quadrant q8 holds zigzag-64 positions
+    4*k+i4, laid out raster-block-major like the 4x4 path so the CAVLC
+    slot machinery is unchanged.  nnz_deblock replicates each 8x8 block's
+    coded state to its 4 cells (8.7's bS nonzero check is per containing
+    transform block)."""
+    n = src.shape[0]
+    res = src.astype(jnp.int32) - pred.astype(jnp.int32)
+    blocks8 = T.mb_luma_to_blocks8(res)                # (N,4,8,8)
+    coefs = T.dct8x8(blocks8)
+    qp1 = _qp_mb(qp, 1)
+    lv8 = T.quant8x8(coefs, qp1, intra=False)          # (N,4,8,8)
+    lv64 = T.zigzag8(lv8)                              # (N,4,64)
+
+    # CAVLC interleave: (N,4,64) -> (N, q8, k, i4) -> coded (N,16,16)
+    inter = lv64.reshape(n, 4, 16, 4).transpose(0, 1, 3, 2)   # (N,q8,i4,16)
+    ac_zz = inter.reshape(n, 16, 16)[:, _R2C, :]       # raster-block-major
+    nnz = jnp.count_nonzero(ac_zz, axis=2).astype(jnp.int32)
+
+    nz8 = jnp.count_nonzero(lv64, axis=2).astype(jnp.int32)   # (N,4)
+    cbp = ((nz8 > 0).astype(jnp.int32)
+           * (1 << jnp.arange(4, dtype=jnp.int32))[None, :]).sum(1)
+    # quadrant of each raster 4x4 cell -> replicate the 8x8 count to all 4
+    quad_of_raster = (jnp.arange(16) // 4 // 2) * 2 + (jnp.arange(16) % 4) // 2
+    nnz_deblock = nz8[:, quad_of_raster]
+
+    deq = T.dequant8x8(lv8, qp1)
+    res_rec = T.idct8x8(deq)
+    recon = jnp.clip(pred.astype(jnp.int32) + T.blocks8_to_mb_luma(res_rec),
+                     0, 255)
+    return recon, ac_zz, nnz, nnz_deblock, cbp
+
+
 def _chroma_blocks(res):
     """(N,8,8) -> (N,4,4,4) raster 4x4 blocks."""
     n = res.shape[0]

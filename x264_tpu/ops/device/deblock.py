@@ -28,10 +28,12 @@ _BETA = jnp.asarray(BETA.astype(np.int32))
 _TC0 = jnp.asarray(TC0.astype(np.int32))
 
 
-def bs_grids(mb_intra, luma_nnz, mv, ref, mbw: int, mbh: int):
+def bs_grids(mb_intra, luma_nnz, mv, ref, mbw: int, mbh: int, t8=None):
     """Boundary strengths for every 4-px edge.
 
     mb_intra (N,) bool; luma_nnz (N,16) raster-block; mv (N,2); ref (N,).
+    t8 (N,) bool or None: MBs coded with the 8x8 transform do not filter
+    their interior 4x4 luma edges (8.7: only edges 0 and 2 exist).
     Returns (bs_v, bs_h) (4*mbh, 4*mbw) int32: bs_v[gy,gx] = strength of
     the vertical edge left of block (gy,gx); frame-boundary edges are 0."""
     gh, gw = 4 * mbh, 4 * mbw
@@ -68,6 +70,10 @@ def bs_grids(mb_intra, luma_nnz, mv, ref, mbw: int, mbh: int):
         bs = jnp.where(mb_edge & (intra_g | p_intra), 4,
              jnp.where(intra_g, 3,
              jnp.where(nz, 2, jnp.where(mvdiff, 1, 0))))
+        if t8 is not None:
+            t8_g = jnp.repeat(jnp.repeat(t8.reshape(mbh, mbw), 4, 0), 4, 1)
+            odd = ((col if shift_axis == 1 else row) % 2) == 1
+            bs = jnp.where(t8_g & odd, 0, bs)
         return jnp.where(exists, bs, 0).astype(jnp.int32)
 
     return one_dir(1), one_dir(0)
@@ -271,7 +277,8 @@ def _filter_by_impl(impl, y, u, v, bs_v, bs_h, qp_mb, qpc_mb,
 
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh", "impl"))
 def deblock_core(y, u, v, mb_intra, luma_nnz, mv, ref, qp_mb, qpc_mb,
-                 off_a, off_b, mbw: int, mbh: int, impl: str = "xla"):
+                 off_a, off_b, mbw: int, mbh: int, impl: str = "xla",
+                 t8=None):
     """Filter recon planes, skewed-wavefront schedule.
 
     The knight wavefront t = x + 2y maps every diagonal MB to the SAME
@@ -281,7 +288,7 @@ def deblock_core(y, u, v, mb_intra, luma_nnz, mv, ref, qp_mb, qpc_mb,
     the MB-raster reference (wavefront schedule preserves the spec's
     read-after-write order; see module docstring).  impl='pallas' runs
     the same schedule as one Mosaic kernel (deblock_pallas.py)."""
-    bs_v, bs_h = bs_grids(mb_intra, luma_nnz, mv, ref, mbw, mbh)
+    bs_v, bs_h = bs_grids(mb_intra, luma_nnz, mv, ref, mbw, mbh, t8=t8)
     return _filter_by_impl(impl, y, u, v, bs_v, bs_h, qp_mb, qpc_mb,
                            off_a, off_b, mbw, mbh)
 

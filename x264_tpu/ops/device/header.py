@@ -17,7 +17,7 @@ _CBP2G = jnp.asarray(CBP_TO_GOLOMB.astype(np.int32))
 MB_P16_D, MB_PSKIP_D = 2, 3   # match models.syntax MB_P16 / MB_PSKIP
 MB_I16_D = 0
 
-HEADER_SLOTS = 8
+HEADER_SLOTS = 9
 
 
 def bit_length(x):
@@ -119,12 +119,15 @@ def classify_p(mv, cbp_luma, cbp_chroma, mbw: int, mbh: int, ref=None,
 
 
 def header_slots(mb_class, i16_mode, chroma_mode, mvd, cbp_luma, cbp_chroma,
-                 qp_mb, is_p_slice: bool, ref=None, num_ref: int = 1):
+                 qp_mb, is_p_slice: bool, ref=None, num_ref: int = 1,
+                 t8=None):
     """Per-MB header codes [skip_run, mb_type, chroma_mode, ref_idx,
-    mvd_x, mvd_y, cbp, qp_delta] -> (hvals, hlens) (N,8) int32.  Bit-exact
-    port of slice_writer_vec.header_slots (I16/P16/PSKIP classes).
+    mvd_x, mvd_y, cbp, transform_size_8x8_flag, qp_delta] ->
+    (hvals, hlens) (N,9) int32.  Bit-exact port of
+    slice_writer_vec.header_slots (I16/P16/PSKIP classes).
     ref_idx is te()-coded: absent at num_ref 1, a single !ref bit at
-    num_ref 2, ue(ref) beyond."""
+    num_ref 2, ue(ref) beyond.  t8 (N,) bool or None: the flag bit is
+    written for inter MBs with CodedBlockPatternLuma > 0 (7.3.5)."""
     n = mb_class.shape[0]
     skip = mb_class == MB_PSKIP_D
     coded = ~skip
@@ -177,6 +180,11 @@ def header_slots(mb_class, i16_mode, chroma_mode, mvd, cbp_luma, cbp_chroma,
     hv[6] = jnp.where(p16, v, 0)
     hl[6] = jnp.where(p16, ln, 0)
 
+    if t8 is not None:
+        on = p16 & (cbp_l > 0)
+        hv[7] = jnp.where(on, t8.astype(jnp.int32), 0)
+        hl[7] = on.astype(jnp.int32)
+
     # mb_qp_delta: chained over emitting MBs
     emits = coded & ((cbp_l != 0) | (cbp_c != 0) | intra)
     qp = qp_mb.astype(jnp.int32)
@@ -188,8 +196,8 @@ def header_slots(mb_class, i16_mode, chroma_mode, mvd, cbp_luma, cbp_chroma,
     delta = jnp.where(delta > 25, delta - 52,
                       jnp.where(delta < -26, delta + 52, delta))
     v, ln = se_codes(delta)
-    hv[7] = jnp.where(emits, v, 0)
-    hl[7] = jnp.where(emits, ln, 0)
+    hv[8] = jnp.where(emits, v, 0)
+    hl[8] = jnp.where(emits, ln, 0)
 
     return jnp.stack(hv, axis=1), jnp.stack(hl, axis=1)
 

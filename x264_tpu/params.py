@@ -64,6 +64,7 @@ class EncoderParams:
     i16x16: bool = True
     p16x16: bool = True
     p8x8: bool = False              # partitions beyond 16x16: later round
+    transform_8x8: bool = False     # --8x8dct (High profile adaptive 8x8)
     deadzone_intra: int = 11        # x264 default deadzones (21/32, 11/32)
     deadzone_inter: int = 21
 
@@ -116,6 +117,8 @@ class EncoderParams:
 
     @property
     def profile_idc(self) -> int:
+        if self.transform_8x8:
+            return PROFILE_HIGH
         if self.cabac or self.bframes:
             return PROFILE_MAIN
         return PROFILE_BASELINE
@@ -137,6 +140,15 @@ class EncoderParams:
         if p.cabac and p.slices > 1:
             raise NotImplementedError(
                 "multi-slice CABAC lands with device CABAC (round 2)")
+        if p.transform_8x8:
+            if p.backend == "reference":
+                raise NotImplementedError(
+                    "8x8 transform is device-pipeline only")
+            if p.slices > 1:
+                raise NotImplementedError("8x8dct + slices: pending")
+            if p.cabac:
+                raise NotImplementedError(
+                    "8x8dct + CABAC: ctxBlockCat-5 syntax pending")
         return p
 
 
