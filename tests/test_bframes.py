@@ -12,7 +12,7 @@ from x264_tpu.utils.oracle import decode_annexb  # noqa: E402
 from x264_tpu.utils.yuv import Frame420  # noqa: E402
 
 
-def _run(rng, nframes, bf, keyint, qp, w=96, h=64):
+def _run(rng, nframes, bf, keyint, qp, w=96, h=64, **kw):
     yy, xx = np.mgrid[0:h, 0:w]
     frames = []
     for t in range(nframes):
@@ -24,7 +24,7 @@ def _run(rng, nframes, bf, keyint, qp, w=96, h=64):
         frames.append(Frame420(y, u, v))
     enc = Encoder(EncoderParams(width=w, height=h, qp=qp, me_range=8,
                                 backend="device", bframes=bf,
-                                keyint_max=keyint))
+                                keyint_max=keyint, **kw))
     recs = {}
     _b, _a = enc._finalize_b, enc._encode_anchor
 
@@ -133,3 +133,12 @@ def test_poc_lsb_wrap(rng):
     crosses the wrap; bit-exact recon proves the fix."""
     types = _run(rng, 135, 1, 250, 30, w=32, h=32)
     assert types.count("B") > 60
+
+
+@pytest.mark.parametrize("cab", [False, True])
+def test_bframes_transform_8x8(rng, cab):
+    """B frames in a High-profile transform_8x8 stream: anchors select
+    the 8x8 transform per MB, B MBs carry the (zero) flag bit (7.3.5)."""
+    types = _run(rng, 9, 2, 250, 24, cabac=cab, transform_8x8=True,
+                 deblock=True)
+    assert "B" in types

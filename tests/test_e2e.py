@@ -124,3 +124,13 @@ def test_transform_8x8_with_aq_multiref():
                       deblock=True, me_range=8, cabac=False,
                       transform_8x8=True, aq_mode=1, ref_frames=2)
     encode_and_check(frames, p)
+
+
+@pytest.mark.parametrize("qp", [18, 30, 42])
+def test_transform_8x8_cabac_bitexact(qp):
+    """8x8 transform + CABAC (ctxBlockCat-5 residuals + flag contexts)."""
+    frames = synth_frames(96, 64, 4)
+    p = EncoderParams(width=96, height=64, qp=qp, keyint_max=250,
+                      deblock=True, me_range=8, cabac=True,
+                      transform_8x8=True)
+    encode_and_check(frames, p)

@@ -532,7 +532,8 @@ class Encoder:
             bs.put(pad, (1 << pad) - 1)    # cabac_alignment_one_bit
         kind = 0 if job["slice_type"] == SLICE_I else 1
         payload = write_slice_cabac_packed(
-            blob, job["mbw"], job["mbh"], kind, job["slice_qp"], K)
+            blob, job["mbw"], job["mbh"], kind, job["slice_qp"], K,
+            t8_mode=self.p.transform_8x8)
         out_bytes += wrap_slice_nal(bs.to_bytes_aligned() + payload,
                                     job["idr"])
         cost = int(blob[:, foff + 9].astype(np.int64).sum())
@@ -688,7 +689,7 @@ class Encoder:
             np.int32(qp), np.int32(me_lambda(qp)),
             mbw=mbw, mbh=mbh, me_range=self.p.me_range,
             cqp_off=self.p.chroma_qp_offset,
-            subpel=self.p.subpel, **ekw)
+            subpel=self.p.subpel, t8_mode=self.p.transform_8x8, **ekw)
         try:
             out["host_blob"].copy_to_host_async()
         except Exception:
@@ -735,7 +736,8 @@ class Encoder:
                     np.int32(qp), np.int32(me_lambda(qp)),
                     mbw=mbw, mbh=mbh, me_range=self.p.me_range,
                     cqp_off=self.p.chroma_qp_offset,
-                    subpel=self.p.subpel, **ekw)
+                    subpel=self.p.subpel,
+                    t8_mode=self.p.transform_8x8, **ekw)
                 blob = np.asarray(out["host_blob"])
                 if not _over(blob, n_words):
                     break
@@ -760,7 +762,8 @@ class Encoder:
             if pad:
                 bs.put(pad, (1 << pad) - 1)
             payload = write_slice_cabac_packed(blob, mbw, mbh, 2, qp,
-                                               n_words)
+                                               n_words,
+                                               t8_mode=self.p.transform_8x8)
             data = wrap_slice_nal(bs.to_bytes_aligned() + payload, False,
                                   is_ref=False)
         else:

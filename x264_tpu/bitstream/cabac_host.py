@@ -22,8 +22,10 @@ def _lib():
     if _LIB is None:
         so = os.path.join(_NATIVE, "libx264tpu_cabac.so")
         src = os.path.join(_NATIVE, "cabac.c")
+        hdr = os.path.join(_NATIVE, "cabac_tables.h")
         if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
+                or os.path.getmtime(so) < os.path.getmtime(src)
+                or os.path.getmtime(so) < os.path.getmtime(hdr)):
             subprocess.run(["gcc", "-O2", "-shared", "-fPIC", src, "-o", so],
                            check=True, capture_output=True)
         lib = ctypes.CDLL(so)
@@ -36,14 +38,14 @@ def _lib():
             ctypes.c_int,
             i32p, i32p, i32p, i32p, i32p, i32p, i32p,
             i16p, i16p, i16p, i16p,
-            i32p, i32p,
+            i32p, i32p, ctypes.c_void_p,   # t8: NULL = 8x8 mode off
             u8p, ctypes.c_long,
         ]
         lib.encode_slice_cabac_packed.restype = ctypes.c_long
         lib.encode_slice_cabac_packed.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int,
-            i32p, ctypes.c_int, ctypes.c_int,
+            i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             u8p, ctypes.c_long,
         ]
         _LIB = lib
@@ -52,9 +54,11 @@ def _lib():
 
 def write_slice_cabac_packed(blob: np.ndarray, mbw: int, mbh: int,
                              slice_kind: int, slice_qp: int, K: int,
-                             init_idc: int = 0) -> bytes:
+                             init_idc: int = 0,
+                             t8_mode: bool = False) -> bytes:
     """Encode slice_data() with CABAC from the device's compact blob
     (ops/device/entropy_pack.cabac_blob layout).  slice_kind 0=I/1=P/2=B.
+    t8_mode: PPS transform_8x8_mode_flag (gates the per-MB flag bin).
     Raises OverflowError when a MB exceeded the level cap K (caller
     retries the frame core with the next ladder K)."""
     n = mbw * mbh
@@ -63,14 +67,15 @@ def write_slice_cabac_packed(blob: np.ndarray, mbw: int, mbh: int,
     blob = np.ascontiguousarray(blob.astype(np.int32, copy=False))
     sz = _lib().encode_slice_cabac_packed(
         mbw, mbh, slice_kind, int(slice_qp), init_idc,
-        blob, K, blob.shape[1], out, cap)
+        blob, K, blob.shape[1], int(t8_mode), out, cap)
     if sz < 0:
         raise OverflowError("CABAC level cap or buffer overflow")
     return out[:sz].tobytes()
 
 
 def write_slice_cabac(syn, slice_type: int, slice_qp: int,
-                      init_idc: int = 0, bmode=None, mvd1=None) -> bytes:
+                      init_idc: int = 0, bmode=None, mvd1=None,
+                      t8=None) -> bytes:
     """Encode slice_data() with CABAC from a FrameSyntax.  Returns the
     byte-aligned payload (starts after cabac_alignment_one_bit, ends with
     the rbsp stop bit).  For B slices pass bmode (N,) and mvd1 (N,2)."""
@@ -86,6 +91,8 @@ def write_slice_cabac(syn, slice_type: int, slice_qp: int,
         bmode = np.zeros(n, np.int32)
     if mvd1 is None:
         mvd1 = np.zeros((n, 2), np.int32)
+    t8_arr = (None if t8 is None
+              else np.ascontiguousarray(np.asarray(t8).astype(np.int32)))
 
     sz = _lib().encode_slice_cabac(
         syn.mb_width, syn.mb_height, kind,
@@ -103,6 +110,7 @@ def write_slice_cabac(syn, slice_type: int, slice_qp: int,
         c(syn.chroma_ac.astype(np.int16)),
         c(np.asarray(bmode).astype(np.int32)),
         c(np.asarray(mvd1).astype(np.int32)),
+        None if t8_arr is None else t8_arr.ctypes.data_as(ctypes.c_void_p),
         out, cap)
     if sz < 0:
         raise RuntimeError("CABAC buffer overflow")

@@ -53,13 +53,14 @@ def _pad_edge(p, pad):
 @functools.partial(jax.jit,
                    static_argnames=("mbw", "mbh", "me_range", "cqp_off",
                                     "n_words", "subpel", "entropy",
-                                    "lv_cap"))
+                                    "lv_cap", "t8_mode"))
 def b_frame_core(y, u, v,
                  l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
                  col_mv, col_intra, dist_scale, qp, lam,
                  mbw: int, mbh: int, me_range: int, cqp_off: int,
                  n_words: int = 24, subpel: int = 2,
-                 entropy: str = "cavlc", lv_cap: int = 64):
+                 entropy: str = "cavlc", lv_cap: int = 64,
+                 t8_mode: bool = False):
     """Encode one B frame.  col_mv (N,2): the L1 anchor's per-MB motion
     field; col_intra (N,) bool; dist_scale: temporal-direct
     DistScaleFactor (8.4.1.2.3), traced int32."""
@@ -181,7 +182,7 @@ def b_frame_core(y, u, v,
         jnp.zeros((n, 16), jnp.int32), ac_zz, nnz, cdc, cac, cnnz,
         cbp_l, cbp_c, jnp.zeros(n, bool), mbw, mbh)
     hv, hl = dheader.header_slots_b(bmode, is_skip, mvd0, mvd1,
-                                    cbp_l, cbp_c, qp)
+                                    cbp_l, cbp_c, qp, t8_mode=t8_mode)
     words, nbits = pack_tokens(jnp.concatenate([hv, res_vals], axis=1),
                                jnp.concatenate([hl, res_lens], axis=1),
                                n_words)

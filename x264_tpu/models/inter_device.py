@@ -315,7 +315,8 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
         from x264_tpu.ops.device.entropy_pack import cabac_blob
         outs["host_blob"] = cabac_blob(
             luma_dc, ac_zz, cdc, cac, mb_class, mvd, i16_mode,
-            chroma_mode, cbp_l, cbp_c, qp, mb_cost, icost, K=lv_cap)
+            chroma_mode, cbp_l, cbp_c, qp, mb_cost, icost, K=lv_cap,
+            t8=t8_flag)
         return outs
 
     # CAVLC: full entropy on device — slot grids + per-MB bit packing;

@@ -10,9 +10,10 @@
  * here).  Context init / LPS-range / transition constants are the
  * normative tables in cabac_tables.h.
  *
- * Coverage (round 1): P/I slices with I_16x16, P_L0_16x16 and P_Skip MB
- * types, 4:2:0, CAVLC-categories residuals (no 8x8 transform), frame
- * coding.  Build: gcc -O2 -shared -fPIC cabac.c -o libx264tpu_cabac.so
+ * Coverage: P/I/B slices with I_16x16, P_L0_16x16, P_Skip, B 16x16 MB
+ * types, 4:2:0, frame coding; High-profile 8x8 transform on inter MBs
+ * (transform_size_8x8_flag 9.3.3.1.1.10 + ctxBlockCat-5 residuals).
+ * Build: gcc -O2 -shared -fPIC cabac.c -o libx264tpu_cabac.so
  */
 
 #include <stdint.h>
@@ -211,6 +212,74 @@ static void block_residual(cab_t *c, int cat, const int16_t *l)
     } while (--ci >= 0);
 }
 
+/* ctxBlockCat 5: the 64-coefficient 8x8 luma residual (9.3.3.1.3 with
+ * the Table 9-43 ctxIdxInc maps; level contexts at 426, shared scheme).
+ * l: 64 levels in zigzag-64 scan order. */
+static void block_residual_8x8(cab_t *c, const int16_t *l)
+{
+    int last = 63;
+    while (last > 0 && !l[last])
+        last--;
+    int16_t coeffs[64];
+    int ci = -1;
+
+    for (int i = 0;; i++) {
+        if (l[i]) {
+            coeffs[++ci] = l[i];
+            enc_dec(c, 402 + cabac_sig8x8_map[i], 1);
+            if (i == last) {
+                enc_dec(c, 417 + cabac_last8x8_map[i], 1);
+                break;
+            }
+            enc_dec(c, 417 + cabac_last8x8_map[i], 0);
+        } else {
+            enc_dec(c, 402 + cabac_sig8x8_map[i], 0);
+        }
+        if (i + 1 == 63) {
+            coeffs[++ci] = l[63];
+            break;
+        }
+    }
+
+    int node = 0;
+    do {
+        int v = coeffs[ci];
+        int a = v < 0 ? -v : v;
+        int ctx = lvl1_ctx[node] + 426;
+        if (a > 1) {
+            enc_dec(c, ctx, 1);
+            ctx = lvlgt1_ctx[node] + 426;
+            int m = a < 15 ? a : 15;
+            for (int i = m - 2; i > 0; i--)
+                enc_dec(c, ctx, 1);
+            if (a < 15)
+                enc_dec(c, ctx, 0);
+            else
+                put_ue_bypass(c, 0, (uint32_t)(a - 15));
+            node = lvl_trans[1][node];
+        } else {
+            enc_dec(c, ctx, 0);
+            node = lvl_trans[0][node];
+        }
+        enc_bypass(c, v < 0);
+    } while (--ci >= 0);
+}
+
+/* Reassemble the zigzag-64 levels of 8x8 quadrant b8 from the CAVLC
+ * interleave layout the device ships (raster-block-major cells; coded
+ * cell i4 of quadrant q8 holds zigzag-64 positions 4*k+i4 — the inverse
+ * of the 8.5.6 run interleave in models/residual_device.py). */
+static void gather_t8_levels(const int16_t *lac_mb, int b8, int16_t *l64)
+{
+    static const uint8_t c2r[16] = {0, 1, 4, 5, 2, 3, 6, 7,
+                                    8, 9, 12, 13, 10, 11, 14, 15};
+    for (int i4 = 0; i4 < 4; i4++) {
+        const int16_t *cell = lac_mb + 16 * c2r[4 * b8 + i4];
+        for (int k = 0; k < 16; k++)
+            l64[4 * k + i4] = cell[k];
+    }
+}
+
 /* ---------------- per-MB syntax ---------------- */
 
 #define CLS_I16 0
@@ -222,6 +291,7 @@ typedef struct {
     const int32_t *cls, *i16m, *chm, *mvd, *cbpl, *cbpc, *qp;
     const int16_t *ldc, *lac, *cdc, *cac;
     const int32_t *bmode, *mvd1;   /* B slices only */
+    const int32_t *t8;   /* transform_size_8x8_flag per MB, or NULL */
     uint8_t *nnz;        /* (4mbh,4mbw) luma block cbf/nnz */
     uint8_t *cnnz[2];    /* (2mbh,2mbw) chroma AC cbf */
     uint8_t *dccbf;      /* (N,3): luma DC, chroma U DC, V DC cbf */
@@ -354,6 +424,14 @@ static void write_mb(cab_t *c, frame_t *f, int mb, int is_p,
         }
     }
 
+    /* ---- transform_size_8x8_flag (7.3.5; 9.3.3.1.1.10: ctx 399 +
+     * condTermFlagA + condTermFlagB from neighbour MB flags) ---- */
+    if (f->t8 && !intra && cbp_l) {
+        int ctx = 399 + (has_l && f->t8[mbl] ? 1 : 0)
+                      + (has_t && f->t8[mbt] ? 1 : 0);
+        enc_dec(c, ctx, f->t8[mb] != 0);
+    }
+
     /* ---- mb_qp_delta ---- */
     if (cbp_l || cbp_c || intra) {
         int dqp = f->qp[mb] - *last_qp;
@@ -394,7 +472,16 @@ static void write_mb(cab_t *c, frame_t *f, int mb, int is_p,
         if (cbf)
             block_residual(c, 0, f->ldc + 16 * mb);
     }
-    if (cbp_l) {
+    if (cbp_l && f->t8 && f->t8[mb]) {
+        /* 8x8 transform: no per-block coded_block_flag (the CBP bit is
+         * the coded indicator); one ctxBlockCat-5 residual per 8x8 */
+        int16_t l64[64];
+        for (int b8 = 0; b8 < 4; b8++)
+            if ((cbp_l >> b8) & 1) {
+                gather_t8_levels(f->lac + 256 * mb, b8, l64);
+                block_residual_8x8(c, l64);
+            }
+    } else if (cbp_l) {
         int cat = intra ? 1 : 2;
         for (int b8 = 0; b8 < 4; b8++) {
             if (!((cbp_l >> b8) & 1))
@@ -526,6 +613,15 @@ static void write_mb_b(cab_t *c, frame_t *f, int mb,
         }
     }
 
+    /* transform_size_8x8_flag: the PPS advertises 8x8 mode, so every
+     * coded-luma MB carries the bin (B still codes 4x4 only -> 0;
+     * B_Direct included, direct_8x8_inference_flag=1) */
+    if (f->t8 && cbp_l) {
+        int tctx = 399 + (has_l && f->t8[mbl] ? 1 : 0)
+                       + (has_t && f->t8[mbt] ? 1 : 0);
+        enc_dec(c, tctx, f->t8[mb] != 0);
+    }
+
     /* mb_qp_delta */
     if (cbp_l || cbp_c) {
         int dqp = f->qp[mb] - *last_qp;
@@ -607,12 +703,13 @@ long encode_slice_cabac(
     const int16_t *ldc, const int16_t *lac,
     const int16_t *cdc, const int16_t *cac,
     const int32_t *bmode, const int32_t *mvd1,
+    const int32_t *t8,
     uint8_t *out, long out_cap)
 {
     int n = mbw * mbh;
     int is_p = slice_kind == 1, is_b = slice_kind == 2;
     frame_t f = {mbw, mbh, n, cls, i16m, chm, mvd, cbpl, cbpc, qp_mb,
-                 ldc, lac, cdc, cac, bmode, mvd1,
+                 ldc, lac, cdc, cac, bmode, mvd1, t8,
                  NULL, {NULL, NULL}, NULL, NULL, NULL};
     f.nnz = calloc((size_t)(16 * n), 1);
     f.cnnz[0] = calloc((size_t)(4 * n), 1);
@@ -628,6 +725,7 @@ long encode_slice_cabac(
     for (int mb = 0; mb < n; mb++) {
         int mbx = mb % mbw, mby = mb / mbw;
         int intra = cls[mb] == CLS_I16;
+        int cellcnt[16], qsum[4] = {0, 0, 0, 0};
         for (int r = 0; r < 16; r++) {
             const int16_t *l = lac + (16 * mb + r) * 16;
             int cnt = 0;
@@ -637,8 +735,17 @@ long encode_slice_cabac(
             int b8 = (r >> 3) * 2 + ((r & 3) >> 1);
             if (!((cbpl[mb] >> b8) & 1))
                 cnt = 0;
+            cellcnt[r] = cnt;
+            qsum[b8] += cnt;
+        }
+        for (int r = 0; r < 16; r++) {
+            /* 8x8-coded MBs: neighbour cbf derivation (9.3.3.1.1.9)
+             * uses the containing transform block's coded state, so
+             * every cell carries the quadrant total */
+            int b8 = (r >> 3) * 2 + ((r & 3) >> 1);
+            int cnt = (t8 && t8[mb]) ? qsum[b8] : cellcnt[r];
             f.nnz[(4 * mby + (r >> 2)) * gw + 4 * mbx + (r & 3)] =
-                (uint8_t)cnt;
+                (uint8_t)(cnt > 255 ? 255 : cnt);
         }
         for (int pl = 0; pl < 2; pl++) {
             int dcnz = 0;
@@ -721,11 +828,12 @@ long encode_slice_cabac(
  *                 [ldc 16 | lac 256 | cdc 8 | cac 128]
  *   [13:13+K/2)   nonzero levels as int16 pairs (lo | hi<<16)
  *   then fields:  cls, mvd_x, mvd_y, i16m, chm, cbpl, cbpc, qp,
- *                 nnz_total, mb_cost, icost [, bmode, mvd1_x, mvd1_y]
+ *                 nnz_total, mb_cost, icost [, bmode, mvd1_x, mvd1_y],
+ *                 t8 (transform_size_8x8_flag, always last)
  * Returns payload bytes, or -1 on error / level-cap overflow. */
 long encode_slice_cabac_packed(
     int mbw, int mbh, int slice_kind, int slice_qp, int init_idc,
-    const int32_t *blob, int K, int stride,
+    const int32_t *blob, int K, int stride, int t8_mode,
     uint8_t *out, long out_cap)
 {
     int n = mbw * mbh;
@@ -745,9 +853,10 @@ long encode_slice_cabac_packed(
     int32_t *qp = malloc((size_t)n * sz32);
     int32_t *bmode = is_b ? malloc((size_t)n * sz32) : NULL;
     int32_t *mvd1 = is_b ? malloc((size_t)2 * n * sz32) : NULL;
+    int32_t *t8 = malloc((size_t)n * sz32);
     long ret = -1;
     if (!ldc || !lac || !cdc || !cac || !cls || !mvd || !i16m || !chm
-        || !cbpl || !cbpc || !qp || (is_b && (!bmode || !mvd1)))
+        || !cbpl || !cbpc || !qp || !t8 || (is_b && (!bmode || !mvd1)))
         goto done;
 
     for (int mb = 0; mb < n; mb++) {
@@ -768,6 +877,7 @@ long encode_slice_cabac_packed(
             mvd1[2 * mb] = fields[12];
             mvd1[2 * mb + 1] = fields[13];
         }
+        t8[mb] = fields[is_b ? 14 : 11];
         int16_t *dst[4] = {ldc + 16 * mb, lac + 256 * mb,
                            cdc + 8 * mb, cac + 128 * mb};
         int lim[4] = {16, 256, 8, 128};
@@ -785,10 +895,11 @@ long encode_slice_cabac_packed(
     ret = encode_slice_cabac(mbw, mbh, slice_kind, slice_qp, init_idc,
                              cls, i16m, chm, mvd, cbpl, cbpc, qp,
                              ldc, lac, cdc, cac, bmode, mvd1,
+                             t8_mode ? t8 : NULL,
                              out, out_cap);
 done:
     free(ldc); free(lac); free(cdc); free(cac); free(cls); free(mvd);
     free(i16m); free(chm); free(cbpl); free(cbpc); free(qp);
-    free(bmode); free(mvd1);
+    free(bmode); free(mvd1); free(t8);
     return ret;
 }

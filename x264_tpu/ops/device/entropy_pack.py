@@ -19,7 +19,7 @@ Blob layout per MB, int32 words:
   [13:13+K/2)       nonzero levels, int16 pairs (lo | hi<<16)
   [13+K/2: ...)     fields: mb_class, mvd_x, mvd_y, i16_mode,
                     chroma_mode, cbp_luma, cbp_chroma, qp, nnz_total,
-                    mb_cost, icost [, bmode, mvd1_x, mvd1_y]
+                    mb_cost, icost [, bmode, mvd1_x, mvd1_y], t8
 """
 
 from __future__ import annotations
@@ -29,8 +29,8 @@ import numpy as np
 
 N_VALS = 408
 N_BITMAP = 13
-FIELDS_P = 11
-FIELDS_B = 14
+FIELDS_P = 12
+FIELDS_B = 15
 
 
 def blob_width(K: int, b: bool = False) -> int:
@@ -39,7 +39,7 @@ def blob_width(K: int, b: bool = False) -> int:
 
 def cabac_blob(luma_dc, luma_ac, chroma_dc, chroma_ac, mb_class, mvd,
                i16_mode, chroma_mode, cbp_luma, cbp_chroma, qp, mb_cost,
-               icost, K: int, bmode=None, mvd1=None):
+               icost, K: int, bmode=None, mvd1=None, t8=None):
     """All inputs per-MB int32 tensors (see p_frame_pipeline); K even.
     Returns (N, blob_width(K)) int32."""
     n = mb_class.shape[0]
@@ -86,6 +86,9 @@ def cabac_blob(luma_dc, luma_ac, chroma_dc, chroma_ac, mb_class, mvd,
               cbp_luma, cbp_chroma, qp, nnz_total, mb_cost, icost]
     if bmode is not None:
         fields += [bmode, mvd1[:, 0], mvd1[:, 1]]
+    # transform_size_8x8_flag, always the last field (see cabac.c)
+    fields += [jnp.zeros(n, jnp.int32) if t8 is None
+               else t8.astype(jnp.int32)]
     return jnp.concatenate(
         [bitmap, packed] + [f.astype(jnp.int32)[:, None] for f in fields],
         axis=1)

@@ -206,19 +206,26 @@ def header_slots(mb_class, i16_mode, chroma_mode, mvd, cbp_luma, cbp_chroma,
 B_DIRECT, B_L0, B_L1, B_BI = 0, 1, 2, 3
 
 
-def header_slots_b(bmode, is_skip, mvd0, mvd1, cbp_luma, cbp_chroma, qp_mb):
+def header_slots_b(bmode, is_skip, mvd0, mvd1, cbp_luma, cbp_chroma, qp_mb,
+                   t8_mode: bool = False):
     """Per-MB B-slice header codes (one ref per list, 16x16 partitions):
-    [skip_run, mb_type, mvd0x, mvd0y, mvd1x, mvd1y, cbp, qp_delta].
+    [skip_run, mb_type, mvd0x, mvd0y, mvd1x, mvd1y, cbp,
+    transform_size_8x8_flag, qp_delta].
     bmode (N,) in {B_DIRECT,B_L0,B_L1,B_BI}; is_skip (N,) bool (direct +
-    no residual).  Returns (hvals, hlens) (N,8) int32."""
+    no residual).  Returns (hvals, hlens) (N,9) int32.  t8_mode: the PPS
+    advertises transform_8x8_mode — every coded-luma MB must then carry
+    the flag bit (7.3.5; B uses 4x4 only for now, so the bit is 0;
+    B_Direct included since SPS direct_8x8_inference_flag=1)."""
     n = bmode.shape[0]
     coded = ~is_skip
     cbp_l = cbp_luma.astype(jnp.int32)
     cbp_c = cbp_chroma.astype(jnp.int32)
     idx = jnp.arange(n, dtype=jnp.int32)
 
-    hv = [jnp.zeros(n, jnp.int32) for _ in range(8)]
-    hl = [jnp.zeros(n, jnp.int32) for _ in range(8)]
+    hv = [jnp.zeros(n, jnp.int32) for _ in range(9)]
+    hl = [jnp.zeros(n, jnp.int32) for _ in range(9)]
+    if t8_mode:
+        hl[7] = (coded & (cbp_l > 0)).astype(jnp.int32)  # flag bit = 0
 
     marker = jnp.where(coded, idx, -1)
     run_max = jax.lax.cummax(marker)
@@ -255,8 +262,8 @@ def header_slots_b(bmode, is_skip, mvd0, mvd1, cbp_luma, cbp_chroma, qp_mb):
     delta = jnp.where(delta > 25, delta - 52,
                       jnp.where(delta < -26, delta + 52, delta))
     v, ln = se_codes(delta)
-    hv[7] = jnp.where(emits, v, 0)
-    hl[7] = jnp.where(emits, ln, 0)
+    hv[8] = jnp.where(emits, v, 0)
+    hl[8] = jnp.where(emits, ln, 0)
 
     return jnp.stack(hv, axis=1), jnp.stack(hl, axis=1)
 

@@ -146,9 +146,6 @@ class EncoderParams:
                     "8x8 transform is device-pipeline only")
             if p.slices > 1:
                 raise NotImplementedError("8x8dct + slices: pending")
-            if p.cabac:
-                raise NotImplementedError(
-                    "8x8dct + CABAC: ctxBlockCat-5 syntax pending")
         return p
 
 
