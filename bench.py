@@ -63,7 +63,8 @@ def bench_ours(frames):
 
     p = EncoderParams(width=W, height=H, qp=QP, me_range=16,
                       backend="device", deblock=True, keyint_max=250,
-                      bframes=2, full_recon=False, cabac=True)
+                      bframes=2, full_recon=False, cabac=True,
+                      transform_8x8=True)
     enc = Encoder(p)
     stream = b""
     warm = 4

@@ -26,7 +26,7 @@ def _run(rng, nframes, bf, keyint, qp, w=96, h=64, **kw):
                                 backend="device", bframes=bf,
                                 keyint_max=keyint, **kw))
     recs = {}
-    _b, _a = enc._finalize_b, enc._encode_anchor
+    _b, _a = enc._finalize_b, enc._submit_anchor
 
     def spyb(job):
         data = _b(job)
@@ -36,12 +36,12 @@ def _run(rng, nframes, bf, keyint, qp, w=96, h=64, **kw):
         return data
 
     def spya(fr, d, ftype):
-        data = _a(fr, d, ftype)
-        r = enc.last_recon
+        job = _a(fr, d, ftype)
+        r = enc.dpb[0]   # deblocked anchor recon, device-resident
         recs[d] = (np.asarray(r.y), np.asarray(r.u), np.asarray(r.v))
-        return data
+        return job
 
-    enc._finalize_b, enc._encode_anchor = spyb, spya
+    enc._finalize_b, enc._submit_anchor = spyb, spya
     stream = b"".join(enc.encode(f) for f in frames) + enc.flush()
     dec = decode_annexb(stream, w, h)
     assert len(dec) == nframes
@@ -81,7 +81,7 @@ def test_bframes_cabac(rng):
                                 backend="device", bframes=2, cabac=True,
                                 keyint_max=250))
     recs = {}
-    _b, _a = enc._finalize_b, enc._encode_anchor
+    _b, _a = enc._finalize_b, enc._submit_anchor
 
     def spyb(job):
         data = _b(job)
@@ -90,12 +90,12 @@ def test_bframes_cabac(rng):
         return data
 
     def spya(fr, d, ftype):
-        data = _a(fr, d, ftype)
-        r = enc.last_recon
+        job = _a(fr, d, ftype)
+        r = enc.dpb[0]
         recs[d] = (np.asarray(r.y), np.asarray(r.u))
-        return data
+        return job
 
-    enc._finalize_b, enc._encode_anchor = spyb, spya
+    enc._finalize_b, enc._submit_anchor = spyb, spya
     stream = b"".join(enc.encode(f) for f in frames) + enc.flush()
     dec = decode_annexb(stream, w, h)
     assert len(dec) == 8

@@ -142,6 +142,31 @@ class Encoder:
         """Re-derive the frame QP when a P frame is promoted to IDR."""
         return max(self.p.qp_min, qp - self.rc.IP_OFFSET)
 
+    # content-adaptive entropy budget: start at the smallest rung that
+    # held the recent frames' observed maxima, so the overflow re-encode
+    # (encoder.c:2893 analog) happens once per content change instead of
+    # doubling the device work on every frame
+    _lv_recent: list = None     # CABAC: max nonzero levels per MB
+    _wd_recent: list = None     # CAVLC: max packed words per MB
+
+    def _ladder(self, qp: int) -> list:
+        if self._cabac_fast():
+            full = [64, 216, 408] if qp >= 16 else [216, 408]
+            recent = self._lv_recent
+        else:
+            full = [24, 64, 160, 416] if qp >= 16 else [64, 160, 416]
+            recent = self._wd_recent
+        hint = max(recent) if recent else 0
+        keep = [r for r in full if r >= hint]
+        return keep if keep else full[-1:]
+
+    def _note_budget(self, cabac: bool, observed: int):
+        """Record a frame's observed entropy size (8-frame window max)."""
+        key = "_lv_recent" if cabac else "_wd_recent"
+        lst = getattr(self, key) or []
+        lst.append(observed)
+        setattr(self, key, lst[-8:])
+
     def _submit_device_sliced(self, y, u, v, ftype: str, qp: int) -> dict:
         """Multi-slice frame: split MB rows into p.slices bands, run the
         band pipeline per band (the single-chip form of the sliced-band
@@ -353,11 +378,7 @@ class Encoder:
         h, w = y.shape
         mbw, mbh = w // 16, h // 16
         idr = ftype == "IDR"
-        if self._cabac_fast():
-            # level-cap ladder for the compact CABAC blob
-            ladder = [64, 216, 408] if qp >= 16 else [216, 408]
-        else:
-            ladder = [24, 64, 160, 416] if qp >= 16 else [64, 160, 416]
+        ladder = self._ladder(qp)
         n_words = ladder[0]
 
         buf = np.empty((h + h // 2, w), np.uint8)
@@ -465,6 +486,7 @@ class Encoder:
                     break
 
         n = job["mbw"] * job["mbh"]
+        self._note_budget(False, -(-int(nbits.max(initial=0)) // 32))
         words = np.ascontiguousarray(blob[:, :n_words]).view(np.uint32)
         mb_class = blob[:, n_words + 1]
 
@@ -515,6 +537,7 @@ class Encoder:
                 foff = 13 + K // 2
                 if int(blob[:, foff + 8].max(initial=0)) <= K:
                     break
+        self._note_budget(True, int(blob[:, foff + 8].max(initial=0)))
         mb_class = blob[:, foff]
 
         out_bytes = b""
@@ -600,12 +623,29 @@ class Encoder:
             return b""
         anchor, ad = pend[-1]
         prev = self.dpb[0]
-        out = self._encode_anchor(anchor, ad, "P")
+        syn_path = ((self.p.cabac and not self._cabac_fast())
+                    or self.p.backend in ("reference",
+                                          "device_host_entropy"))
+        if syn_path:
+            out = self._encode_anchor(anchor, ad, "P")
+            if self.p.b_adapt:
+                self._lookahead().push_anchor(self._pad(anchor)[0])
+            nxt = self.dpb[0]
+            jobs = [self._submit_b(bf, bd, prev, nxt)
+                    for (bf, bd) in pend[:-1]]
+            for j in jobs:
+                out += self._finalize_b(j)
+            return out
+        # device fast path: submit the WHOLE mini-GOP (anchor + every B)
+        # before finalizing anything — the Bs' device compute runs while
+        # the host codes the anchor's entropy (x264's frame-threads
+        # overlap, encoder/encoder.c:3337, as async dispatch)
+        ajob = self._submit_anchor(anchor, ad, "P")
         if self.p.b_adapt:
             self._lookahead().push_anchor(self._pad(anchor)[0])
         nxt = self.dpb[0]
-        # submit every B first (device work overlaps host finalization)
         jobs = [self._submit_b(bf, bd, prev, nxt) for (bf, bd) in pend[:-1]]
+        out = self._finalize_device(ajob)
         for j in jobs:
             out += self._finalize_b(j)
         return out
@@ -616,12 +656,12 @@ class Encoder:
     def _encode_anchor(self, fr: Frame420, disp: int, ftype: str) -> bytes:
         import jax.numpy as jnp
 
-        y, u, v = self._pad(fr)
-        if ftype == "IDR":
-            self.frame_num = 0
-        qp = self._qp_for_frame(ftype)
         if ((self.p.cabac and not self._cabac_fast())
                 or self.p.backend in ("reference", "device_host_entropy")):
+            y, u, v = self._pad(fr)
+            if ftype == "IDR":
+                self.frame_num = 0
+            qp = self._qp_for_frame(ftype)
             out_bytes = b""
             if ftype == "IDR" and self.p.repeat_headers:
                 out_bytes += self.headers()
@@ -633,9 +673,20 @@ class Encoder:
             rec.col_mv = jnp.asarray(syn.mv.astype(np.int32))
             rec.col_intra = jnp.asarray(syn.mb_class == 0)
             return out_bytes
+        return self._finalize_device(self._submit_anchor(fr, disp, ftype))
+
+    def _submit_anchor(self, fr: Frame420, disp: int, ftype: str) -> dict:
+        """Device fast path: enqueue an anchor frame's device work and
+        advance the DPB (incl. the colocated motion field for temporal
+        direct); the caller finalizes with _finalize_device."""
+        import jax.numpy as jnp
+
+        y, u, v = self._pad(fr)
+        if ftype == "IDR":
+            self.frame_num = 0
+        qp = self._qp_for_frame(ftype)
         job = self._submit_device(y, u, v, ftype, qp)
         job["poc_lsb"] = self._poc_lsb(disp)
-        # stash the colocated motion field for temporal direct
         out = job["out"]
         rec = self.dpb[0]
         rec.poc = self._poc_lsb(disp)
@@ -646,7 +697,7 @@ class Encoder:
             n = job["mbw"] * job["mbh"]
             rec.col_mv = jnp.zeros((n, 2), jnp.int32)
             rec.col_intra = jnp.ones(n, bool)
-        return self._finalize_device(job)
+        return job
 
     def _submit_b(self, fr: Frame420, disp: int,
                   prev: "ReconFrame", nxt: "ReconFrame") -> dict:
@@ -660,10 +711,7 @@ class Encoder:
         mbw, mbh = w // 16, h // 16
         n = mbw * mbh
         qp = self._qp_for_frame("B")
-        if self._cabac_fast():
-            ladder = [64, 216, 408] if qp >= 16 else [216, 408]
-        else:
-            ladder = [24, 64, 160, 416] if qp >= 16 else [64, 160, 416]
+        ladder = self._ladder(qp)
 
         poc_cur = self._poc_lsb(disp)
         tb = int(np.clip(poc_cur - prev.poc, -128, 127))
@@ -743,10 +791,13 @@ class Encoder:
                     break
         if cab:
             foff = 13 + n_words // 2
+            self._note_budget(True, int(blob[:, foff + 8].max(initial=0)))
             mb_class = blob[:, foff]
             cost_total = int(blob[:, foff + 9].astype(np.int64).sum())
         else:
             nbits = blob[:, n_words]
+            self._note_budget(
+                False, -(-int(nbits.max(initial=0)) // 32))
             words = np.ascontiguousarray(blob[:, :n_words]).view(np.uint32)
             mb_class = blob[:, n_words + 1]
             cost_total = int(blob[:, n_words + 2].astype(np.int64).sum())
