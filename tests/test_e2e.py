@@ -134,3 +134,22 @@ def test_transform_8x8_cabac_bitexact(qp):
                       deblock=True, me_range=8, cabac=True,
                       transform_8x8=True)
     encode_and_check(frames, p)
+
+
+@pytest.mark.parametrize("qp", [14, 26, 40])
+def test_i4x4_iframes_bitexact(qp):
+    """I4x4 MBs in I slices (reference tier): mode-chain prediction,
+    full-16-coeff residual blocks, cbp per 8x8 group — oracle bit-exact."""
+    frames = synth_frames(64, 48, 2)
+    p = EncoderParams(width=64, height=48, qp=qp, keyint_max=1,
+                      deblock=True, backend="reference", i4x4=True)
+    encode_and_check(frames, p)
+
+
+def test_i4x4_pgop_bitexact():
+    """I4x4 on the IDR of an IPP GOP; P frames reference the mixed
+    I4/I16 recon."""
+    frames = synth_frames(64, 48, 3)
+    p = EncoderParams(width=64, height=48, qp=28, keyint_max=0,
+                      deblock=True, backend="reference", i4x4=True)
+    encode_and_check(frames, p)

@@ -1106,7 +1106,8 @@ class Encoder:
                     y, u, v, qp_arr, self.p.chroma_qp_offset)
             else:
                 ry, ru, rv, syn = intra_frame.encode_iframe(
-                    y, u, v, qp_arr, self.p.chroma_qp_offset)
+                    y, u, v, qp_arr, self.p.chroma_qp_offset,
+                    i4x4=self.p.i4x4, lam=me_lambda(qp))
             slice_type = SLICE_I
             idr = True
 

@@ -111,8 +111,95 @@ def encode_chroma_mb(srcs, preds, qp_c: int, intra: bool):
     return recons, dcs.astype(np.int32), acs.astype(np.int32), nnz, cbp_chroma
 
 
+# z-scan index of each raster 4x4 block (y4*4+x4) — decode order within
+# an MB (spec 6.4.3); top-right sample availability follows THIS order,
+# not raster order (8.3.1.2.1)
+_ZSCAN4 = np.array([0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15])
+
+
+def _z_of(x4: int, y4: int) -> int:
+    return 8 * (y4 >> 1) + 4 * (x4 >> 1) + 2 * (y4 & 1) + (x4 & 1)
+
+
+def _tr_avail(x4: int, y4: int, mby: int, mbx: int, mbw: int) -> bool:
+    """Top-right sample availability for 4x4 block (x4,y4) (8.3.1.2.1):
+    the block holding p[4..7,-1] must be decoded EARLIER in z-scan."""
+    if y4 == 0:
+        if x4 < 3:
+            return mby > 0
+        return mby > 0 and mbx < mbw - 1
+    if x4 == 3:
+        return False
+    return _z_of(x4 + 1, y4 - 1) < _z_of(x4, y4)
+
+
+def encode_i4x4_mb(src: np.ndarray, ry: np.ndarray, mode_grid: np.ndarray,
+                   y0: int, x0: int, mby: int, mbx: int, mbw: int,
+                   qp: int, lam: int):
+    """I4x4 candidate for one MB: sequential z-respecting block loop with
+    recon feedback (reference encoder/analyse.c mb_analyse_intra's i4x4
+    path + encoder/macroblock.c x264_mb_encode_i4x4).  WRITES the luma
+    recon into ry[y0:y0+16, x0:x0+16] and the chosen modes into mode_grid
+    (caller overwrites both if I16x16 wins the mb_type decision).
+    Returns (modes(16,) raster, ac_zz(16,16), nnz(16,), cbp_luma, cost)."""
+    h_img, w_img = ry.shape
+    modes = np.zeros(16, np.int32)
+    ac_zz = np.zeros((16, 16), np.int32)
+    nnz = np.zeros(16, np.int32)
+    cost = 24 * lam          # x264's i4x4 header-overhead constant
+    for r in range(16):      # raster order satisfies left/top recon deps
+        y4, x4 = divmod(r, 4)
+        by, bx = y0 + 4 * y4, x0 + 4 * x4
+        at = by > 0
+        al = bx > 0
+        atl = at and al
+        atr = _tr_avail(x4, y4, mby, mbx, mbw)
+        top8 = np.zeros((1, 8), np.uint8)
+        if at:
+            xe = min(bx + 8, w_img)
+            top8[0, :xe - bx] = ry[by - 1, bx:xe]
+        left = (ry[by:by + 4, bx - 1][None] if al
+                else np.zeros((1, 4), np.uint8))
+        tl = (ry[by - 1, bx - 1][None] if atl
+              else np.zeros((1,), np.uint8))
+        preds = predict.predict_4x4_all(
+            top8, left, tl, np.array([at]), np.array([al]),
+            np.array([atr]))[0]                          # (9,4,4)
+        avail = predict.i4x4_mode_avail(
+            np.array([at]), np.array([al]), np.array([atl]))[0]
+        gy, gx = mby * 4 + y4, mbx * 4 + x4
+        lm = mode_grid[gy, gx - 1] if gx > 0 else -1
+        tm = mode_grid[gy - 1, gx] if gy > 0 else -1
+        pmode = 2 if (lm < 0 or tm < 0) else min(int(lm), int(tm))
+        sblk = src[4 * y4:4 * y4 + 4, 4 * x4:4 * x4 + 4]
+        costs = pixel.satd4x4(np.broadcast_to(sblk, (9, 4, 4)), preds)
+        mbits = np.where(np.arange(9) == pmode, 1, 4)
+        costs = np.where(avail, costs + lam * mbits, 1 << 30)
+        mode = int(np.argmin(costs))
+        modes[r] = mode
+        mode_grid[gy, gx] = mode
+        cost += int(costs[mode])
+        # residual: full 4x4 DCT/quant (all 16 coeffs; no DC split)
+        res = sblk.astype(np.int64) - preds[mode].astype(np.int64)
+        lv = quant.quant4x4(transform.dct4x4(res[None]), qp, intra=True)[0]
+        nnz[r] = np.count_nonzero(lv)
+        ac_zz[r] = zigzag(lv[None])[0]
+        rec = transform.idct4x4(quant.dequant4x4(lv[None], qp))[0]
+        ry[by:by + 4, bx:bx + 4] = np.clip(
+            preds[mode].astype(np.int64) + rec, 0, 255).astype(np.uint8)
+    cbp_l = 0
+    for q8 in range(4):
+        qy, qx = divmod(q8, 2)
+        blks = [(2 * qy + dy) * 4 + (2 * qx + dx)
+                for dy in range(2) for dx in range(2)]
+        if nnz[blks].any():
+            cbp_l |= 1 << q8
+    return modes, ac_zz, nnz, cbp_l, cost
+
+
 def encode_iframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                  qp, chroma_qp_offset: int = 0):
+                  qp, chroma_qp_offset: int = 0, i4x4: bool = False,
+                  lam: int = 0):
     """Encode one I frame (planes already padded to MB multiples).
     qp: scalar or per-MB (N,) array.  Returns
     (recon_y, recon_u, recon_v, FrameSyntax)."""
@@ -127,6 +214,9 @@ def encode_iframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     ry = np.zeros_like(y)
     ru = np.zeros_like(u)
     rv = np.zeros_like(v)
+    # per-4x4-block chosen-mode grid for predIntra4x4PredMode chaining:
+    # -1 = unavailable, 2 = block of a non-I4x4 MB (predicts as DC)
+    mode_grid = np.full((4 * mbh, 4 * mbw), -1, np.int32)
 
     for mb in range(mbw * mbh):
         mby, mbx = divmod(mb, mbw)
@@ -147,10 +237,19 @@ def encode_iframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         mode = int(np.argmin(costs))
         qp_i = int(qp_mb[mb])
         qpc = chroma_qp(qp_i, chroma_qp_offset)
-        syn.mb_cost[mb] = int(costs[mode])
+        cost16 = int(costs[mode])
 
-        recon, dc_zz, ac_zz, nnz, cbp_l = encode_i16x16_mb(src, preds[mode], qp_i)
-        ry[y0:y0 + 16, x0:x0 + 16] = recon
+        use_i4 = False
+        if i4x4:
+            i4_modes, i4_ac, i4_nnz, i4_cbp, cost4 = encode_i4x4_mb(
+                src, ry, mode_grid, y0, x0, mby, mbx, mbw, qp_i, lam)
+            use_i4 = cost4 < cost16
+        syn.mb_cost[mb] = cost4 if use_i4 else cost16
+        if not use_i4:
+            recon, dc_zz, ac_zz, nnz, cbp_l = encode_i16x16_mb(
+                src, preds[mode], qp_i)
+            ry[y0:y0 + 16, x0:x0 + 16] = recon
+            mode_grid[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
 
         # --- chroma ---
         cy0, cx0 = mby * 8, mbx * 8
@@ -175,16 +274,23 @@ def encode_iframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         rv[cy0:cy0 + 8, cx0:cx0 + 8] = crecons[1]
 
         # --- record syntax ---
-        syn.mb_class[mb] = MB_I16
-        syn.i16_mode[mb] = mode
+        if use_i4:
+            syn.mb_class[mb] = MB_I4
+            syn.i4_modes[mb] = i4_modes
+            syn.cbp_luma[mb] = i4_cbp
+            syn.luma_ac[mb] = i4_ac
+            syn.luma_nnz[mb] = i4_nnz
+        else:
+            syn.mb_class[mb] = MB_I16
+            syn.i16_mode[mb] = mode
+            syn.cbp_luma[mb] = cbp_l
+            syn.luma_dc[mb] = dc_zz
+            syn.luma_ac[mb] = ac_zz
+            syn.luma_nnz[mb] = nnz
         syn.chroma_mode[mb] = cmode
-        syn.cbp_luma[mb] = cbp_l
         syn.cbp_chroma[mb] = cbp_c
-        syn.luma_dc[mb] = dc_zz
-        syn.luma_ac[mb] = ac_zz
         syn.chroma_dc[mb] = cdc
         syn.chroma_ac[mb] = cac
-        syn.luma_nnz[mb] = nnz
         syn.chroma_nnz[mb] = cnnz
 
     return ry, ru, rv, syn

@@ -60,7 +60,7 @@ class EncoderParams:
     me_range: int = 16
     subpel: int = 2                 # 0=fpel, 1=hpel, 2=qpel (x264 subme analog)
     ref_frames: int = 1
-    i4x4: bool = True               # enable intra 4x4 analysis
+    i4x4: bool = False              # enable intra 4x4 analysis
     i16x16: bool = True
     p16x16: bool = True
     p8x8: bool = False              # partitions beyond 16x16: later round
@@ -140,6 +140,9 @@ class EncoderParams:
         if p.cabac and p.slices > 1:
             raise NotImplementedError(
                 "multi-slice CABAC lands with device CABAC (round 2)")
+        if p.i4x4 and p.cabac:
+            raise NotImplementedError(
+                "i4x4 CABAC syntax: in progress (use CAVLC)")
         if p.transform_8x8:
             if p.backend == "reference":
                 raise NotImplementedError(
