@@ -142,3 +142,43 @@ def test_bframes_transform_8x8(rng, cab):
     types = _run(rng, 9, 2, 250, 24, cabac=cab, transform_8x8=True,
                  deblock=True)
     assert "B" in types
+
+
+def test_bframes_i4x4_syn_path(rng):
+    """i4x4 anchors (syntax entropy path) + device B frames."""
+    w, h = 96, 64
+    frames = []
+    yy, xx = np.mgrid[0:h, 0:w]
+    for t in range(7):
+        y = (120 + 70 * np.sin((xx + 5 * t) / 13.0)
+             * np.cos((yy - 3 * t) / 19.0)).astype(np.uint8)
+        u = (128 + 40 * np.sin((xx[::2, ::2] + 5 * t) / 23.0)).astype(np.uint8)
+        v = (128 + 40 * np.cos((yy[::2, ::2] + 7 * t) / 29.0)).astype(np.uint8)
+        frames.append(Frame420(y, u, v))
+    enc = Encoder(EncoderParams(width=w, height=h, qp=30, backend="device",
+                                i4x4=True, bframes=2, deblock=True))
+    recs = {}
+    _b, _a = enc._finalize_b, enc._encode_anchor
+
+    def spyb(job):
+        data = _b(job)
+        r = enc.last_recon
+        recs[job["disp"]] = (np.asarray(r.y), np.asarray(r.u),
+                             np.asarray(r.v))
+        return data
+
+    def spya(fr, d, ftype):
+        out = _a(fr, d, ftype)
+        r = enc.dpb[0]
+        recs[d] = (np.asarray(r.y), np.asarray(r.u), np.asarray(r.v))
+        return out
+
+    enc._finalize_b, enc._encode_anchor = spyb, spya
+    stream = b"".join(enc.encode(f) for f in frames) + enc.flush()
+    dec = decode_annexb(stream, w, h)
+    assert len(dec) == len(frames)
+    for d in range(len(frames)):
+        ry, ru, rv = recs[d]
+        assert np.array_equal(dec[d][0], ry[:h, :w]), f"display {d}"
+        assert np.array_equal(dec[d][1], ru[:h // 2, :w // 2])
+        assert np.array_equal(dec[d][2], rv[:h // 2, :w // 2])

@@ -238,3 +238,35 @@ def test_subpel_window_hpel_bit_exact(rng):
                       ref_pad=jnp.asarray(ref))
     for x1, x2 in zip(a, b):
         assert np.array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_i4_frame_core_parity():
+    """Device knight-wavefront I4x4 core vs the serial reference tier:
+    recon planes + every syntax tensor bit-equal (incl. the I16-vs-I4
+    decision and the i4 mode chain)."""
+    import collections
+    from x264_tpu.models import intra_device, intra_frame
+    from x264_tpu.models.inter_frame import me_lambda
+    rng = np.random.default_rng(11)
+    w, h = 96, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (120 + 70 * np.sin(xx / 11) * np.cos(yy / 8)
+         + rng.integers(0, 9, (h, w))).astype(np.uint8)
+    u = (y[::2, ::2] // 2 + 50).astype(np.uint8)
+    v = (y[1::2, ::2] // 2 + 70).astype(np.uint8)
+    lam = me_lambda(26)
+    for qp in (14, 26, 40):
+        r1 = intra_frame.encode_iframe(y, u, v, qp, 0, i4x4=True, lam=lam)
+        r2 = intra_device.encode_iframe_device(y, u, v, qp, 0, i4x4=True,
+                                               lam=lam)
+        for i in range(3):
+            np.testing.assert_array_equal(np.asarray(r1[i]),
+                                          np.asarray(r2[i]))
+        s1, s2 = r1[3], r2[3]
+        for k in ("mb_class", "i16_mode", "i4_modes", "chroma_mode",
+                  "cbp_luma", "cbp_chroma", "luma_dc", "luma_ac",
+                  "luma_nnz", "chroma_dc", "chroma_ac", "chroma_nnz"):
+            np.testing.assert_array_equal(getattr(s1, k), getattr(s2, k),
+                                          err_msg=f"qp{qp} {k}")
+        mix = collections.Counter(s1.mb_class.tolist())
+        assert mix[1] > 0, "no I4x4 chosen: decision degenerate"

@@ -153,3 +153,11 @@ def test_i4x4_pgop_bitexact():
     p = EncoderParams(width=64, height=48, qp=28, keyint_max=0,
                       deblock=True, backend="reference", i4x4=True)
     encode_and_check(frames, p)
+
+
+def test_i4x4_device_backend_bitexact():
+    """I4x4 through the device backend (syntax entropy path)."""
+    frames = synth_frames(96, 64, 3)
+    p = EncoderParams(width=96, height=64, qp=28, keyint_max=0,
+                      deblock=True, backend="device", i4x4=True, aq_mode=1)
+    encode_and_check(frames, p)

@@ -91,6 +91,16 @@ class Encoder:
         return (self.p.cabac and self.p.slices <= 1
                 and self.p.ref_frames <= 1)
 
+    def _syn_path(self) -> bool:
+        """Frames go through the host FrameSyntax writers (instead of the
+        device-packed fast path): reference backend, host-entropy debug
+        backend, CABAC combinations the native packed coder doesn't cover
+        yet, and I4x4 (device core emits syntax tensors; the device CAVLC
+        word packer has no I4 header support yet)."""
+        return ((self.p.cabac and not self._cabac_fast())
+                or self.p.backend in ("reference", "device_host_entropy")
+                or self.p.i4x4)
+
     def _use_device(self) -> bool:
         if self.p.backend == "reference":
             return False
@@ -623,10 +633,7 @@ class Encoder:
             return b""
         anchor, ad = pend[-1]
         prev = self.dpb[0]
-        syn_path = ((self.p.cabac and not self._cabac_fast())
-                    or self.p.backend in ("reference",
-                                          "device_host_entropy"))
-        if syn_path:
+        if self._syn_path():
             out = self._encode_anchor(anchor, ad, "P")
             if self.p.b_adapt:
                 self._lookahead().push_anchor(self._pad(anchor)[0])
@@ -656,8 +663,7 @@ class Encoder:
     def _encode_anchor(self, fr: Frame420, disp: int, ftype: str) -> bytes:
         import jax.numpy as jnp
 
-        if ((self.p.cabac and not self._cabac_fast())
-                or self.p.backend in ("reference", "device_host_entropy")):
+        if self._syn_path():
             y, u, v = self._pad(fr)
             if ftype == "IDR":
                 self.frame_num = 0
@@ -1046,7 +1052,7 @@ class Encoder:
 
         use_device = self._use_device()
         if (use_device and self.p.backend != "device_host_entropy"
-                and (not self.p.cabac or self._cabac_fast())):
+                and not self._syn_path()):
             assert self._pending is None, \
                 "mixing encode() and encode_pipelined(); flush() first"
             job = self._submit_device(y, u, v, ftype, qp)
@@ -1103,7 +1109,8 @@ class Encoder:
             if use_device:
                 from x264_tpu.models import intra_device
                 ry, ru, rv, syn = intra_device.encode_iframe_device(
-                    y, u, v, qp_arr, self.p.chroma_qp_offset)
+                    y, u, v, qp_arr, self.p.chroma_qp_offset,
+                    i4x4=self.p.i4x4, lam=me_lambda(qp))
             else:
                 ry, ru, rv, syn = intra_frame.encode_iframe(
                     y, u, v, qp_arr, self.p.chroma_qp_offset,

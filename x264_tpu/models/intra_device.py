@@ -23,9 +23,10 @@ from x264_tpu.models.residual_device import encode_chroma, encode_i16_luma
 from x264_tpu.ops.device import header as dheader
 from x264_tpu.ops.device.bitpack import pack_tokens
 from x264_tpu.ops.device.cavlc import residual_slots
-from x264_tpu.models.syntax import MB_I16, empty_syntax
+from x264_tpu.models.syntax import MB_I4, MB_I16, empty_syntax
 from x264_tpu.ops.device import pixel as P
 from x264_tpu.ops.device import predict as PR
+from x264_tpu.ops.device import transform as T
 
 _CHROMA_QP = jnp.asarray(CHROMA_QP_TABLE.astype(np.int32))
 _BIG = jnp.int32(1 << 30)
@@ -216,11 +217,282 @@ def i_frame_core(y, u, v, qp, mbw: int, mbh: int, cqp_off: int,
     return out
 
 
-def encode_iframe_device(y, u, v, qp, chroma_qp_offset: int = 0):
+# ---- I4x4-capable core -----------------------------------------------------
+# Knight-order sub-steps of the 16 4x4 blocks inside an MB: s = x4 + 2*y4.
+# Left/top/top-right recon dependencies (z-scan availability, 8.3.1.2.1)
+# all point to earlier sub-steps, so each sub-step's 1-2 blocks batch
+# across every MB of the outer diagonal.
+_SUBSTEPS = [[(0, 0)], [(1, 0)], [(2, 0), (0, 1)], [(3, 0), (1, 1)],
+             [(2, 1), (0, 2)], [(3, 1), (1, 2)], [(2, 2), (0, 3)],
+             [(3, 2), (1, 3)], [(2, 3)], [(3, 3)]]
+
+
+def _z4(x4: int, y4: int) -> int:
+    return 8 * (y4 >> 1) + 4 * (x4 >> 1) + 2 * (y4 & 1) + (x4 & 1)
+
+
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "cqp_off"))
+def i4_frame_core(y, u, v, qp, lam, mbw: int, mbh: int, cqp_off: int):
+    """All-device I-frame pipeline with per-MB I16x16-vs-I4x4 decision
+    (reference encoder/analyse.c mb_analyse_intra + macroblock.c
+    x264_mb_encode_i4x4).  The MB wavefront runs in KNIGHT order
+    (d = mbx + 2*mby) because I4x4 consumes the above-RIGHT MB's bottom
+    row — the same dependency that makes x264's threaded wavefront use
+    this order.  Returns per-MB syntax tensors (host entropy path)."""
+    n = mbw * mbh
+    d_lanes = min(mbh, (mbw + 1) // 2 + 1)
+    n_diag = mbw + 2 * mbh - 2
+    qp = jnp.broadcast_to(jnp.asarray(qp, jnp.int32).reshape(-1), (n,))
+    qpc = _CHROMA_QP[jnp.clip(qp + cqp_off, 0, 51)]
+    lam = jnp.asarray(lam, jnp.int32)
+
+    ysrc = y.astype(jnp.int32)
+    usrc = u.astype(jnp.int32)
+    vsrc = v.astype(jnp.int32)
+
+    lane = jnp.arange(d_lanes, dtype=jnp.int32)
+    r16 = jnp.arange(16, dtype=jnp.int32)
+    r8 = jnp.arange(8, dtype=jnp.int32)
+    r4 = jnp.arange(4, dtype=jnp.int32)
+
+    acc0 = dict(
+        mb_class=jnp.zeros(n, jnp.int32),
+        i16_mode=jnp.zeros(n, jnp.int32),
+        i4_modes=jnp.zeros((n, 16), jnp.int32),
+        chroma_mode=jnp.zeros(n, jnp.int32),
+        cbp_luma=jnp.zeros(n, jnp.int32),
+        cbp_chroma=jnp.zeros(n, jnp.int32),
+        luma_dc=jnp.zeros((n, 16), jnp.int32),
+        luma_ac=jnp.zeros((n, 16, 16), jnp.int32),
+        luma_nnz=jnp.zeros((n, 16), jnp.int32),
+        chroma_dc=jnp.zeros((n, 2, 4), jnp.int32),
+        chroma_ac=jnp.zeros((n, 2, 4, 16), jnp.int32),
+        chroma_nnz=jnp.zeros((n, 2, 4), jnp.int32),
+        mb_cost=jnp.zeros(n, jnp.int32),
+    )
+    ry0 = jnp.zeros_like(ysrc)
+    ru0 = jnp.zeros_like(usrc)
+    rv0 = jnp.zeros_like(vsrc)
+    # per-4x4-block chosen-mode grid (predIntra4x4PredMode chain):
+    # -1 unavailable, 2 for blocks of non-I4x4 MBs
+    grid0 = jnp.full((4 * mbh, 4 * mbw), -1, jnp.int32)
+
+    def step(carry, d):
+        ry, ru, rv, grid, acc = carry
+        jmin = jnp.maximum(0, (d - mbw + 2) // 2)
+        ys = jmin + lane                       # (D,) mby per lane
+        xs = d - 2 * ys                        # mbx per lane
+        valid = (xs >= 0) & (xs < mbw) & (ys < mbh)
+        at = valid & (ys > 0)
+        al = valid & (xs > 0)
+        atl = at & al
+
+        y0 = jnp.where(valid, ys, 0) * 16
+        x0 = jnp.where(valid, xs, 0) * 16
+        ytop = jnp.maximum(y0 - 1, 0)
+        xleft = jnp.maximum(x0 - 1, 0)
+
+        top = jax.vmap(lambda a, b: _gather_rowslice(ry, a, b, 16))(ytop, x0)
+        left = jax.vmap(lambda a, b: _gather_colslice(ry, a, b, 16))(y0, xleft)
+        tl = ry[ytop, xleft]
+        src = jax.vmap(lambda a, b: _gather_block(ysrc, a, b, 16))(y0, x0)
+
+        preds = PR.predict_16x16_all(top, left, tl, at, al)
+        avail = PR.i16x16_mode_avail(at, al, atl)
+        costs = P.satd(src[:, None], preds)
+        costs = jnp.where(avail, costs, _BIG)
+        mode16 = jnp.argmin(costs, axis=1).astype(jnp.int32)
+        cost16 = jnp.min(costs, axis=1).astype(jnp.int32)
+        pred16 = jnp.take_along_axis(
+            preds, mode16[:, None, None, None], axis=1)[:, 0]
+
+        mb_c = jnp.where(valid, ys * mbw + xs, 0)
+        qp_l = qp[mb_c]
+        rec16, dc_zz, ac16_zz, nnz16, cbp16 = encode_i16_luma(
+            src, pred16, qp_l)
+
+        # ---- I4x4 candidate (writes blocks into ry as it goes; the
+        # I16x16 winner overwrites the whole MB afterwards) ----
+        cost4 = jnp.full(xs.shape, 24, jnp.int32) * lam   # x264 i4x4 const
+        modes4 = jnp.zeros((d_lanes, 16), jnp.int32)
+        acs4 = jnp.zeros((d_lanes, 16, 16), jnp.int32)
+        nnzs4 = jnp.zeros((d_lanes, 16), jnp.int32)
+        at_mb, al_mb = at, al
+        H16, W16 = 16 * mbh, 16 * mbw
+        for blocks in _SUBSTEPS:
+            for (x4, y4) in blocks:
+                r = 4 * y4 + x4
+                by, bx = y0 + 4 * y4, x0 + 4 * x4
+                a4 = valid if y4 > 0 else at_mb
+                l4 = valid if x4 > 0 else al_mb
+                if y4 > 0 and x4 > 0:
+                    tl4 = valid
+                elif y4 > 0:
+                    tl4 = al_mb
+                elif x4 > 0:
+                    tl4 = at_mb
+                else:
+                    tl4 = at_mb & al_mb
+                if y4 == 0 and x4 < 3:
+                    tr4 = at_mb
+                elif y4 == 0:
+                    tr4 = at_mb & (xs < mbw - 1)
+                elif x4 < 3 and _z4(x4 + 1, y4 - 1) < _z4(x4, y4):
+                    tr4 = valid
+                else:
+                    tr4 = jnp.zeros_like(valid)
+                byt = jnp.maximum(by - 1, 0)
+                bxl = jnp.maximum(bx - 1, 0)
+                topa = jax.vmap(
+                    lambda a, b: _gather_rowslice(ry, a, b, 4))(byt, bx)
+                topb = jax.vmap(
+                    lambda a, b: _gather_rowslice(ry, a, b, 4))(
+                        byt, jnp.minimum(bx + 4, W16 - 4))
+                top8 = jnp.concatenate([topa, topb], axis=1)
+                left4 = jax.vmap(
+                    lambda a, b: _gather_colslice(ry, a, b, 4))(by, bxl)
+                tlp = ry[byt, bxl]
+                p4 = PR.predict_4x4_all(top8, left4, tlp, a4, l4, tr4)
+                av4 = PR.i4x4_mode_avail(a4, l4, tl4)
+                gy, gx = ys * 4 + y4, xs * 4 + x4
+                lm = jnp.where(gx > 0, grid[gy, jnp.maximum(gx - 1, 0)], -1)
+                tm = jnp.where(gy > 0, grid[jnp.maximum(gy - 1, 0), gx], -1)
+                pmode = jnp.where((lm < 0) | (tm < 0), 2,
+                                  jnp.minimum(lm, tm))
+                src4 = src[:, 4 * y4:4 * y4 + 4, 4 * x4:4 * x4 + 4]
+                mbits = jnp.where(
+                    jnp.arange(9)[None] == pmode[:, None], 1, 4)
+                c4 = P.satd(src4[:, None], p4) + lam * mbits
+                c4 = jnp.where(av4, c4, _BIG)
+                m4 = jnp.argmin(c4, axis=1).astype(jnp.int32)
+                bc4 = jnp.min(c4, axis=1).astype(jnp.int32)
+                psel = jnp.take_along_axis(
+                    p4, m4[:, None, None, None], axis=1)[:, 0]
+                lv = T.quant4x4(T.dct4x4(src4 - psel), qp_l, intra=True)
+                nnz_b = jnp.count_nonzero(
+                    lv.reshape(-1, 16), axis=1).astype(jnp.int32)
+                rec4 = jnp.clip(psel + T.idct4x4(T.dequant4x4(lv, qp_l)),
+                                0, 255)
+                oob = jnp.where(valid, by, jnp.int32(H16))
+                yy4 = oob[:, None, None] + r4[None, :, None]
+                xx4 = bx[:, None, None] + r4[None, None, :]
+                ry = ry.at[yy4, xx4].set(rec4.astype(ry.dtype), mode="drop")
+                goob = jnp.where(valid, gy, jnp.int32(4 * mbh))
+                grid = grid.at[goob, gx].set(m4, mode="drop")
+                cost4 = cost4 + jnp.where(valid, bc4, 0)
+                modes4 = modes4.at[:, r].set(m4)
+                acs4 = acs4.at[:, r].set(T.zigzag(lv))
+                nnzs4 = nnzs4.at[:, r].set(jnp.where(valid, nnz_b, 0))
+
+        qgrid = (nnzs4.reshape(d_lanes, 2, 2, 2, 2) > 0).any((2, 4))
+        cbp4 = (qgrid[:, 0, 0] * 1 + qgrid[:, 0, 1] * 2
+                + qgrid[:, 1, 0] * 4 + qgrid[:, 1, 1] * 8).astype(jnp.int32)
+        sel4 = valid & (cost4 < cost16)
+
+        # I16 winners overwrite the I4 trial recon + mode grid
+        oobl = jnp.where(valid & ~sel4, y0, jnp.int32(H16))
+        yy = oobl[:, None, None] + r16[None, :, None]
+        xx = x0[:, None, None] + r16[None, None, :]
+        ry = ry.at[yy, xx].set(rec16.astype(ry.dtype), mode="drop")
+        g_oob = jnp.where(valid & ~sel4, ys * 4, jnp.int32(4 * mbh))
+        gyy = g_oob[:, None, None] + r4[None, :, None]
+        gxx = (xs * 4)[:, None, None] + r4[None, None, :]
+        grid = grid.at[gyy, gxx].set(2, mode="drop")
+
+        # ---- chroma (identical for both luma choices) ----
+        cy0, cx0 = y0 // 2, x0 // 2
+        cytop = jnp.maximum(cy0 - 1, 0)
+        cxleft = jnp.maximum(cx0 - 1, 0)
+        ctop_u = jax.vmap(lambda a, b: _gather_rowslice(ru, a, b, 8))(cytop, cx0)
+        ctop_v = jax.vmap(lambda a, b: _gather_rowslice(rv, a, b, 8))(cytop, cx0)
+        cleft_u = jax.vmap(lambda a, b: _gather_colslice(ru, a, b, 8))(cy0, cxleft)
+        cleft_v = jax.vmap(lambda a, b: _gather_colslice(rv, a, b, 8))(cy0, cxleft)
+        ctl_u = ru[cytop, cxleft]
+        ctl_v = rv[cytop, cxleft]
+        csrc_u = jax.vmap(lambda a, b: _gather_block(usrc, a, b, 8))(cy0, cx0)
+        csrc_v = jax.vmap(lambda a, b: _gather_block(vsrc, a, b, 8))(cy0, cx0)
+
+        cpreds_u = PR.predict_chroma_all(ctop_u, cleft_u, ctl_u, at, al)
+        cpreds_v = PR.predict_chroma_all(ctop_v, cleft_v, ctl_v, at, al)
+        cavail = PR.chroma_mode_avail(at, al, atl)
+        ccosts = (P.satd(csrc_u[:, None], cpreds_u)
+                  + P.satd(csrc_v[:, None], cpreds_v))
+        ccosts = jnp.where(cavail, ccosts, _BIG)
+        cmode = jnp.argmin(ccosts, axis=1).astype(jnp.int32)
+        cpred_u = jnp.take_along_axis(
+            cpreds_u, cmode[:, None, None, None], axis=1)[:, 0]
+        cpred_v = jnp.take_along_axis(
+            cpreds_v, cmode[:, None, None, None], axis=1)[:, 0]
+
+        cr_u, cr_v, cdc, cac, cnnz, cbp_c = encode_chroma(
+            csrc_u, csrc_v, cpred_u, cpred_v, qpc[mb_c], intra=True)
+
+        oobc = jnp.where(valid, cy0, jnp.int32(8 * mbh))
+        cyy = oobc[:, None, None] + r8[None, :, None]
+        cxx = cx0[:, None, None] + r8[None, None, :]
+        ru = ru.at[cyy, cxx].set(cr_u, mode="drop")
+        rv = rv.at[cyy, cxx].set(cr_v, mode="drop")
+
+        # ---- scatter per-MB syntax ----
+        mb = jnp.where(valid, ys * mbw + xs, jnp.int32(n))
+        zero16 = jnp.zeros_like(dc_zz)
+        acc = dict(
+            mb_class=acc["mb_class"].at[mb].set(
+                jnp.where(sel4, 1, 0), mode="drop"),
+            i16_mode=acc["i16_mode"].at[mb].set(
+                jnp.where(sel4, 0, mode16), mode="drop"),
+            i4_modes=acc["i4_modes"].at[mb].set(
+                jnp.where(sel4[:, None], modes4, -1), mode="drop"),
+            chroma_mode=acc["chroma_mode"].at[mb].set(cmode, mode="drop"),
+            cbp_luma=acc["cbp_luma"].at[mb].set(
+                jnp.where(sel4, cbp4, cbp16), mode="drop"),
+            cbp_chroma=acc["cbp_chroma"].at[mb].set(cbp_c, mode="drop"),
+            luma_dc=acc["luma_dc"].at[mb].set(
+                jnp.where(sel4[:, None], zero16, dc_zz), mode="drop"),
+            luma_ac=acc["luma_ac"].at[mb].set(
+                jnp.where(sel4[:, None, None], acs4, ac16_zz), mode="drop"),
+            luma_nnz=acc["luma_nnz"].at[mb].set(
+                jnp.where(sel4[:, None], nnzs4, nnz16), mode="drop"),
+            chroma_dc=acc["chroma_dc"].at[mb].set(cdc, mode="drop"),
+            chroma_ac=acc["chroma_ac"].at[mb].set(cac, mode="drop"),
+            chroma_nnz=acc["chroma_nnz"].at[mb].set(cnnz, mode="drop"),
+            mb_cost=acc["mb_cost"].at[mb].set(
+                jnp.where(sel4, cost4, cost16), mode="drop"),
+        )
+        return (ry, ru, rv, grid, acc), None
+
+    (ry, ru, rv, _, acc), _ = jax.lax.scan(
+        step, (ry0, ru0, rv0, grid0, acc0),
+        jnp.arange(n_diag, dtype=jnp.int32))
+
+    out = dict(acc)
+    out["recon_y"] = ry.astype(jnp.uint8)
+    out["recon_u"] = ru.astype(jnp.uint8)
+    out["recon_v"] = rv.astype(jnp.uint8)
+    out["qp_mb"] = qp
+    return out
+
+
+def encode_iframe_device(y, u, v, qp, chroma_qp_offset: int = 0,
+                         i4x4: bool = False, lam: int = 0):
     """Host wrapper, drop-in for intra_frame.encode_iframe (qp scalar or
     per-MB array)."""
     h, w = y.shape
     mbw, mbh = w // 16, h // 16
+    if i4x4:
+        out = i4_frame_core(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                            np.asarray(qp, np.int32), np.int32(lam),
+                            mbw=mbw, mbh=mbh, cqp_off=chroma_qp_offset)
+        out = {k: np.asarray(val) for k, val in out.items()}
+        syn = empty_syntax(mbw, mbh)
+        syn.mb_class[:] = np.where(out["mb_class"] == 1, MB_I4, MB_I16)
+        for k in ("i16_mode", "i4_modes", "chroma_mode", "cbp_luma",
+                  "cbp_chroma", "luma_dc", "luma_ac", "luma_nnz",
+                  "chroma_dc", "chroma_ac", "chroma_nnz"):
+            getattr(syn, k)[:] = out[k]
+        syn.mb_cost = out["mb_cost"].astype(np.int64)
+        syn.qp[:] = out["qp_mb"]
+        return out["recon_y"], out["recon_u"], out["recon_v"], syn
     out = i_frame_core(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                        np.asarray(qp, np.int32), mbw=mbw, mbh=mbh,
                        cqp_off=chroma_qp_offset)

@@ -100,6 +100,118 @@ def predict_chroma_all(top, left, topleft, avail_top, avail_left):
     return jnp.stack([dc, h, v, plane], axis=1).astype(jnp.int32)
 
 
+def predict_4x4_all(top8, left, topleft, avail_top, avail_left, avail_tr):
+    """I4x4, all 9 modes (8.3.1.2): top8 (N,8) = p[0..7,-1] (top-right
+    half substituted with p[3,-1] when !avail_tr, 8.3.1.2.1), left (N,4),
+    topleft (N,) -> (N, 9, 4, 4) int32.  Bit-exact counterpart of
+    ops/reference/predict.predict_4x4_all; all index grids are static so
+    every T()/L() lookup compiles to a static-slice select."""
+    n = top8.shape[0]
+    t = top8.astype(jnp.int32)
+    t = jnp.concatenate(
+        [t[:, :4],
+         jnp.where(avail_tr[:, None].astype(bool), t[:, 4:], t[:, 3:4])],
+        axis=1)
+    l = left.astype(jnp.int32)
+    tl = topleft.astype(jnp.int32)
+    at = avail_top.astype(bool)
+    al = avail_left.astype(bool)
+
+    y, x = np.mgrid[0:4, 0:4]
+
+    tt = jnp.concatenate([tl[:, None], t], axis=1)          # (N, 9)
+    ll = jnp.concatenate([tl[:, None], l], axis=1)          # (N, 5)
+
+    def T(idx):  # static idx (4,4) with values in -1..7
+        return tt[:, (idx + 1).reshape(16)].reshape(n, 4, 4)
+
+    def L(idx):  # values in -1..3
+        return ll[:, (idx + 1).reshape(16)].reshape(n, 4, 4)
+
+    xb = x[None]
+    yb = y[None]
+
+    m0 = jnp.broadcast_to(t[:, None, :4], (n, 4, 4))
+    m1 = jnp.broadcast_to(l[:, :, None], (n, 4, 4))
+
+    st, sl = t[:, :4].sum(1), l.sum(1)
+    dc = jnp.where(at & al, (st + sl + 4) >> 3,
+         jnp.where(at, (st + 2) >> 2,
+         jnp.where(al, (sl + 2) >> 2, 128)))
+    m2 = jnp.broadcast_to(dc[:, None, None], (n, 4, 4))
+
+    s = x + y
+    ddl = (T(s.clip(max=5)) + 2 * T((s + 1).clip(max=6))
+           + T((s + 2).clip(max=7)) + 2) >> 2
+    corner = (t[:, 6] + 3 * t[:, 7] + 2) >> 2
+    m3 = jnp.where(jnp.asarray((x == 3) & (y == 3))[None],
+                   corner[:, None, None], ddl)
+
+    z = x - y
+    ddr_t = (T((z - 2).clip(-1)) + 2 * T((z - 1).clip(-1))
+             + T(z.clip(-1)) + 2) >> 2
+    w = y - x
+    ddr_l = (L((w - 2).clip(-1)) + 2 * L((w - 1).clip(-1))
+             + L(w.clip(-1)) + 2) >> 2
+    diag = (t[:, 0] + 2 * tl + l[:, 0] + 2) >> 2
+    m4 = jnp.where(jnp.asarray(z > 0)[None], ddr_t,
+         jnp.where(jnp.asarray(z < 0)[None], ddr_l,
+                   diag[:, None, None]))
+
+    zvr = 2 * x - y
+    i = x - (y >> 1)
+    vr_even = (T((i - 1).clip(-1)) + T(i.clip(-1)) + 1) >> 1
+    vr_odd = (T((i - 2).clip(-1)) + 2 * T((i - 1).clip(-1))
+              + T(i.clip(-1)) + 2) >> 2
+    vr_m1 = ((l[:, 0] + 2 * tl + t[:, 0] + 2) >> 2)[:, None, None]
+    vr_lo = (L((y - 1).clip(-1)) + 2 * L((y - 2).clip(-1))
+             + L((y - 3).clip(-1)) + 2) >> 2
+    m5 = jnp.where(jnp.asarray(zvr >= 0)[None],
+                   jnp.where(jnp.asarray(zvr % 2 == 0)[None], vr_even,
+                             vr_odd),
+                   jnp.where(jnp.asarray(zvr == -1)[None], vr_m1, vr_lo))
+
+    zhd = 2 * y - x
+    j = y - (x >> 1)
+    hd_even = (L((j - 1).clip(-1)) + L(j.clip(-1)) + 1) >> 1
+    hd_odd = (L((j - 2).clip(-1)) + 2 * L((j - 1).clip(-1))
+              + L(j.clip(-1)) + 2) >> 2
+    hd_lo = (T((x - 1).clip(-1)) + 2 * T((x - 2).clip(-1))
+             + T((x - 3).clip(-1)) + 2) >> 2
+    m6 = jnp.where(jnp.asarray(zhd >= 0)[None],
+                   jnp.where(jnp.asarray(zhd % 2 == 0)[None], hd_even,
+                             hd_odd),
+                   jnp.where(jnp.asarray(zhd == -1)[None], vr_m1, hd_lo))
+
+    k = x + (y >> 1)
+    vl_even = (T(k) + T((k + 1).clip(max=7)) + 1) >> 1
+    vl_odd = (T(k) + 2 * T((k + 1).clip(max=7))
+              + T((k + 2).clip(max=7)) + 2) >> 2
+    m7 = jnp.where(jnp.asarray(y % 2 == 0)[None], vl_even, vl_odd)
+
+    zhu = x + 2 * y
+    m = y + (x >> 1)
+    hu_even = (L(m.clip(max=3)) + L((m + 1).clip(max=3)) + 1) >> 1
+    hu_odd = (L(m.clip(max=3)) + 2 * L((m + 1).clip(max=3))
+              + L((m + 2).clip(max=3)) + 2) >> 2
+    hu_5 = ((l[:, 2] + 3 * l[:, 3] + 2) >> 2)[:, None, None]
+    hu_hi = jnp.broadcast_to(l[:, 3][:, None, None], (n, 4, 4))
+    m8 = jnp.where(jnp.asarray(zhu > 5)[None], hu_hi,
+         jnp.where(jnp.asarray(zhu == 5)[None], hu_5,
+         jnp.where(jnp.asarray(zhu % 2 == 0)[None], hu_even, hu_odd)))
+
+    return jnp.stack([m0, m1, m2, m3, m4, m5, m6, m7, m8],
+                     axis=1).astype(jnp.int32)
+
+
+def i4x4_mode_avail(at, al, atl):
+    """(N,) bools -> (N,9) [V, H, DC, DDL, DDR, VR, HD, VL, HU]."""
+    always = jnp.ones_like(at, dtype=bool)
+    full = at & al & atl
+    return jnp.stack([at, al, always, at, full, full, full, at, al],
+                     axis=-1)
+
+
 def i16x16_mode_avail(at, al, atl):
     """(N,) bools -> (N,4) mode mask [V, H, DC, Plane]."""
     always = jnp.ones_like(at, dtype=bool)

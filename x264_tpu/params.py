@@ -143,6 +143,8 @@ class EncoderParams:
         if p.i4x4 and p.cabac:
             raise NotImplementedError(
                 "i4x4 CABAC syntax: in progress (use CAVLC)")
+        if p.i4x4 and p.slices > 1:
+            raise NotImplementedError("i4x4 + slices: pending")
         if p.transform_8x8:
             if p.backend == "reference":
                 raise NotImplementedError(
