@@ -188,3 +188,22 @@ def test_blob_compaction_stress(rng):
             assert np.array_equal(got[:m], nz[:m]), (trial, i)
             if len(nz) < K:
                 assert not got[len(nz):].any(), (trial, i)
+
+
+@pytest.mark.parametrize("qp", [14, 28, 40])
+def test_cabac_i4x4_iframes(qp):
+    """I_NxN mb_type tree, prev/rem intra4x4 pred mode bins, cat-2 luma
+    residuals of intra MBs — oracle bit-exact (reference backend)."""
+    from tests.test_e2e import encode_and_check, synth_frames
+    p = EncoderParams(width=96, height=64, qp=qp, keyint_max=1,
+                      deblock=True, backend="reference", i4x4=True,
+                      cabac=True)
+    encode_and_check(synth_frames(96, 64, 2), p)
+
+
+def test_cabac_i4x4_device_gop():
+    from tests.test_e2e import encode_and_check, synth_frames
+    p = EncoderParams(width=96, height=64, qp=28, keyint_max=0,
+                      deblock=True, backend="device", i4x4=True,
+                      cabac=True, aq_mode=1)
+    encode_and_check(synth_frames(96, 64, 4), p)

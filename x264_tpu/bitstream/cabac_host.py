@@ -39,6 +39,7 @@ def _lib():
             i32p, i32p, i32p, i32p, i32p, i32p, i32p,
             i16p, i16p, i16p, i16p,
             i32p, i32p, ctypes.c_void_p,   # t8: NULL = 8x8 mode off
+            ctypes.c_void_p,               # i4m: NULL = no I4x4 MBs
             u8p, ctypes.c_long,
         ]
         lib.encode_slice_cabac_packed.restype = ctypes.c_long
@@ -111,6 +112,9 @@ def write_slice_cabac(syn, slice_type: int, slice_qp: int,
         c(np.asarray(bmode).astype(np.int32)),
         c(np.asarray(mvd1).astype(np.int32)),
         None if t8_arr is None else t8_arr.ctypes.data_as(ctypes.c_void_p),
+        (None if syn.i4_modes is None else
+         np.ascontiguousarray(syn.i4_modes.astype(np.int32))
+         .ctypes.data_as(ctypes.c_void_p)),
         out, cap)
     if sz < 0:
         raise RuntimeError("CABAC buffer overflow")

@@ -283,8 +283,13 @@ static void gather_t8_levels(const int16_t *lac_mb, int b8, int16_t *l64)
 /* ---------------- per-MB syntax ---------------- */
 
 #define CLS_I16 0
+#define CLS_I4  1
 #define CLS_P16 2
 #define CLS_SKIP 3
+
+/* coded (z-scan) order of the 16 luma 4x4 blocks -> raster index */
+static const uint8_t ZSCAN2RASTER[16] =
+    {0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15};
 
 typedef struct {
     int mbw, mbh, n;
@@ -297,9 +302,14 @@ typedef struct {
     uint8_t *dccbf;      /* (N,3): luma DC, chroma U DC, V DC cbf */
     uint8_t *amvd;       /* (N,2) capped |mvd| (list0) */
     uint8_t *amvd1;      /* (N,2) capped |mvd| (list1) */
+    const int32_t *i4m;  /* (N,16) I4x4 pred modes, raster; NULL = no I4 */
+    int8_t *i4grid;      /* (4mbh,4mbw) per-block mode chain (2 = non-I4) */
 } frame_t;
 
-static int mb_intra(const frame_t *f, int mb) { return f->cls[mb] == CLS_I16; }
+static int mb_intra(const frame_t *f, int mb)
+{
+    return f->cls[mb] == CLS_I16 || f->cls[mb] == CLS_I4;
+}
 
 static void write_mvd_comp(cab_t *c, int base, int ctx0, int mvd)
 {
@@ -329,7 +339,8 @@ static void write_mb(cab_t *c, frame_t *f, int mb, int is_p,
     int has_l = mbx > 0, has_t = mby > 0;
     int mbl = mb - 1, mbt = mb - f->mbw;
     int cls = f->cls[mb];
-    int intra = cls == CLS_I16;
+    int intra = cls == CLS_I16 || cls == CLS_I4;
+    int i16 = cls == CLS_I16;
     int cbp_l = f->cbpl[mb], cbp_c = f->cbpc[mb];
     int gx = 4 * mbx, gy = 4 * mby, gw = 4 * f->mbw;
     int cgx = 2 * mbx, cgy = 2 * mby, cgw = 2 * f->mbw;
@@ -338,40 +349,79 @@ static void write_mb(cab_t *c, frame_t *f, int mb, int is_p,
     if (is_p) {
         if (intra) {
             enc_dec(c, 14, 1);
-            /* intra suffix, ctx 17.. */
-            enc_dec(c, 17, 1);
-            enc_terminate(c, 0);
-            enc_dec(c, 18, cbp_l != 0);
-            if (cbp_c == 0) {
-                enc_dec(c, 19, 0);
+            /* intra suffix, ctx 17..: bin0 0 = I_NxN, 1 = I_16x16 */
+            if (cls == CLS_I4) {
+                enc_dec(c, 17, 0);
             } else {
-                enc_dec(c, 19, 1);
-                enc_dec(c, 19, cbp_c >> 1);
+                enc_dec(c, 17, 1);
+                enc_terminate(c, 0);
+                enc_dec(c, 18, cbp_l != 0);
+                if (cbp_c == 0) {
+                    enc_dec(c, 19, 0);
+                } else {
+                    enc_dec(c, 19, 1);
+                    enc_dec(c, 19, cbp_c >> 1);
+                }
+                int pm = f->i16m[mb];
+                enc_dec(c, 20, pm >> 1);
+                enc_dec(c, 20, pm & 1);
             }
-            int pm = f->i16m[mb];
-            enc_dec(c, 20, pm >> 1);
-            enc_dec(c, 20, pm & 1);
         } else {
             enc_dec(c, 14, 0);
             enc_dec(c, 15, 0);
             enc_dec(c, 16, 0);
         }
     } else {
+        /* 9.3.3.1.1.3: condTermFlagN = mbN available && mbN != I_NxN */
         int ctx = 0;
-        if (has_l) ctx++;     /* all our I MBs are I16 (!= I_4x4) */
-        if (has_t) ctx++;
-        enc_dec(c, 3 + ctx, 1);
-        enc_terminate(c, 0);
-        enc_dec(c, 6, cbp_l != 0);
-        if (cbp_c == 0) {
-            enc_dec(c, 7, 0);
+        if (has_l && f->cls[mbl] != CLS_I4) ctx++;
+        if (has_t && f->cls[mbt] != CLS_I4) ctx++;
+        if (cls == CLS_I4) {
+            enc_dec(c, 3 + ctx, 0);
         } else {
-            enc_dec(c, 7, 1);
-            enc_dec(c, 8, cbp_c >> 1);
+            enc_dec(c, 3 + ctx, 1);
+            enc_terminate(c, 0);
+            enc_dec(c, 6, cbp_l != 0);
+            if (cbp_c == 0) {
+                enc_dec(c, 7, 0);
+            } else {
+                enc_dec(c, 7, 1);
+                enc_dec(c, 8, cbp_c >> 1);
+            }
+            int pm = f->i16m[mb];
+            enc_dec(c, 9, pm >> 1);
+            enc_dec(c, 10, pm & 1);
         }
-        int pm = f->i16m[mb];
-        enc_dec(c, 9, pm >> 1);
-        enc_dec(c, 10, pm & 1);
+    }
+
+    /* ---- I_NxN: transform_size_8x8_flag comes BEFORE the pred modes
+     * (7.3.5); we never emit I8x8 so the flag is f->t8[mb] == 0 ---- */
+    if (cls == CLS_I4 && f->t8) {
+        int ctx = 399 + (has_l && f->t8[mbl] ? 1 : 0)
+                      + (has_t && f->t8[mbt] ? 1 : 0);
+        enc_dec(c, ctx, f->t8[mb] != 0);
+    }
+    if (cls == CLS_I4) {
+        /* prev_intra4x4_pred_mode_flag (ctx 68) + rem (3 FL bins, ctx 69,
+         * LSB first), blocks in coded z-scan order (7.3.5.1) */
+        int ggw = 4 * f->mbw;
+        for (int k = 0; k < 16; k++) {
+            int r = ZSCAN2RASTER[k];
+            int bgy = gy + (r >> 2), bgx = gx + (r & 3);
+            int ma = bgx > 0 ? f->i4grid[bgy * ggw + bgx - 1] : -1;
+            int mbv = bgy > 0 ? f->i4grid[(bgy - 1) * ggw + bgx] : -1;
+            int pm = (ma < 0 || mbv < 0) ? 2 : (ma < mbv ? ma : mbv);
+            int mode = f->i4m[16 * mb + r];
+            if (mode == pm) {
+                enc_dec(c, 68, 1);
+            } else {
+                int v = mode < pm ? mode : mode - 1;
+                enc_dec(c, 68, 0);
+                enc_dec(c, 69, v & 1);
+                enc_dec(c, 69, (v >> 1) & 1);
+                enc_dec(c, 69, (v >> 2) & 1);
+            }
+        }
     }
 
     if (intra) {
@@ -400,7 +450,7 @@ static void write_mb(cab_t *c, frame_t *f, int mb, int is_p,
     }
 
     /* ---- cbp (not coded for I16: it lives in mb_type) ---- */
-    if (!intra) {
+    if (!i16) {
         int cl = has_l ? f->cbpl[mbl] : -1;
         int ct = has_t ? f->cbpl[mbt] : -1;
         /* bin b: ctx = 73 + (left bit absent->0) + 2*(top bit absent->0);
@@ -433,7 +483,7 @@ static void write_mb(cab_t *c, frame_t *f, int mb, int is_p,
     }
 
     /* ---- mb_qp_delta ---- */
-    if (cbp_l || cbp_c || intra) {
+    if (cbp_l || cbp_c || i16) {
         int dqp = f->qp[mb] - *last_qp;
         if (dqp > 25) dqp -= 52;
         else if (dqp < -26) dqp += 52;
@@ -460,13 +510,13 @@ static void write_mb(cab_t *c, frame_t *f, int mb, int is_p,
 #define NNZ_T(ggx, ggy, grid, ggw) \
     ((ggy) > 0 ? grid[((ggy) - 1) * (ggw) + (ggx)] != 0 : (uint8_t)intra)
 
-    if (intra) {
+    if (i16) {
         /* luma DC: cbf neighbours = DC cbf of A/B MBs (intra-inferred) */
         int nza = has_l ? f->dccbf[3 * mbl] : 1;
         int nzb = has_t ? f->dccbf[3 * mbt] : 1;
         /* non-I16 neighbour MBs have no luma DC block: cbf 0 */
-        if (has_l && !mb_intra(f, mbl)) nza = 0;
-        if (has_t && !mb_intra(f, mbt)) nzb = 0;
+        if (has_l && f->cls[mbl] != CLS_I16) nza = 0;
+        if (has_t && f->cls[mbt] != CLS_I16) nzb = 0;
         int cbf = f->dccbf[3 * mb];
         enc_dec(c, CBF_OFF[0] + nza + 2 * nzb, cbf);
         if (cbf)
@@ -482,7 +532,7 @@ static void write_mb(cab_t *c, frame_t *f, int mb, int is_p,
                 block_residual_8x8(c, l64);
             }
     } else if (cbp_l) {
-        int cat = intra ? 1 : 2;
+        int cat = i16 ? 1 : 2;
         for (int b8 = 0; b8 < 4; b8++) {
             if (!((cbp_l >> b8) & 1))
                 continue;
@@ -495,7 +545,7 @@ static void write_mb(cab_t *c, frame_t *f, int mb, int is_p,
                 enc_dec(c, CBF_OFF[cat] + nza + 2 * nzb, cbf);
                 if (cbf) {
                     const int16_t *l = f->lac + (16 * mb + r) * 16;
-                    block_residual(c, cat, intra ? l + 1 : l);
+                    block_residual(c, cat, i16 ? l + 1 : l);
                 }
             }
         }
@@ -703,28 +753,35 @@ long encode_slice_cabac(
     const int16_t *ldc, const int16_t *lac,
     const int16_t *cdc, const int16_t *cac,
     const int32_t *bmode, const int32_t *mvd1,
-    const int32_t *t8,
+    const int32_t *t8, const int32_t *i4m,
     uint8_t *out, long out_cap)
 {
     int n = mbw * mbh;
     int is_p = slice_kind == 1, is_b = slice_kind == 2;
     frame_t f = {mbw, mbh, n, cls, i16m, chm, mvd, cbpl, cbpc, qp_mb,
                  ldc, lac, cdc, cac, bmode, mvd1, t8,
-                 NULL, {NULL, NULL}, NULL, NULL, NULL};
+                 NULL, {NULL, NULL}, NULL, NULL, NULL, i4m, NULL};
     f.nnz = calloc((size_t)(16 * n), 1);
     f.cnnz[0] = calloc((size_t)(4 * n), 1);
     f.cnnz[1] = calloc((size_t)(4 * n), 1);
     f.dccbf = calloc((size_t)(3 * n), 1);
     f.amvd = calloc((size_t)(2 * n), 1);
     f.amvd1 = calloc((size_t)(2 * n), 1);
+    f.i4grid = malloc((size_t)(16 * n));
     if (!f.nnz || !f.cnnz[0] || !f.cnnz[1] || !f.dccbf || !f.amvd
-        || !f.amvd1)
+        || !f.amvd1 || !f.i4grid)
         return -1;
 
     int gw = 4 * mbw, cgw = 2 * mbw;
     for (int mb = 0; mb < n; mb++) {
         int mbx = mb % mbw, mby = mb / mbw;
         int intra = cls[mb] == CLS_I16;
+        /* per-block chosen-mode grid for predIntra4x4PredMode: the chain
+         * only looks left/up (decode-order earlier), so prefilling the
+         * whole grid from the inputs is order-safe */
+        for (int r = 0; r < 16; r++)
+            f.i4grid[(4 * mby + (r >> 2)) * gw + 4 * mbx + (r & 3)] =
+                (int8_t)(cls[mb] == CLS_I4 && i4m ? i4m[16 * mb + r] : 2);
         int cellcnt[16], qsum[4] = {0, 0, 0, 0};
         for (int r = 0; r < 16; r++) {
             const int16_t *l = lac + (16 * mb + r) * 16;
@@ -817,6 +874,7 @@ long encode_slice_cabac(
     free(f.dccbf);
     free(f.amvd);
     free(f.amvd1);
+    free(f.i4grid);
     if (c.overflow)
         return -1;
     return (c.bitpos + 7) >> 3;
@@ -895,7 +953,7 @@ long encode_slice_cabac_packed(
     ret = encode_slice_cabac(mbw, mbh, slice_kind, slice_qp, init_idc,
                              cls, i16m, chm, mvd, cbpl, cbpc, qp,
                              ldc, lac, cdc, cac, bmode, mvd1,
-                             t8_mode ? t8 : NULL,
+                             t8_mode ? t8 : NULL, NULL,
                              out, out_cap);
 done:
     free(ldc); free(lac); free(cdc); free(cac); free(cls); free(mvd);

@@ -140,11 +140,11 @@ class EncoderParams:
         if p.cabac and p.slices > 1:
             raise NotImplementedError(
                 "multi-slice CABAC lands with device CABAC (round 2)")
-        if p.i4x4 and p.cabac:
-            raise NotImplementedError(
-                "i4x4 CABAC syntax: in progress (use CAVLC)")
         if p.i4x4 and p.slices > 1:
             raise NotImplementedError("i4x4 + slices: pending")
+        if p.i4x4 and p.transform_8x8:
+            raise NotImplementedError(
+                "i4x4 + 8x8dct: pending packed-blob I4 support")
         if p.transform_8x8:
             if p.backend == "reference":
                 raise NotImplementedError(
