@@ -222,6 +222,41 @@ class Encoder:
             ru_pad = jnp.pad(ref.u, PAD // 2, mode="edge")
             rv_pad = jnp.pad(ref.v, PAD // 2, mode="edge")
 
+        # ---- device-mesh band path (--threads N): one band per device
+        # via shard_map (parallel/sliced.py), bit-equal to the serial
+        # band loop below (asserted in tests/test_sliced_mesh.py and the
+        # driver dryrun).  P frames with equal band heights only; IDR and
+        # ragged splits use the loop. ----
+        if (self.p.threads > 1 and ref is not None and rem == 0
+                and nsl > 1 and len(jax.devices()) >= nsl):
+            from x264_tpu.models.inter_frame import me_lambda
+            step = self._sliced_mesh_step(nsl, mbw, base, n_words)
+            out = step(yd, ud, vd, ry_pad, ru_pad, rv_pad,
+                       np.broadcast_to(np.atleast_1d(qp_arr),
+                                       (mbw * mbh,)).astype(np.int32),
+                       me_lambda(qp))
+            nmb_b = base * mbw
+            blob_h = np.asarray(out["host_blob"])
+            outs = [dict(host_blob=blob_h[b * nmb_b:(b + 1) * nmb_b])
+                    for b in range(nsl)]
+            recon = self._deblock_device(out, qp, mbw, mbh)
+            job = dict(sliced=True, outs=outs, starts=starts,
+                       heights=heights, slice_type=SLICE_P, idr=False,
+                       qp=qp, mbw=mbw, mbh=mbh, n_words=n_words,
+                       qp_arr=np.broadcast_to(np.atleast_1d(qp_arr),
+                                              (mbw * mbh,)),
+                       ladder=ladder, planes=(yd, ud, vd), w=w,
+                       refpads=(ry_pad, ru_pad, rv_pad),
+                       frame_num=self.frame_num,
+                       idr_pic_id=self.idr_pic_id, ftype=ftype)
+            new = ReconFrame(*recon, frame_num=self.frame_num)
+            self.dpb = [new]
+            self.last_recon = new
+            self.frame_num = (self.frame_num + 1) % (
+                1 << self.sps.log2_max_frame_num)
+            self.frame_idx += 1
+            return job
+
         outs = []
         for b in range(nsl):
             y0, bh = int(starts[b]), heights[b]
@@ -285,6 +320,27 @@ class Encoder:
             1 << self.sps.log2_max_frame_num)
         self.frame_idx += 1
         return job
+
+    _mesh_cache = None
+
+    def _sliced_mesh_step(self, nsl: int, mbw: int, mbh_per_band: int,
+                          n_words: int):
+        """Cached shard_map band step over an nsl-device mesh."""
+        if self._mesh_cache is None:
+            self._mesh_cache = {}
+        key = (nsl, mbw, mbh_per_band, n_words, self.p.subpel,
+               self.p.me_range)
+        if key not in self._mesh_cache:
+            from x264_tpu.parallel.sliced import (build_sliced_p_step,
+                                                  make_band_mesh)
+            mesh = make_band_mesh(nsl)
+            step, _ = build_sliced_p_step(
+                mesh, mbw=mbw, mbh_per_band=mbh_per_band,
+                me_range=self.p.me_range,
+                cqp_off=self.p.chroma_qp_offset,
+                n_words=n_words, subpel=self.p.subpel)
+            self._mesh_cache[key] = step
+        return self._mesh_cache[key]
 
     def _rerun_band(self, job: dict, b: int, n_words: int) -> dict:
         """Re-run one slice band at a larger entropy word budget (recon

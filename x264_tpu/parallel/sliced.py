@@ -40,13 +40,20 @@ def make_band_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def build_sliced_p_step(mesh: Mesh, mbw: int, mbh_per_band: int,
-                        me_range: int, cqp_off: int):
+                        me_range: int, cqp_off: int, n_words: int = 24,
+                        subpel: int = 0, entropy: str = "cavlc",
+                        lv_cap: int = 64):
     """Returns a jitted function
-        step(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam) -> dict
-    where planes are full-frame (mbh = bands * mbh_per_band) and the ref
-    planes are already edge-padded (PAD / PAD//2).  Outputs are sharded by
-    band: per-MB tensors in raster order band-major (which *is* frame MB
-    raster order for horizontal bands)."""
+        step(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp_mb, lam) -> dict
+    where planes are full-frame (mbh = bands * mbh_per_band), the ref
+    planes are already edge-padded (PAD / PAD//2) and qp_mb is per-MB
+    (n_mbs,) (AQ offsets shard along with their band).  Outputs are
+    sharded by band: per-MB tensors in raster order band-major (which *is*
+    frame MB raster order for horizontal bands).  Each band runs the
+    IDENTICAL program as the single-device per-band loop
+    (models/inter_device.p_band_core), so sharded output is bit-equal to
+    the serial slice loop — asserted by dryrun_multichip and
+    tests/test_sliced_mesh.py."""
     n_band = mesh.shape["band"]
     mbh = mbh_per_band * n_band
     band_h, band_hc = mbh_per_band * 16, mbh_per_band * 8
@@ -63,13 +70,13 @@ def build_sliced_p_step(mesh: Mesh, mbw: int, mbh_per_band: int,
             ref_u_pad, (b * band_hc, 0), (band_hc + PAD, wc + PAD))
         rv = jax.lax.dynamic_slice(
             ref_v_pad, (b * band_hc, 0), (band_hc + PAD, wc + PAD))
-        return p_frame_pipeline(y, u, v, ry, ru, rv, qp[0], lam[0],
+        return p_frame_pipeline(y, u, v, ry, ru, rv, qp, lam[0],
                                 mbw=mbw, mbh=mbh_per_band,
-                                me_range=me_range, cqp_off=cqp_off)
+                                me_range=me_range, cqp_off=cqp_off,
+                                n_words=n_words, subpel=subpel,
+                                entropy=entropy, lv_cap=lv_cap)
 
     out_specs = dict(
-        res_vals=PS("band", None), res_lens=PS("band", None),
-        words=PS("band", None), nbits=PS("band"),
         host_blob=PS("band", None),
         mb_cost=PS("band"), qp_mb=PS("band"), icost=PS("band"),
         ref_mb=PS("band"),
@@ -78,6 +85,7 @@ def build_sliced_p_step(mesh: Mesh, mbw: int, mbh_per_band: int,
         i16_mode=PS("band"), chroma_mode=PS("band"),
         luma_dc=PS("band", None),
         luma_ac=PS("band", None, None), luma_nnz=PS("band", None),
+        nnz_deblock=PS("band", None), t8=PS("band"),
         cbp_luma=PS("band"),
         chroma_dc=PS("band", None, None),
         chroma_ac=PS("band", None, None, None),
@@ -85,18 +93,23 @@ def build_sliced_p_step(mesh: Mesh, mbw: int, mbh_per_band: int,
         recon_y=PS("band", None), recon_u=PS("band", None),
         recon_v=PS("band", None),
     )
+    if entropy == "cavlc":
+        out_specs.update(
+            res_vals=PS("band", None), res_lens=PS("band", None),
+            words=PS("band", None), nbits=PS("band"))
     shmapped = jax.shard_map(
         band_fn, mesh=mesh,
         in_specs=(PS("band", None), PS("band", None), PS("band", None),
                   PS(None, None), PS(None, None), PS(None, None),
-                  PS(None), PS(None)),
+                  PS("band"), PS(None)),
         out_specs=out_specs,
         check_vma=False,
     )
 
-    def step(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam):
+    def step(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp_mb, lam):
+        qp_mb = jnp.broadcast_to(
+            jnp.asarray(qp_mb, jnp.int32).reshape(-1), (mbw * mbh,))
         return shmapped(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad,
-                        jnp.asarray([qp], jnp.int32),
-                        jnp.asarray([lam], jnp.int32))
+                        qp_mb, jnp.asarray([lam], jnp.int32))
 
     return jax.jit(step), dict(mbh=mbh, mbw=mbw, n_band=n_band)
