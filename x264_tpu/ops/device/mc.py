@@ -57,26 +57,40 @@ def _qp_tbl():
 def mc_luma_qpel(planes4, mv, mbw: int, mbh: int, pad: int, ref_idx=None):
     """Quarter-pel MC for all MBs: planes4 (4, Hp, Wp) from hpel_planes on
     the padded reference — or stacked (K,4,Hp,Wp) with per-MB ref_idx;
-    mv (N,2) qpel.  Returns (N,16,16) int32."""
+    mv (N,2) qpel.  Returns (N,16,16) int32.
+
+    One (N,18,18) packed-word window per MB via the one-hot MXU gather
+    (wingather.py) replaces the two per-sample (N,16,16) gathers; the
+    two-sample selection becomes 16 static-slice selects (plane x
+    {0,1}^2 integer offsets of QPEL_TWO_SAMPLE_TBL)."""
+    from x264_tpu.ops.device.wingather import gather_win18, pack_planes4
+
     n = mbw * mbh
     mby = jnp.arange(n, dtype=jnp.int32) // mbw
     mbx = jnp.arange(n, dtype=jnp.int32) % mbw
     ix, iy = mv[:, 0] >> 2, mv[:, 1] >> 2
     fx, fy = mv[:, 0] & 3, mv[:, 1] & 3
-    y0 = pad + mby * 16 + iy
-    x0 = pad + mbx * 16 + ix
+    y0 = pad + mby * 16 + iy - 1
+    x0 = pad + mbx * 16 + ix - 1
+    packed = pack_planes4(planes4)
+    w32 = gather_win18(packed, y0, x0, mbw, mbh,
+                       ref_idx=(None if planes4.ndim == 3
+                                else ref_idx))[:, :, :18]
+    w4 = [((w32 >> (8 * p)) & 0xFF).astype(jnp.int32) for p in range(4)]
     tbl = _qp_tbl()[fx, fy]                       # (N, 6)
-    r16 = jnp.arange(16, dtype=jnp.int32)
 
-    def grab(p_idx, dy, dx):
-        yi = (y0 + dy)[:, None, None] + r16[None, :, None]
-        xi = (x0 + dx)[:, None, None] + r16[None, None, :]
-        if ref_idx is None:
-            return planes4[p_idx[:, None, None], yi, xi]
-        return planes4[ref_idx[:, None, None], p_idx[:, None, None], yi, xi]
+    def sample(pp, dy, dx):
+        out = jnp.zeros((n, 16, 16), jnp.int32)
+        for p in range(4):
+            for a in range(2):
+                for b in range(2):
+                    m = ((pp == p) & (dy == a) & (dx == b))[:, None, None]
+                    out = jnp.where(m, w4[p][:, 1 + a:17 + a, 1 + b:17 + b],
+                                    out)
+        return out
 
-    s1 = grab(tbl[:, 0], tbl[:, 1], tbl[:, 2])
-    s2 = grab(tbl[:, 3], tbl[:, 4], tbl[:, 5])
+    s1 = sample(tbl[:, 0], tbl[:, 1], tbl[:, 2])
+    s2 = sample(tbl[:, 3], tbl[:, 4], tbl[:, 5])
     return (s1 + s2 + 1) >> 1
 
 

@@ -145,21 +145,16 @@ def subpel_refine(src_mbs, planes4, mv0, lam, me_range: int, steps: int,
             g = ref_pad[ref_idx[:, None, None], yi, xi].astype(jnp.int32)
         win = _hpel_windows(g)                  # (4, N, 18, 18)
     else:
-        r18 = jnp.arange(18, dtype=jnp.int32)
-        yi = y0[:, None, None] + r18[None, :, None]
-        xi = x0[:, None, None] + r18[None, None, :]
-        # pack the 4 half-pel planes into one uint32 plane (one byte per
-        # plane): a single (N,18,18) word gather replaces the (4,N,18,18)
-        # byte gather — XLA gathers cost ~20ns/ELEMENT regardless of
-        # width, so this is a 4x cut of the subpel hot spot.  Bit-exact:
-        # pixels are 8-bit, the unpack shifts recover them unchanged.
-        if ref_idx is None:
-            planes4 = planes4[None]
-            ref_idx = jnp.zeros(n, jnp.int32)
-        p8 = planes4.astype(jnp.uint32)
-        packed = (p8[:, 0] | (p8[:, 1] << 8)
-                  | (p8[:, 2] << 16) | (p8[:, 3] << 24))   # (K, Hp, Wp)
-        w32 = packed[ref_idx[:, None, None], yi, xi]       # (N, 18, 18)
+        # the 4 half-pel planes travel packed one-byte-per-plane in a
+        # uint32 word and the per-MB (18,18) word windows come from the
+        # one-hot MXU gather (ops/device/wingather.py) — the XLA gather
+        # this replaces cost ~52 ms/1080p frame at ~20ns/element.
+        from x264_tpu.ops.device.wingather import (gather_win18,
+                                                   pack_planes4)
+        packed = pack_planes4(planes4)
+        w32 = gather_win18(packed, y0, x0, mbw, mbh,
+                           ref_idx=(None if planes4.ndim == 3
+                                    else ref_idx))[:, :, :18]
         win = jnp.stack([((w32 >> (8 * i)) & 0xFF).astype(jnp.int32)
                          for i in range(4)])               # (4, N, 18, 18)
 
