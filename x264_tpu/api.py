@@ -472,6 +472,8 @@ class Encoder:
                                          n_words, mbw, mbh)
         blob = None
         if (ref is not None and self.p.scenecut_threshold > 0
+                and self.frame_idx - self._last_idr_idx
+                >= self.p.keyint_min
                 and self._pending is None):
             # scenecut (x264 slicetype.c:1430 rule, no-lookahead variant):
             # the P cost is already computed; promote to IDR if inter
@@ -489,6 +491,7 @@ class Encoder:
                 idr = True
                 ftype = "IDR"
                 self.frame_num = 0
+                self._last_idr_idx = self.frame_idx
                 qp = self._requantize_idr(qp)
                 if self.p.aq_mode:
                     qp_arr = self._aq_qp(qp, y, u, v, mbw, mbh)
@@ -993,17 +996,33 @@ class Encoder:
             return self.rc.b_qp()
         return self.rc.frame_qp(ftype)
 
+    # per-type aggregates for the close() summary
+    # (x264 encoder_close stat block, encoder/encoder.c:4196)
+    _agg = None
+
     def _record_stats(self, ftype, qp, bits, cost, mb_class):
         from x264_tpu.models.syntax import MB_I4, MB_I16, MB_PSKIP
         from x264_tpu.rc.twopass import FrameStat
+        imb = int(np.isin(mb_class, (MB_I16, MB_I4)).sum())
+        smb = int((mb_class == MB_PSKIP).sum())
+        pmb = len(mb_class) - imb - smb
+        if self._agg is None:
+            self._agg = {}
+        t = "I" if ftype == "IDR" else ftype
+        a = self._agg.setdefault(
+            t, dict(n=0, bits=0, qp=0.0, imb=0, pmb=0, smb=0))
+        a["n"] += 1
+        a["bits"] += bits
+        a["qp"] += qp
+        a["imb"] += imb
+        a["pmb"] += pmb
+        a["smb"] += smb
         if self.p.stats_write:
-            imb = int(np.isin(mb_class, (MB_I16, MB_I4)).sum())
-            smb = int((mb_class == MB_PSKIP).sum())
             self._twopass_stats.append(FrameStat(
                 idx=len(self._twopass_stats),
                 ftype="I" if ftype == "IDR" else ftype,
                 qp=qp, bits=bits, cost=cost,
-                imb=imb, pmb=len(mb_class) - imb - smb, smb=smb))
+                imb=imb, pmb=pmb, smb=smb))
 
     def _frame_qp(self, ftype: str):
         """(base_qp, qp_mb array-or-scalar) for this frame: RC decision
@@ -1020,9 +1039,14 @@ class Encoder:
                         self.p.qp_min, self.p.qp_max).astype(np.int32)
         return qp_mb
 
+    # scenecut may not promote within keyint_min of the last keyframe
+    # (x264's min-keyint rule, slicetype.c:1438)
+    _last_idr_idx = 0
+
     def _decide_type(self) -> str:
         if self.frame_idx == 0 or (self.p.keyint_max > 0
                                    and self.frame_idx % self.p.keyint_max == 0):
+            self._last_idr_idx = self.frame_idx
             return "IDR"
         return "P"
 
@@ -1142,12 +1166,15 @@ class Encoder:
                 from x264_tpu.models import inter_frame
                 ry, ru, rv, syn = inter_frame.encode_pframe(
                     y, u, v, ref, qp_arr, self.p, lam=me_lambda(qp))
-            if (self.p.scenecut_threshold > 0 and syn.icost is not None):
+            if (self.p.scenecut_threshold > 0 and syn.icost is not None
+                    and self.frame_idx - self._last_idr_idx
+                    >= self.p.keyint_min):
                 bias = self.p.scenecut_threshold / 100.0
                 if float(syn.mb_cost.sum()) >= (1.0 - bias) * float(
                         syn.icost.sum()):
                     ftype = "IDR"
                     self.frame_num = 0
+                    self._last_idr_idx = self.frame_idx
                     if self.p.repeat_headers:
                         out += self.headers()
                     qp = self._requantize_idr(qp)
@@ -1244,11 +1271,41 @@ class Encoder:
             return {}
         bits = sum(s.bits for s in self.stats)
         fps = self.p.fps_num / max(1, self.p.fps_den)
-        return {
+        out = {
             "frames": len(self.stats),
             "kbps": bits * fps / max(1, len(self.stats)) / 1000.0,
             "avg_qp": float(np.mean([s.qp for s in self.stats])),
+            "frame_types": {},
+            "mb_mix": {},
         }
+        nmb_tot = 0
+        for t, a in (self._agg or {}).items():
+            out["frame_types"][t] = dict(
+                count=a["n"], avg_qp=a["qp"] / a["n"],
+                avg_bytes=a["bits"] / 8.0 / a["n"])
+            nmb = a["imb"] + a["pmb"] + a["smb"]
+            nmb_tot += nmb
+            out["mb_mix"][t] = dict(
+                intra=a["imb"] / max(1, nmb), inter=a["pmb"] / max(1, nmb),
+                skip=a["smb"] / max(1, nmb))
+        return out
+
+    def summary_lines(self) -> list:
+        """x264 encoder_close-style log lines (frame type counts, avg QP,
+        avg size, MB type mix) — the CLI prints these at log_level>=2."""
+        out = []
+        for t in ("I", "P", "B"):
+            a = (self._agg or {}).get(t)
+            if not a:
+                continue
+            nmb = max(1, a["imb"] + a["pmb"] + a["smb"])
+            out.append(
+                f"frame {t}:{a['n']:<5d} Avg QP:{a['qp'] / a['n']:6.2f}"
+                f"  size:{a['bits'] / 8.0 / a['n']:9.1f}"
+                f"  mb I:{100.0 * a['imb'] / nmb:5.1f}%"
+                f" P:{100.0 * a['pmb'] / nmb:5.1f}%"
+                f" skip:{100.0 * a['smb'] / nmb:5.1f}%")
+        return out
 
 
 def encode_sequence(frames, params: EncoderParams) -> bytes:

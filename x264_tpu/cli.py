@@ -64,6 +64,15 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--stats", default="x264_tpu_2pass.log")
     ap.add_argument("--scenecut", type=int, default=None)
     ap.add_argument("--slices", type=int, default=None)
+    ap.add_argument("--threads", type=int, default=None,
+                    help="devices for the sliced band mesh (with --slices)")
+    ap.add_argument("--ref", type=int, default=None,
+                    help="reference frames (1-3)")
+    ap.add_argument("--8x8dct", dest="t8", action="store_true",
+                    help="adaptive 8x8 transform (High profile)")
+    ap.add_argument("--i4x4", dest="i4x4", action="store_true")
+    ap.add_argument("--no-i4x4", dest="no_i4x4", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "device", "reference"])
     ap.add_argument("--psnr", action="store_true", help="report PSNR")
@@ -100,6 +109,10 @@ def params_from_args(args, reader) -> EncoderParams:
     if args.merange is not None:
         p = p.clone(me_range=args.merange)
     if args.subme is not None:
+        if args.subme > 2:
+            sys.stderr.write(
+                f"x264_tpu [warning]: --subme {args.subme} capped at 2 "
+                "(exhaustive qpel; RD refinement levels land later)\n")
         p = p.clone(subpel=min(args.subme, 2))
     if args.mbtree:
         p = p.clone(mbtree=True)
@@ -126,6 +139,20 @@ def params_from_args(args, reader) -> EncoderParams:
     elif args.deblock:
         a, b = (args.deblock.split(":") + ["0"])[:2]
         p = p.clone(deblock_alpha=int(a), deblock_beta=int(b))
+    if args.threads is not None:
+        p = p.clone(threads=args.threads)
+    if args.ref is not None:
+        p = p.clone(ref_frames=args.ref)
+    if args.t8:
+        p = p.clone(transform_8x8=True)
+    if args.i4x4:
+        p = p.clone(i4x4=True)
+    if args.no_i4x4:
+        p = p.clone(i4x4=False)
+    if args.quiet:
+        p = p.clone(log_level=0)
+    elif args.verbose:
+        p = p.clone(log_level=3)
     return p
 
 
@@ -185,6 +212,10 @@ def main(argv=None) -> int:
                     f"\r{nframes} frames, {fps_now:.2f} fps, "
                     f"{kbps:.2f} kb/s")
                 sys.stderr.flush()
+        # drain reordering/lookahead queues (x264's pi_nal flush loop)
+        tail = enc.flush()
+        out.write(tail)
+        total_bytes += len(tail)
 
     el = time.time() - t0
     fps_out = p.fps_num / p.fps_den
@@ -202,6 +233,9 @@ def main(argv=None) -> int:
                   (p.fps_num, p.fps_den),
                   colorspace=getattr(reader, "colorspace", "420mpeg2"),
                   aspect=getattr(reader, "aspect", "0:0"))
+    if p.log_level >= 2:
+        for line in enc.summary_lines():
+            sys.stderr.write("x264_tpu [info]: " + line + "\n")
     enc.close()
     return 0
 

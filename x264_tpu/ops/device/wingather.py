@@ -25,6 +25,7 @@ tests/test_device_parity.py.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,10 +89,15 @@ def gather_win18(packed, y0, x0, mbw: int, mbh: int, ref_idx=None):
     csel = (csel[:, None, :, :] & ksel[:, :, None, None]).astype(_F32)
     csel = csel.reshape(mbh, mbw, k, ngrp, 3)
 
+    # precision=HIGHEST: TPU f32 matmuls default to a single bf16 pass
+    # (8-bit mantissa), which corrupts u16 operands — the one-hot sums
+    # are only exact with true f32 multiplies.
+    prec = jax.lax.Precision.HIGHEST
+
     # (K, r, 80, g, 16) x (r, m, K, g, 3) -> (r, m, 80, 3, 16)
     def coarse(b):
         return jnp.einsum("KrRgk,rmKgt->rmRtk", b, csel,
-                          preferred_element_type=_F32)
+                          precision=prec, preferred_element_type=_F32)
 
     c_lo = coarse(b_lo).reshape(n, _BAND, 48)
     c_hi = coarse(b_hi).reshape(n, _BAND, 48)
@@ -102,9 +108,9 @@ def gather_win18(packed, y0, x0, mbw: int, mbh: int, ref_idx=None):
     rsel = (ri[None, None, :] == dy[:, None, None] + ii[None, :, None]
             ).astype(_F32)
     r_lo = jnp.einsum("niR,nRc->nic", rsel, c_lo,
-                      preferred_element_type=_F32)
+                      precision=prec, preferred_element_type=_F32)
     r_hi = jnp.einsum("niR,nRc->nic", rsel, c_hi,
-                      preferred_element_type=_F32)
+                      precision=prec, preferred_element_type=_F32)
 
     # fine shift: 16 static 32-column slices, per-MB select
     lo = r_lo[:, :, 0:_OUTW]

@@ -56,16 +56,24 @@ class EncoderParams:
     aq_strength: float = 1.0
 
     # analysis
-    me_method: int = ME_ESA         # TPU-first default: batched exhaustive
+    # me_method is accepted for x264 CLI compatibility but the TPU
+    # pipeline ALWAYS runs the batched exhaustive search: DIA/HEX/UMH
+    # exist to skip work on latency-bound CPUs; on TPU the dense SAD
+    # field is the fast path, so every method resolves to >= the
+    # requested quality (same rationale as x264's OpenCL lookahead).
+    me_method: int = ME_ESA
     me_range: int = 16
     subpel: int = 2                 # 0=fpel, 1=hpel, 2=qpel (x264 subme analog)
     ref_frames: int = 1
     i4x4: bool = False              # enable intra 4x4 analysis
-    i16x16: bool = True
-    p16x16: bool = True
-    p8x8: bool = False              # partitions beyond 16x16: later round
+    i16x16: bool = True             # mandatory mode (validate rejects False)
+    p16x16: bool = True             # mandatory mode (validate rejects False)
+    p8x8: bool = False              # partitions beyond 16x16: round 3
     transform_8x8: bool = False     # --8x8dct (High profile adaptive 8x8)
-    deadzone_intra: int = 11        # x264 default deadzones (21/32, 11/32)
+    # JM/x264-default quant rounding (intra 1/3, inter 1/6) is what the
+    # quant kernels implement; custom deadzones are rejected loudly at
+    # validate() until they are plumbed through (x264 set.c:179).
+    deadzone_intra: int = 11
     deadzone_inter: int = 21
 
     # entropy / syntax
@@ -77,8 +85,8 @@ class EncoderParams:
 
     # parallelism
     slices: int = 1
-    row_bands: int = 1              # MB-row bands sharded across chips
-    gop_parallel: int = 1           # GOP pipeline depth across hosts
+    threads: int = 1                # devices for the sliced band mesh
+                                    # (--threads; parallel/sliced.py)
 
     # output
     repeat_headers: bool = True
@@ -90,9 +98,7 @@ class EncoderParams:
     # b_full_recon (x264.h:397): deblock non-reference (B) recon too so
     # last_recon matches the decoder; off = encode-speed mode
     full_recon: bool = True
-    deterministic: bool = True
-    threads: int = 1
-    log_level: int = 2
+    log_level: int = 2              # 0 quiet .. 3 debug (cli verbosity)
 
     # 2-pass rate control (x264 --pass/--stats analog)
     stats_write: str = ""
@@ -130,6 +136,26 @@ class EncoderParams:
         assert p.csp == CSP_I420, "4:2:2/4:4:4: later round"
         assert p.width > 0 and p.height > 0
         assert p.width % 2 == 0 and p.height % 2 == 0
+        # fail-loudly gates for accepted-but-unimplemented knobs (the
+        # round-1 review flagged silently-dead fields; anything here is
+        # either consumed somewhere or rejected — tests/test_params.py)
+        if p.intra_refresh:
+            raise NotImplementedError("--intra-refresh: pending")
+        if p.constrained_intra:
+            raise NotImplementedError("--constrained-intra: pending")
+        if p.p8x8:
+            raise NotImplementedError("p8x8 partitions: round 3")
+        if not (p.i16x16 and p.p16x16):
+            raise NotImplementedError("i16x16/p16x16 cannot be disabled")
+        if (p.deadzone_intra, p.deadzone_inter) != (11, 21):
+            raise NotImplementedError(
+                "custom quant deadzones: pending (kernels implement the "
+                "x264/JM defaults)")
+        if p.me_method not in (ME_DIA, ME_HEX, ME_UMH, ME_ESA, ME_TESA):
+            raise ValueError(f"bad me_method {p.me_method}")
+        if not p.annexb:
+            raise NotImplementedError(
+                "length-prefixed NAL output (mp4-style): pending muxers")
         if p.qp_min > p.qp:
             p = p.clone(qp_min=p.qp)
         if p.bframes:
