@@ -68,7 +68,7 @@ def test_b_adapt_conformance(rng):
                                 backend="device", bframes=2, b_adapt=1,
                                 deblock=True))
     recs = {}
-    _b, _a = enc._finalize_b, enc._encode_anchor
+    _b, _a = enc._finalize_b, enc._submit_anchor
 
     def spyb(job):
         data = _b(job)
@@ -76,11 +76,11 @@ def test_b_adapt_conformance(rng):
         return data
 
     def spya(fr, d, ftype):
-        data = _a(fr, d, ftype)
-        recs[d] = np.asarray(enc.last_recon.y)
-        return data
+        job = _a(fr, d, ftype)
+        recs[d] = np.asarray(enc.dpb[0].y)
+        return job
 
-    enc._finalize_b, enc._encode_anchor = spyb, spya
+    enc._finalize_b, enc._submit_anchor = spyb, spya
     stream = b"".join(enc.encode(f) for f in frames) + enc.flush()
     dec = decode_annexb(stream, W, H)
     assert len(dec) == 12

@@ -62,6 +62,7 @@ class Encoder:
         self.frame_num = 0
         self.idr_pic_id = 0
         self.dpb: list[ReconFrame] = []
+        self._src_hist: list = []       # source luma per dpb slot (weightp)
         self.stats: list[FrameStats] = []
         self.last_recon: ReconFrame | None = None
         from x264_tpu.rc import RateControl
@@ -119,7 +120,7 @@ class Encoder:
     # the analog of x264's frame-threads delay (encoder/encoder.c:1610).
 
     def _run_core(self, yd, ud, vd, ref, idr: bool, base_qp: int, qp_arr,
-                  n_words: int, mbw: int, mbh: int):
+                  n_words: int, mbw: int, mbh: int, wts=None):
         from x264_tpu.models.inter_frame import me_lambda
         ent = "cabac" if self._cabac_fast() else "cavlc"
         ekw = (dict(entropy="cabac", lv_cap=n_words) if ent == "cabac"
@@ -145,7 +146,7 @@ class Encoder:
                            mbw=mbw, mbh=mbh, me_range=self.p.me_range,
                            cqp_off=self.p.chroma_qp_offset,
                            subpel=self.p.subpel,
-                           t8=self.p.transform_8x8, **ekw)
+                           t8=self.p.transform_8x8, wts=wts, **ekw)
         return out, SLICE_P
 
     def _requantize_idr(self, qp: int) -> int:
@@ -468,8 +469,15 @@ class Encoder:
             slice_qp = int(qp_arr[0])
 
         ref = None if (idr or not self.dpb) else self.dpb
+        wts = weights = None
+        if self.p.weightp and ref is not None:
+            # weight analysis from SOURCE frames (models/weightp.py) —
+            # host-only, so the decision costs no device round-trip
+            from x264_tpu.models.weightp import analyse_weights
+            weights = analyse_weights(y, self._src_hist[:len(ref)])
+            wts = jax.numpy.asarray(np.asarray(weights, np.int32))
         out, slice_type = self._run_core(yd, ud, vd, ref, idr, qp, qp_arr,
-                                         n_words, mbw, mbh)
+                                         n_words, mbw, mbh, wts=wts)
         blob = None
         if (ref is not None and self.p.scenecut_threshold > 0
                 and self.frame_idx - self._last_idr_idx
@@ -512,11 +520,16 @@ class Encoder:
                    qp_arr=qp_arr, slice_qp=slice_qp,
                    mbw=mbw, mbh=mbh, n_words=n_words, ladder=ladder,
                    frame_num=self.frame_num, idr_pic_id=self.idr_pic_id,
-                   ftype=ftype, planes=(yd, ud, vd), ref=ref)
+                   ftype=ftype, planes=(yd, ud, vd), ref=ref,
+                   wts=None if idr else wts,
+                   weights=None if idr else weights)
         # advance encoder state now so the next submit can chain on device
         # (dpb is list0 order: most recent first; sliding window)
         new = ReconFrame(*recon, frame_num=self.frame_num)
         self.dpb = ([new] + ([] if idr else self.dpb))[:self.p.ref_frames]
+        if self.p.weightp:
+            self._src_hist = ([y] + ([] if idr else self._src_hist)
+                              )[:self.p.ref_frames]
         self.last_recon = new
         if idr:
             self.idr_pic_id = (self.idr_pic_id + 1) % 65536
@@ -548,7 +561,8 @@ class Encoder:
             for n_words in job["ladder"][1:]:
                 out, _ = self._run_core(yd, ud, vd, job["ref"], job["idr"],
                                         job["qp"], job["qp_arr"], n_words,
-                                        job["mbw"], job["mbh"])
+                                        job["mbw"], job["mbh"],
+                                        wts=job.get("wts"))
                 blob = np.asarray(out["host_blob"])
                 nbits = blob[:, n_words]
                 if int(nbits.max(initial=0)) <= 32 * n_words:
@@ -568,7 +582,8 @@ class Encoder:
                            frame_num=job["frame_num"],
                            idr_pic_id=job["idr_pic_id"], qp=job["slice_qp"],
                            num_ref=job.get("num_ref", 1),
-                           poc_lsb=job.get("poc_lsb", 0))
+                           poc_lsb=job.get("poc_lsb", 0),
+                           weights=job.get("weights"))
         payload, total = merge_mb_strings(words, nbits)
         append_payload(bs, payload, total)
         if job["slice_type"] == SLICE_P:
@@ -601,7 +616,8 @@ class Encoder:
                 job["n_words"] = K
                 out, _ = self._run_core(yd, ud, vd, job["ref"], job["idr"],
                                         job["qp"], job["qp_arr"], K,
-                                        job["mbw"], job["mbh"])
+                                        job["mbw"], job["mbh"],
+                                        wts=job.get("wts"))
                 blob = np.asarray(out["host_blob"])
                 foff = 13 + K // 2
                 if int(blob[:, foff + 8].max(initial=0)) <= K:
@@ -618,7 +634,8 @@ class Encoder:
                            frame_num=job["frame_num"],
                            idr_pic_id=job["idr_pic_id"], qp=job["slice_qp"],
                            num_ref=job.get("num_ref", 1),
-                           poc_lsb=job.get("poc_lsb", 0))
+                           poc_lsb=job.get("poc_lsb", 0),
+                           weights=job.get("weights"))
         pad = (-bs.bit_length) % 8
         if pad:
             bs.put(pad, (1 << pad) - 1)    # cabac_alignment_one_bit

@@ -113,7 +113,7 @@ def write_pps(p: EncoderParams) -> bytes:
     bs.ue(0)                                # num_slice_groups_minus1
     bs.ue(p.ref_frames - 1)
     bs.ue(0)                                # num_ref_idx_l1_active_minus1
-    bs.put1(0)                              # weighted_pred_flag
+    bs.put1(1 if p.weightp else 0)          # weighted_pred_flag
     bs.put(2, 0)                            # weighted_bipred_idc
     bs.se(p.qp - 26)                        # pic_init_qp_minus26
     bs.se(0)                                # pic_init_qs_minus26
@@ -134,7 +134,7 @@ def write_slice_header(bs: BitWriter, p: EncoderParams, sps: SpsInfo, *,
                        idr_pic_id: int = 0, first_mb: int = 0,
                        qp: int | None = None, num_ref: int = 1,
                        poc_lsb: int = 0, num_ref_l1: int = 1,
-                       is_ref: bool = True) -> None:
+                       is_ref: bool = True, weights=None) -> None:
     """Appends slice_header() bits to bs. Caller wraps into a NAL."""
     bs.ue(first_mb)
     bs.ue(slice_type + 5)                   # "all slices same type" variant
@@ -161,6 +161,21 @@ def write_slice_header(bs: BitWriter, p: EncoderParams, sps: SpsInfo, *,
         bs.put1(0)                          # ref_pic_list_modification_flag_l0
         if slice_type == SLICE_B:
             bs.put1(0)                      # ref_pic_list_modification_flag_l1
+    if slice_type == SLICE_P and p.weightp:
+        # pred_weight_table (7.3.3.2) — mandatory once the PPS sets
+        # weighted_pred_flag; luma explicit, chroma default weights
+        from x264_tpu.models.weightp import LOG2_DENOM, NEUTRAL
+        w_list = weights if weights is not None else [NEUTRAL] * num_ref
+        bs.ue(LOG2_DENOM)                   # luma_log2_weight_denom
+        bs.ue(LOG2_DENOM)                   # chroma_log2_weight_denom
+        for (w, off) in w_list[:num_ref]:
+            if (w, off) == NEUTRAL:
+                bs.put1(0)                  # luma_weight_l0_flag
+            else:
+                bs.put1(1)
+                bs.se(w)
+                bs.se(off)
+            bs.put1(0)                      # chroma_weight_l0_flag
     # dec_ref_pic_marking (reference pictures only)
     if idr:
         bs.put1(0)                          # no_output_of_prior_pics

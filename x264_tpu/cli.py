@@ -70,6 +70,8 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="reference frames (1-3)")
     ap.add_argument("--8x8dct", dest="t8", action="store_true",
                     help="adaptive 8x8 transform (High profile)")
+    ap.add_argument("--weightp", type=int, default=None, choices=[0, 1, 2],
+                    help="P-slice weighted prediction")
     ap.add_argument("--i4x4", dest="i4x4", action="store_true")
     ap.add_argument("--no-i4x4", dest="no_i4x4", action="store_true")
     ap.add_argument("--verbose", action="store_true")
@@ -145,6 +147,8 @@ def params_from_args(args, reader) -> EncoderParams:
         p = p.clone(ref_frames=args.ref)
     if args.t8:
         p = p.clone(transform_8x8=True)
+    if args.weightp is not None:
+        p = p.clone(weightp=args.weightp)
     if args.i4x4:
         p = p.clone(i4x4=True)
     if args.no_i4x4:

@@ -96,7 +96,7 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                      mbw: int, mbh: int, me_range: int, cqp_off: int,
                      n_words: int = 24, subpel: int = 0,
                      entropy: str = "cavlc", lv_cap: int = 64,
-                     t8: bool = False):
+                     t8: bool = False, wts=None):
     """All-device P-frame pixel pipeline on *pre-padded* reference planes
     (so the sharded band path can hand in halo slices — parallel/sliced.py).
     y/u/v: source planes (uint8, H=16*mbh x W=16*mbw); ref_*_pad: STACKED
@@ -149,6 +149,11 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                 jnp.broadcast_to(stacked[:, None], (n_refs, 4)
                                  + stacked.shape[1:]),
                 mv, mbw, mbh, PAD, ref_idx=ref)
+    if wts is not None:
+        # explicit weighted prediction (spec 8.4.2.3.3: interpolate,
+        # THEN weight) — models/weightp.py; search stayed unweighted
+        from x264_tpu.models.weightp import apply_weights_jnp
+        pred = apply_weights_jnp(pred, wts, ref)
     recon_y_mbs, ac_zz, nnz, cbp_l = encode_p_luma(src_mbs, pred, qp)
     nnz_deblock = nnz
     t8_flag = jnp.zeros(n, bool)
@@ -356,7 +361,7 @@ def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
                  mbw: int, mbh: int, me_range: int, cqp_off: int,
                  n_words: int = 24, subpel: int = 0,
                  entropy: str = "cavlc", lv_cap: int = 64,
-                 t8: bool = False):
+                 t8: bool = False, wts=None):
     """Single-chip entry: edge-pad the references on device, run the
     pipeline (see p_frame_pipeline for the contract).  ref_* may be
     (H, W) single-ref or stacked (K, H, W) in list0 order."""
@@ -371,7 +376,8 @@ def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
                             qp, lam, mbw=mbw, mbh=mbh,
                             me_range=me_range, cqp_off=cqp_off,
                             n_words=n_words, subpel=subpel,
-                            entropy=entropy, lv_cap=lv_cap, t8=t8)
+                            entropy=entropy, lv_cap=lv_cap, t8=t8,
+                            wts=wts)
 
 
 def classify_pframe_vec(syn, mv: np.ndarray, cbp_l: np.ndarray,

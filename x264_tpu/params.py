@@ -63,6 +63,10 @@ class EncoderParams:
     # requested quality (same rationale as x264's OpenCL lookahead).
     me_method: int = ME_ESA
     me_range: int = 16
+    # --weightp: explicit P-slice weighted prediction (luma).  1/2 both
+    # run the same explicit-weight analysis here (the reference's mode 2
+    # adds duplicate-ref tricks that don't apply to the batched core).
+    weightp: int = 0
     subpel: int = 2                 # 0=fpel, 1=hpel, 2=qpel (x264 subme analog)
     ref_frames: int = 1
     i4x4: bool = False              # enable intra 4x4 analysis
@@ -177,6 +181,19 @@ class EncoderParams:
                     "8x8 transform is device-pipeline only")
             if p.slices > 1:
                 raise NotImplementedError("8x8dct + slices: pending")
+        if p.weightp:
+            # weighted_pred_flag=1 requires a pred_weight_table in EVERY
+            # P slice header, so every P path must support it; gate the
+            # ones that don't yet (fail loudly, not silently-unweighted)
+            if p.backend in ("reference", "device_host_entropy"):
+                raise NotImplementedError("weightp: device pipeline only")
+            if p.slices > 1:
+                raise NotImplementedError("weightp + slices: pending")
+            if p.i4x4:
+                raise NotImplementedError("weightp + i4x4: pending")
+            if p.cabac and p.ref_frames > 1:
+                raise NotImplementedError(
+                    "weightp + multi-ref CABAC: pending")
         return p
 
 
