@@ -76,6 +76,79 @@ class Encoder:
                 entries, self.p.bitrate or 1000,
                 self.p.fps_num / max(1, self.p.fps_den),
                 qp_min=self.p.qp_min, qp_max=self.p.qp_max)
+        self._warm_thread = None
+        # only worth a background thread when compiles are expensive
+        # (big frames); tiny test encoders would pay thread+compile churn
+        if self._use_device() and not self._syn_path() \
+                and self.p.slices == 1 \
+                and self.p.mb_width * self.p.mb_height >= 2000:
+            import threading
+            self._warm_thread = threading.Thread(
+                target=self._warm_compiles, daemon=True)
+            self._warm_thread.start()
+
+    def _warm_compiles(self):
+        """Pre-trace every entropy-ladder rung of the frame cores on
+        dummy data (background thread at open).  The overflow re-encode
+        ladder makes n_words/lv_cap a STATIC jit parameter: without this,
+        the first busy frame that steps the ladder pays a full XLA
+        compile (~1-2 min at 1080p through the remote-compile tunnel)
+        mid-stream — the round-2 bench collapsed from 6 fps to 0.17 fps
+        on exactly two such stalls.  The jit caches are global, so this
+        throwaway work warms the real path."""
+        try:
+            import jax.numpy as jnp
+            p = self.p
+            h, w = 16 * p.mb_height, 16 * p.mb_width
+            mbw, mbh = p.mb_width, p.mb_height
+            yd = jnp.zeros((h, w), jnp.uint8)
+            ud = jnp.zeros((h // 2, w // 2), jnp.uint8)
+            vd = ud
+            qp = p.qp
+            n = mbw * mbh
+            qp_arr = (np.full(n, qp, np.int32)
+                      if (p.aq_mode or self._mbtree_on())
+                      else np.int32(qp))
+            refs = [ReconFrame(yd, ud, vd) for _ in range(p.ref_frames)]
+            wts = None
+            if p.weightp:
+                from x264_tpu.models.weightp import NEUTRAL
+                wts = jnp.asarray(np.asarray([NEUTRAL] * p.ref_frames,
+                                             np.int32))
+            last = None
+            for n_words in self._ladder(qp):
+                out, _ = self._run_core(yd, ud, vd, None, True, qp,
+                                        qp_arr, n_words, mbw, mbh)
+                out2, _ = self._run_core(yd, ud, vd, refs, False, qp,
+                                         qp_arr, n_words, mbw, mbh,
+                                         wts=wts)
+                last = out2["host_blob"]
+                if p.bframes:
+                    from x264_tpu.models.b_frame_device import b_frame_core
+                    from x264_tpu.models.inter_frame import me_lambda
+                    ekw = (dict(entropy="cabac", lv_cap=n_words)
+                           if self._cabac_fast() else dict(n_words=n_words))
+                    ob = b_frame_core(
+                        yd, ud, vd, yd, ud, vd, yd, ud, vd,
+                        jnp.zeros((n, 2), jnp.int32), jnp.ones(n, bool),
+                        np.int32(128), np.int32(qp),
+                        np.int32(me_lambda(qp)), mbw=mbw, mbh=mbh,
+                        me_range=p.me_range, cqp_off=p.chroma_qp_offset,
+                        subpel=p.subpel, t8_mode=p.transform_8x8,
+                        trellis_tbl=self._trellis_tbl(qp, "B"), **ekw)
+                    last = ob["host_blob"]
+                if p.deblock:
+                    self._deblock_device(out2, qp, mbw, mbh)
+            if last is not None:
+                last.block_until_ready()
+        except Exception:
+            pass            # warm-up is best-effort; real path compiles lazily
+
+    def warm(self, timeout=None):
+        """Block until the background compile warm-up finishes (bench
+        and latency-sensitive callers)."""
+        if self._warm_thread is not None:
+            self._warm_thread.join(timeout)
 
     # -- x264_encoder_headers ------------------------------------------------
     def headers(self) -> bytes:
@@ -146,8 +219,20 @@ class Encoder:
                            mbw=mbw, mbh=mbh, me_range=self.p.me_range,
                            cqp_off=self.p.chroma_qp_offset,
                            subpel=self.p.subpel,
-                           t8=self.p.transform_8x8, wts=wts, **ekw)
+                           t8=self.p.transform_8x8, wts=wts,
+                           trellis_tbl=self._trellis_tbl(base_qp, "P"),
+                           **ekw)
         return out, SLICE_P
+
+    def _trellis_tbl(self, qp: int, slice_type: str):
+        """Per-frame trellis cost bundle, or None when trellis is off
+        (the bundle rides the jit arg pytree — one compiled graph)."""
+        if not (self.p.trellis and self.p.cabac):
+            return None
+        from x264_tpu.models.inter_frame import me_lambda
+        from x264_tpu.ops.device.trellis import frame_trellis
+        return frame_trellis(qp, slice_type, me_lambda(qp),
+                             self.p.transform_8x8)
 
     def _requantize_idr(self, qp: int) -> int:
         """Re-derive the frame QP when a P frame is promoted to IDR."""
@@ -819,7 +904,8 @@ class Encoder:
             np.int32(qp), np.int32(me_lambda(qp)),
             mbw=mbw, mbh=mbh, me_range=self.p.me_range,
             cqp_off=self.p.chroma_qp_offset,
-            subpel=self.p.subpel, t8_mode=self.p.transform_8x8, **ekw)
+            subpel=self.p.subpel, t8_mode=self.p.transform_8x8,
+            trellis_tbl=self._trellis_tbl(qp, "B"), **ekw)
         try:
             out["host_blob"].copy_to_host_async()
         except Exception:
@@ -867,7 +953,8 @@ class Encoder:
                     mbw=mbw, mbh=mbh, me_range=self.p.me_range,
                     cqp_off=self.p.chroma_qp_offset,
                     subpel=self.p.subpel,
-                    t8_mode=self.p.transform_8x8, **ekw)
+                    t8_mode=self.p.transform_8x8,
+                    trellis_tbl=self._trellis_tbl(qp, "B"), **ekw)
                 blob = np.asarray(out["host_blob"])
                 if not _over(blob, n_words):
                     break

@@ -72,6 +72,8 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="adaptive 8x8 transform (High profile)")
     ap.add_argument("--weightp", type=int, default=None, choices=[0, 1, 2],
                     help="P-slice weighted prediction")
+    ap.add_argument("--trellis", type=int, default=None, choices=[0, 1, 2],
+                    help="RD-optimal quantization (needs --cabac)")
     ap.add_argument("--i4x4", dest="i4x4", action="store_true")
     ap.add_argument("--no-i4x4", dest="no_i4x4", action="store_true")
     ap.add_argument("--verbose", action="store_true")
@@ -149,6 +151,8 @@ def params_from_args(args, reader) -> EncoderParams:
         p = p.clone(transform_8x8=True)
     if args.weightp is not None:
         p = p.clone(weightp=args.weightp)
+    if args.trellis is not None:
+        p = p.clone(trellis=args.trellis)
     if args.i4x4:
         p = p.clone(i4x4=True)
     if args.no_i4x4:

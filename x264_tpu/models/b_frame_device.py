@@ -60,7 +60,7 @@ def b_frame_core(y, u, v,
                  mbw: int, mbh: int, me_range: int, cqp_off: int,
                  n_words: int = 24, subpel: int = 2,
                  entropy: str = "cavlc", lv_cap: int = 64,
-                 t8_mode: bool = False):
+                 t8_mode: bool = False, trellis_tbl=None):
     """Encode one B frame.  col_mv (N,2): the L1 anchor's per-MB motion
     field; col_intra (N,) bool; dist_scale: temporal-direct
     DistScaleFactor (8.4.1.2.3), traced int32."""
@@ -130,7 +130,10 @@ def b_frame_core(y, u, v,
            jnp.where((bmode == dheader.B_L1)[:, None, None], pred1,
                      pred_bi)))
 
-    recon_y_mbs, ac_zz, nnz, cbp_l = encode_p_luma(src_mbs, pred, qp)
+    tr4 = (None if trellis_tbl is None
+           else (trellis_tbl[0], trellis_tbl[2]))
+    recon_y_mbs, ac_zz, nnz, cbp_l = encode_p_luma(src_mbs, pred, qp,
+                                                   trellis=tr4)
 
     # chroma: per-list MC at the final mvs, averaged per mode
     l0u = _pad_edge(l0_u, PAD // 2)

@@ -70,12 +70,13 @@ def _cavlc_bits_proxy(ac):
 
 
 def select_transform_8x8(src_mbs, pred, qp, lam,
-                         recon4, ac4, nnz4, cbp4):
+                         recon4, ac4, nnz4, cbp4, trellis8=None):
     """Per-MB adaptive transform size: encode the 8x8 alternative and pick
     by SSD + lambda2*rate (both encodings are batched device work, so the
     true-cost decision is free vs x264's satd/sa8d proxy).  Returns
     (t8 (N,) bool, recon, ac_zz, nnz, nnz_deblock, cbp_luma)."""
-    rec8, ac8, nnz8, nnzdb8, cbp8 = encode_p_luma_t8(src_mbs, pred, qp)
+    rec8, ac8, nnz8, nnzdb8, cbp8 = encode_p_luma_t8(src_mbs, pred, qp,
+                                                     trellis=trellis8)
     lam2 = jnp.maximum((lam * lam * 9) // 10, jnp.int32(1))
     cost4 = P.ssd(src_mbs, recon4) + lam2 * _cavlc_bits_proxy(ac4)
     cost8 = P.ssd(src_mbs, rec8) + lam2 * _cavlc_bits_proxy(ac8)
@@ -96,7 +97,7 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                      mbw: int, mbh: int, me_range: int, cqp_off: int,
                      n_words: int = 24, subpel: int = 0,
                      entropy: str = "cavlc", lv_cap: int = 64,
-                     t8: bool = False, wts=None):
+                     t8: bool = False, wts=None, trellis_tbl=None):
     """All-device P-frame pixel pipeline on *pre-padded* reference planes
     (so the sharded band path can hand in halo slices — parallel/sliced.py).
     y/u/v: source planes (uint8, H=16*mbh x W=16*mbw); ref_*_pad: STACKED
@@ -154,13 +155,20 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
         # THEN weight) — models/weightp.py; search stayed unweighted
         from x264_tpu.models.weightp import apply_weights_jnp
         pred = apply_weights_jnp(pred, wts, ref)
-    recon_y_mbs, ac_zz, nnz, cbp_l = encode_p_luma(src_mbs, pred, qp)
+    tr4 = tr8 = None
+    if trellis_tbl is not None:
+        tbl4, tbl8, lam2f = trellis_tbl
+        tr4 = (tbl4, lam2f)
+        tr8 = (tbl8, lam2f) if tbl8 is not None else None
+    recon_y_mbs, ac_zz, nnz, cbp_l = encode_p_luma(src_mbs, pred, qp,
+                                                   trellis=tr4)
     nnz_deblock = nnz
     t8_flag = jnp.zeros(n, bool)
     if t8:
         (t8_flag, recon_y_mbs, ac_zz, nnz, nnz_deblock,
          cbp_l) = select_transform_8x8(src_mbs, pred, qp, lam,
-                                       recon_y_mbs, ac_zz, nnz, cbp_l)
+                                       recon_y_mbs, ac_zz, nnz, cbp_l,
+                                       trellis8=tr8)
 
     pred_u, pred_v = mc_chroma_uv(
         ref_u_pad[0] if n_refs == 1 else ref_u_pad,
@@ -361,7 +369,7 @@ def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
                  mbw: int, mbh: int, me_range: int, cqp_off: int,
                  n_words: int = 24, subpel: int = 0,
                  entropy: str = "cavlc", lv_cap: int = 64,
-                 t8: bool = False, wts=None):
+                 t8: bool = False, wts=None, trellis_tbl=None):
     """Single-chip entry: edge-pad the references on device, run the
     pipeline (see p_frame_pipeline for the contract).  ref_* may be
     (H, W) single-ref or stacked (K, H, W) in list0 order."""
@@ -377,7 +385,7 @@ def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
                             me_range=me_range, cqp_off=cqp_off,
                             n_words=n_words, subpel=subpel,
                             entropy=entropy, lv_cap=lv_cap, t8=t8,
-                            wts=wts)
+                            wts=wts, trellis_tbl=trellis_tbl)
 
 
 def classify_pframe_vec(syn, mv: np.ndarray, cbp_l: np.ndarray,

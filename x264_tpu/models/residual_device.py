@@ -58,14 +58,26 @@ def encode_i16_luma(src, pred, qp):
     return recon, dc_zz, ac_zz, nnz, cbp_luma
 
 
-def encode_p_luma(src, pred, qp):
+def encode_p_luma(src, pred, qp, trellis=None):
     """Inter luma residual: (N,16,16) -> (recon, ac_zz, nnz, cbp_luma) with
-    per-8x8-quadrant cbp bits."""
+    per-8x8-quadrant cbp bits.  trellis: None (deadzone quant) or
+    (tbl4, lam2f) for RD-optimal levels (ops/device/trellis.py)."""
+    n = src.shape[0]
     res = src.astype(jnp.int32) - pred.astype(jnp.int32)
     blocks = T.mb_luma_to_blocks(res)
     coefs = T.dct4x4(blocks)
     qp1 = _qp_mb(qp, 1)
-    lv = T.quant4x4(coefs, qp1, intra=False)
+    if trellis is not None:
+        from x264_tpu.ops.device.trellis import dq1_4x4, trellis_quant
+        tbl4, lam2f = trellis
+        qpv = jnp.broadcast_to(jnp.asarray(qp, jnp.int32).reshape(-1),
+                               (n,))
+        qpb = jnp.broadcast_to(qpv[:, None], (n, 16)).reshape(-1)
+        czz = T.zigzag(coefs).reshape(n * 16, 16)
+        lzz = trellis_quant(czz, dq1_4x4(qpb), lam2f, tbl4, 16)
+        lv = T.unzigzag(lzz.reshape(n, 16, 16))
+    else:
+        lv = T.quant4x4(coefs, qp1, intra=False)
     nnz = jnp.count_nonzero(lv.reshape(-1, 16, 16), axis=2).astype(jnp.int32)
     quad_counts = (nnz > 0).astype(jnp.int32) @ _QUAD_1HOT        # (N,4)
     cbp = ((quad_counts > 0).astype(jnp.int32)
@@ -84,7 +96,7 @@ _R2C = jnp.asarray(np.argsort(np.array(
     [0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15])).astype(np.int32))
 
 
-def encode_p_luma_t8(src, pred, qp):
+def encode_p_luma_t8(src, pred, qp, trellis=None):
     """Inter luma residual with the High-profile 8x8 transform
     (transform_size_8x8_flag=1; parity anchor: reference common/dct.c
     sub8x8_dct8 + encoder/macroblock.c's 8x8 branch).
@@ -101,8 +113,19 @@ def encode_p_luma_t8(src, pred, qp):
     blocks8 = T.mb_luma_to_blocks8(res)                # (N,4,8,8)
     coefs = T.dct8x8(blocks8)
     qp1 = _qp_mb(qp, 1)
-    lv8 = T.quant8x8(coefs, qp1, intra=False)          # (N,4,8,8)
-    lv64 = T.zigzag8(lv8)                              # (N,4,64)
+    if trellis is not None:
+        from x264_tpu.ops.device.trellis import dq1_8x8, trellis_quant
+        tbl8, lam2f = trellis
+        qpv = jnp.broadcast_to(jnp.asarray(qp, jnp.int32).reshape(-1),
+                               (n,))
+        qpb = jnp.broadcast_to(qpv[:, None], (n, 4)).reshape(-1)
+        czz = T.zigzag8(coefs).reshape(n * 4, 64)
+        lzz = trellis_quant(czz, dq1_8x8(qpb), lam2f, tbl8, 64)
+        lv64 = lzz.reshape(n, 4, 64)
+        lv8 = T.unzigzag8(lv64)
+    else:
+        lv8 = T.quant8x8(coefs, qp1, intra=False)      # (N,4,8,8)
+        lv64 = T.zigzag8(lv8)                          # (N,4,64)
 
     # CAVLC interleave: (N,4,64) -> (N, q8, k, i4) -> coded (N,16,16)
     inter = lv64.reshape(n, 4, 16, 4).transpose(0, 1, 3, 2)   # (N,q8,i4,16)

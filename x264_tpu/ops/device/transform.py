@@ -189,6 +189,13 @@ def zigzag8(blocks8):
     return blocks8.reshape(*blocks8.shape[:-2], 64)[..., _ZZ8]
 
 
+_UNZZ8 = jnp.asarray(np.argsort(ZIGZAG_8x8).astype(np.int32))
+
+
+def unzigzag8(scan):
+    return scan[..., _UNZZ8].reshape(*scan.shape[:-1], 8, 8)
+
+
 def mb_luma_to_blocks8(mb):
     """(..., 16, 16) -> (..., 4, 8, 8) raster 8x8 quadrants."""
     sh = mb.shape[:-2]

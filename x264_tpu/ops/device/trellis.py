@@ -1,0 +1,353 @@
+"""RD-optimal quantization (trellis) — the rdo.c quant_trellis_cabac
+analog (reference encoder/rdo.c:642), restructured TPU-first: a batched
+9-state Viterbi DP over ALL residual blocks of a frame at once instead of
+x264's per-block scalar DP inside the MB loop.
+
+States: 8 CABAC level-context nodes (the (numEq1, numGt1) chain compressed
+exactly as the entropy coder walks it — native/cabac.c lvl_trans) plus an
+"unstarted" state (no nonzero chosen yet = positions beyond the last
+significant coefficient, where no flags are coded).
+
+Bit costs: CABAC bin costs from the NORMATIVE context-initialisation
+probabilities at the slice QP (bitstream/cabac_init.py) in 1/256-bit
+units — a stationary approximation of rdo.c's live-state snapshot (the
+states x264 snapshots are themselves adapted from these inits).  The
+result is conformant regardless: trellis only changes WHICH levels are
+coded, never how.
+
+Distortion: transform-domain SSD with exact inverse-basis weights
+(computed numerically from float twins of the normative inverse
+transforms), so cost units are true pixel-domain SSD — directly
+comparable with lambda2 as used by select_transform_8x8.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from x264_tpu.bitstream.cabac_init import (CTX_INIT_I, CTX_INIT_PB,
+                                           LAST8X8_MAP, SIG8X8_MAP)
+from x264_tpu.bitstream.tables import (DEQUANT4, DEQUANT8, ZIGZAG_4x4,
+                                       ZIGZAG_8x8)
+
+# dequant-of-level-1 per zigzag position, (6, nc) — 4x4 exact; 8x8 is the
+# float linearisation of the two-regime normative dequant (8.5.13.1),
+# which only feeds the distortion model, not the reconstruction
+DEQ4_ZZ = DEQUANT4.reshape(6, 16)[:, ZIGZAG_4x4].astype(np.float32)
+DEQ8_ZZ = (DEQUANT8.reshape(6, 64)[:, ZIGZAG_8x8].astype(np.float32))
+
+# quant->dequant roundtrip gain per position: the H.264 tables fold the
+# transform orthonormalisation into mf/V, so the dequant domain is the
+# DCT domain SCALED by k = mf*V/2^qbits (~{4.0, 2.56, 3.2} per parity
+# class, qp-independent by table design).  The trellis target is c*k.
+from x264_tpu.bitstream.tables import QUANT4_MF, QUANT8_MF  # noqa: E402
+
+K4_ZZ = ((QUANT4_MF[0].reshape(16).astype(np.float64)
+          * DEQUANT4[0].reshape(16)) / 2 ** 15
+         )[ZIGZAG_4x4].astype(np.float32)
+K8_ZZ = ((QUANT8_MF[0].reshape(64).astype(np.float64)
+          * DEQUANT8[0].reshape(64) * 16) / 2 ** 22
+         )[ZIGZAG_8x8].astype(np.float32)
+
+
+def dq1_4x4(qp_blk):
+    """(B,) per-block qp -> (B, 16) f32 dequant scale of level 1 in
+    zigzag order (matches dequant4x4: v * 2^(qp//6))."""
+    import jax.numpy as jnp
+    q = jnp.asarray(qp_blk, jnp.int32)
+    return (jnp.asarray(DEQ4_ZZ)[q % 6]
+            * jnp.exp2((q // 6).astype(jnp.float32))[:, None])
+
+
+def dq1_8x8(qp_blk):
+    """(B,) -> (B, 64) f32: DEQUANT8*16 * 2^(qp//6 - 6) (8.5.13.1
+    linearised)."""
+    import jax.numpy as jnp
+    q = jnp.asarray(qp_blk, jnp.int32)
+    return (jnp.asarray(DEQ8_ZZ)[q % 6]
+            * jnp.exp2((q // 6).astype(jnp.float32) - 2.0)[:, None])
+
+# CABAC state probability model: pLPS(state) = 0.5 * ALPHA^state — the
+# design rule of the normative rangeTabLPS (9.3.3.2.1.1).
+_ALPHA = (0.01875 / 0.5) ** (1.0 / 63)
+
+# level-context walk, identical to the entropy coder (native/cabac.c)
+LVL1_CTX = np.array([1, 2, 3, 4, 0, 0, 0, 0])          # bin0 ctxIdxInc
+LVLGT1_CTX = np.array([5, 5, 5, 5, 6, 7, 8, 9])        # bins>0 ctxIdxInc
+TRANS_EQ1 = np.array([1, 2, 3, 3, 4, 5, 6, 7])         # after |level|==1
+TRANS_GT1 = np.array([4, 4, 4, 4, 5, 6, 7, 7])         # after |level|>1
+
+
+def _ctx_bits(qp: int, slice_type: str, idx) -> np.ndarray:
+    """(..., 2) f32: cost (1/256 bits) of coding bin 0 / bin 1 in ctx idx,
+    at the ctx-init operating point for slice qp (9.3.1.1)."""
+    init = CTX_INIT_I if slice_type == "I" else CTX_INIT_PB[0]
+    idx = np.asarray(idx)
+    m = init[idx, 0].astype(np.int64)
+    n = init[idx, 1].astype(np.int64)
+    pre = np.clip(((m * np.clip(qp, 0, 51)) >> 4) + n, 1, 126)
+    state = np.where(pre <= 63, 63 - pre, pre - 64)
+    mps1 = pre > 63
+    plps = 0.5 * _ALPHA ** state
+    p1 = np.where(mps1, 1.0 - plps, plps)
+    return (np.stack([-np.log2(1.0 - p1), -np.log2(p1)], axis=-1)
+            * 256.0).astype(np.float32)
+
+
+def _basis_weights_1d(inv1d, n):
+    """||inverse basis vector||^2 per coefficient, from a float twin of
+    the normative inverse transform (shifts become exact halves)."""
+    eye = np.eye(n, dtype=np.float64)
+    out = np.array([inv1d(eye[k]) for k in range(n)])
+    return (out * out).sum(axis=1)
+
+
+def _idct4_1d_f(d):
+    e0, e1 = d[0] + d[2], d[0] - d[2]
+    e2, e3 = d[1] / 2 - d[3], d[1] + d[3] / 2
+    return np.array([e0 + e3, e1 + e2, e1 - e2, e0 - e3])
+
+
+def _idct8_1d_f(d):
+    e0, e2 = d[0] + d[4], d[0] - d[4]
+    e4, e6 = d[2] / 2 - d[6], d[2] + d[6] / 2
+    e1 = -d[3] + d[5] - d[7] - d[7] / 2
+    e3 = d[1] + d[7] - d[3] - d[3] / 2
+    e5 = -d[1] + d[7] + d[5] + d[5] / 2
+    e7 = d[3] + d[5] + d[1] + d[1] / 2
+    f0, f2, f4, f6 = e0 + e6, e2 + e4, e2 - e4, e0 - e6
+    f1, f3 = e1 + e7 / 4, e3 + e5 / 4
+    f5, f7 = e3 / 4 - e5, e7 - e1 / 4
+    return np.array([f0 + f7, f2 + f5, f4 + f3, f6 + f1,
+                     f6 - f1, f4 - f3, f2 - f5, f0 - f7])
+
+
+@functools.lru_cache(maxsize=None)
+def _w_zz(nc: int) -> np.ndarray:
+    """Pixel-SSD weight of a transform-domain coefficient error at each
+    zigzag position: ||inv basis||^2 / 64^2 (the inverse ends with >>6)."""
+    if nc == 16:
+        w1 = _basis_weights_1d(_idct4_1d_f, 4)
+        w2 = np.outer(w1, w1).reshape(16) / 4096.0
+        return w2[ZIGZAG_4x4].astype(np.float32)
+    w1 = _basis_weights_1d(_idct8_1d_f, 8)
+    w2 = np.outer(w1, w1).reshape(64) / 4096.0
+    return w2[ZIGZAG_8x8].astype(np.float32)
+
+
+def trellis_tables(slice_qp: int, slice_type: str, cat: int) -> dict:
+    """Host-side cost tables for one frame: sig/last per scan position,
+    level-bin costs per node, cbf costs.  ctx layout matches
+    native/cabac.c (SIG_OFF/LAST_OFF/LVL_OFF/CBF_OFF and the 8x8 maps)."""
+    if cat == 5:
+        sig = _ctx_bits(slice_qp, slice_type, 402 + SIG8X8_MAP)   # (63,2)
+        last = _ctx_bits(slice_qp, slice_type, 417 + LAST8X8_MAP)
+        lvl_off = 426
+        # no coded_block_flag for cat5 (cbp covers it): charge one bit
+        # as the cbp-delta proxy for a nonzero 8x8
+        cbf = np.array([0.0, 256.0], np.float32)
+    else:
+        off = {0: 0, 1: 15, 2: 29, 3: 44, 4: 47}[cat]
+        npos = {0: 16, 1: 15, 2: 16, 3: 4, 4: 15}[cat] - 1
+        sig = _ctx_bits(slice_qp, slice_type,
+                        105 + off + np.arange(npos))
+        last = _ctx_bits(slice_qp, slice_type,
+                         166 + off + np.arange(npos))
+        lvl_off = 227 + {0: 0, 1: 10, 2: 20, 3: 30, 4: 39}[cat]
+        cbf = _ctx_bits(slice_qp, slice_type, 85 + 4 * cat)[()]
+    b0 = _ctx_bits(slice_qp, slice_type, lvl_off + LVL1_CTX)      # (8,2)
+    gt1 = _ctx_bits(slice_qp, slice_type, lvl_off + LVLGT1_CTX)   # (8,2)
+    return dict(sig=sig, last=last, b0=b0, gt1=gt1,
+                cbf=np.asarray(cbf, np.float32).reshape(2),
+                w=_w_zz(16 if cat != 5 else 64))
+
+
+@functools.lru_cache(maxsize=64)
+def tables_tuple(slice_qp: int, slice_type: str, cat: int) -> tuple:
+    """(sig, last, b0, gt1, cbf) f32 arrays for trellis_quant — cached
+    per (qp, type, cat) so repeated frames reuse the same host arrays."""
+    t = trellis_tables(slice_qp, slice_type, cat)
+    return (t["sig"], t["last"], t["b0"], t["gt1"], t["cbf"])
+
+
+def frame_trellis(slice_qp: int, slice_type: str, lam: int,
+                  t8: bool) -> tuple:
+    """The (tbl4, tbl8, lam2f) bundle the frame cores take.  lam2f =
+    lambda2/256 (bit costs are 1/256-bit units).
+
+    NOTE: me_lambda already follows the LAMBDA2 law (0.85*2^((qp-12)/3),
+    the reference's x264_lambda2_tab rate-distortion slope) — the ME
+    SAD-lambda role it plays elsewhere over-weights mv bits rather than
+    under-weighting them, but for RD it IS lambda2; squaring it would
+    over-penalize bits ~45x and zero out most residual."""
+    tbl4 = tables_tuple(slice_qp, slice_type, 2)
+    tbl8 = tables_tuple(slice_qp, slice_type, 5) if t8 else None
+    lam2f = np.float32(max(float(lam), 1.0) / 256.0)
+    return (tbl4, tbl8, lam2f)
+
+
+def trellis_quant(coefs_zz, dq_zz, lam2f, tbl, nc: int):
+    """RD-optimal levels for (B, nc) zigzag DCT coefficients.
+
+    coefs_zz: (B, nc) int32 signed transform coefficients.
+    dq_zz:    (B, nc) int32 dequant-of-level-1 per position (folds the
+              per-block qp — AQ-compatible; contexts stay at slice qp
+              like the real coder's).
+    lam2f:    traced f32 scalar = lambda2 / 256 (bits are 1/256 units).
+    tbl:      tuple (sig (nc-1,2), last (nc-1,2), b0 (8,2), gt1 (8,2),
+              cbf (2,)) — f32 arrays from trellis_tables.
+    Returns (B, nc) int32 signed levels."""
+    import jax.numpy as jnp
+
+    sig, last, b0, gt1, cbf = tbl
+    # fold lambda into every bit cost up front: accumulated cost IS the
+    # RD objective J = SSD + lambda2 * bits
+    lam2f = jnp.asarray(lam2f, jnp.float32)
+    sig = jnp.asarray(sig) * lam2f
+    last = jnp.asarray(last) * lam2f
+    b0 = jnp.asarray(b0) * lam2f
+    gt1 = jnp.asarray(gt1) * lam2f
+    cbf = jnp.asarray(cbf) * lam2f
+    byp = 256.0 * lam2f                       # one bypass bin (sign bit)
+    B = coefs_zz.shape[0]
+    # target in the DEQUANT domain: |c| * roundtrip gain (see K4_ZZ note)
+    k = jnp.asarray(K4_ZZ if nc == 16 else K8_ZZ)
+    absc = jnp.abs(coefs_zz).astype(jnp.float32) * k
+    dqf = dq_zz.astype(jnp.float32)
+    w = jnp.asarray(_w_zz(nc))
+    # nearest-rounding quant seed: Lr = round(target / dq) — identical to
+    # the mf-table nearest quant up to float rounding; candidates
+    # {Lr-1, Lr, 0} bracket the RD optimum either way
+    Lr = jnp.floor(absc / dqf + 0.5).astype(jnp.int32)
+
+    INF = jnp.float32(3e38)
+    nstate = 9                   # 0..7 = level nodes, 8 = unstarted
+    cost = jnp.concatenate([jnp.full((B, 8), INF),
+                            jnp.zeros((B, 1))], axis=1)
+
+    # per-source-state level costs, vectorized over the 8 started nodes +
+    # node 0 reused for the from-unstarted entry
+    def lc_eq1_vec():
+        return b0[:, 0] + byp                                   # (8,)
+
+    def lc_gt1_vec(a):
+        """(B, 8): cost of |level|=a (>1) from each node."""
+        af = a.astype(jnp.float32)[:, None]
+        m = jnp.minimum(af, 15.0)
+        eg0 = jnp.where(
+            a[:, None] >= 15,
+            byp * (2.0 * jnp.floor(jnp.log2(jnp.maximum(af - 14.0, 1.0)))
+                   + 1.0),
+            gt1[None, :, 0])
+        return b0[None, :, 1] + (m - 2.0) * gt1[None, :, 1] + eg0 + byp
+
+    # the 5 move kinds per DP step, each with a STATIC target map over the
+    # 9 source states (8 = unstarted); `moves` rows: (tgt9, lvl_kind)
+    # lvl_kind: 0 -> level 0, 1 -> a1, 2 -> a2
+    TE = [int(x) for x in TRANS_EQ1]
+    TG = [int(x) for x in TRANS_GT1]
+    MOVES = [
+        (list(range(8)) + [8], 0),           # zero: keep state
+        (TE + [TE[0]], 1),                   # a1 == 1
+        (TG + [TG[0]], 1),                   # a1 > 1
+        (TE + [TE[0]], 2),                   # a2 == 1
+        (TG + [TG[0]], 2),                   # a2 > 1
+    ]
+    # static per-target candidate lists: (move_idx, src_state)
+    BY_TGT = [[(mi, s) for mi, (tgt, _) in enumerate(MOVES)
+               for s in range(9) if tgt[s] == t] for t in range(9)]
+
+    def step(cost, c_p, dq_p, lr, wp, sig0, flags_last, flags_mid):
+        """One Viterbi step.  cost (B,9) -> (new_cost, lvl_rec, src_rec).
+        flags_* are traced scalars (first position: flags_last=0 and
+        flags_mid=INF — no started states exist yet anyway)."""
+        a1 = lr
+        a2 = jnp.maximum(lr - 1, 0)
+
+        def dist(a):
+            e = c_p - a.astype(jnp.float32) * dq_p
+            return wp * e * e
+
+        d0 = dist(jnp.zeros_like(a1))
+        lvls = [None, a1, a2]
+        dists = [d0, dist(a1), dist(a2)]
+        move_costs = []
+        # move 0: zero everywhere (started pays sig0; unstarted nothing)
+        mc0 = cost + d0[:, None] + jnp.concatenate(
+            [jnp.broadcast_to(sig0, (B, 8)), jnp.zeros((B, 1))], axis=1)
+        move_costs.append(mc0)
+        for kind, lk in ((1, 1), (2, 1), (1, 2), (2, 2)):
+            a = lvls[lk]
+            da = dists[lk]
+            valid = (a == 1) if kind == 1 else (a > 1)
+            if kind == 1:
+                lc = jnp.broadcast_to(lc_eq1_vec()[None, :], (B, 8))
+                lc_u = lc_eq1_vec()[0]
+            else:
+                lc = lc_gt1_vec(a)
+                lc_u = lc[:, 0]
+            started = cost[:, :8] + flags_mid + lc + da[:, None]
+            unstart = cost[:, 8] + flags_last + lc_u + da
+            mc = jnp.concatenate([started, unstart[:, None]], axis=1)
+            move_costs.append(jnp.where(valid[:, None], mc, INF))
+
+        new_cost, new_lvl, new_src = [], [], []
+        for t in range(9):
+            terms = BY_TGT[t]
+            stackc = jnp.stack([move_costs[mi][:, s] for (mi, s) in terms])
+            k = jnp.argmin(stackc, axis=0)           # first min wins
+            new_cost.append(jnp.min(stackc, axis=0))
+            lvl_opts = jnp.stack(
+                [lvls[MOVES[mi][1]] if MOVES[mi][1] else
+                 jnp.zeros(B, jnp.int32) for (mi, s) in terms])
+            new_lvl.append(jnp.take_along_axis(lvl_opts, k[None], 0)[0])
+            srcs = jnp.asarray(np.array([s for (_, s) in terms], np.int32))
+            new_src.append(srcs[k])
+        return (jnp.stack(new_cost, axis=1), jnp.stack(new_lvl, axis=1),
+                jnp.stack(new_src, axis=1))
+
+    INF0 = jnp.float32(0.0)
+    # position nc-1 first: significance inferred (no flags), no started
+    # sources yet (their cost is INF)
+    cost, lvl0, src0 = step(cost, absc[:, nc - 1], dqf[:, nc - 1],
+                            Lr[:, nc - 1], w[nc - 1],
+                            INF0, jnp.float32(0.0), INF)
+
+    # remaining positions nc-2 .. 0 under ONE scanned body (compile-size:
+    # the unrolled form was ~nc x this graph and took minutes to build)
+    idx = np.arange(nc - 2, -1, -1)
+    xs = (absc[:, idx].T, dqf[:, idx].T, Lr[:, idx].T,
+          w[idx], sig[idx, 0], sig[idx, 1] + last[idx, 1],
+          sig[idx, 1] + last[idx, 0])
+
+    def body(cost, x):
+        c_p, dq_p, lr, wp, sig0, fl, fm = x
+        cost, lvl, src = step(cost, c_p, dq_p, lr, wp, sig0, fl, fm)
+        return cost, (lvl, src)
+
+    import jax
+    cost, (lvls_s, srcs_s) = jax.lax.scan(body, cost, xs)
+    lvl_recs = jnp.concatenate([lvl0[None], lvls_s])    # (nc, B, 9)
+    src_recs = jnp.concatenate([src0[None], srcs_s])
+
+    # coded_block_flag decides all-zero (unstarted) vs any-nonzero
+    fin = cost + jnp.concatenate(
+        [jnp.broadcast_to(cbf[1], (B, 8)),
+         jnp.broadcast_to(cbf[0], (B, 1))], axis=1)
+    state = jnp.argmin(fin, axis=1).astype(jnp.int32)
+
+    # backtrack: walk the records last-step-first (reverse scan); output
+    # index k of the scan = DP step k = scan position nc-1-k
+    def back(state, rec):
+        lrec, srec = rec
+        onehot = (jnp.arange(nstate)[None, :] == state[:, None])
+        a = jnp.where(onehot, lrec, 0).sum(axis=1)
+        state = jnp.where(onehot, srec, 0).sum(axis=1).astype(jnp.int32)
+        return state, a
+
+    _, lv_steps = jax.lax.scan(back, state, (lvl_recs, src_recs),
+                               reverse=True)
+    lv = lv_steps[::-1].T                    # (B, nc), position order
+    return jnp.where(coefs_zz < 0, -lv, lv).astype(jnp.int32)

@@ -74,6 +74,11 @@ class EncoderParams:
     p16x16: bool = True             # mandatory mode (validate rejects False)
     p8x8: bool = False              # partitions beyond 16x16: round 3
     transform_8x8: bool = False     # --8x8dct (High profile adaptive 8x8)
+    # --trellis: RD-optimal quantization (ops/device/trellis.py, the
+    # rdo.c quant_trellis_cabac analog).  1/2 both run the same batched
+    # DP here (x264's 2 re-runs it inside RD mode decision, which has no
+    # analog yet).  CABAC-cost model, so requires cabac=1 like x264.
+    trellis: int = 0
     # JM/x264-default quant rounding (intra 1/3, inter 1/6) is what the
     # quant kernels implement; custom deadzones are rejected loudly at
     # validate() until they are plumbed through (x264 set.c:179).
@@ -181,6 +186,15 @@ class EncoderParams:
                     "8x8 transform is device-pipeline only")
             if p.slices > 1:
                 raise NotImplementedError("8x8dct + slices: pending")
+        if p.trellis:
+            if not p.cabac:
+                raise NotImplementedError(
+                    "trellis uses the CABAC cost model (x264 likewise "
+                    "defaults trellis off for CAVLC)")
+            if p.backend in ("reference",):
+                raise NotImplementedError("trellis: device pipeline only")
+            if p.slices > 1:
+                raise NotImplementedError("trellis + slices: pending")
         if p.weightp:
             # weighted_pred_flag=1 requires a pred_weight_table in EVERY
             # P slice header, so every P path must support it; gate the
