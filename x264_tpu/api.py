@@ -56,7 +56,7 @@ class Encoder:
     def __init__(self, params: EncoderParams):
         self.p = params.validate()
         self.sps = sps_from_params(self.p)
-        self._sps_bytes = write_sps(self.sps)
+        self._sps_bytes = write_sps(self.sps, self.p)
         self._pps_bytes = write_pps(self.p)
         self.frame_idx = 0
         self.frame_num = 0
@@ -156,6 +156,34 @@ class Encoder:
         if self.p.sei_version:
             from x264_tpu.bitstream.sei import version_sei
             out += version_sei(self.p)
+        return out
+
+    # NAL HRD timing SEI state (coded-order counters)
+    _hrd_cod_since_bp = 0
+    _hrd_cod_total = 0
+
+    def _hrd_sei(self, idr: bool, poc_lsb: int) -> bytes:
+        """Buffering-period SEI at each IDR + pic-timing SEI per frame
+        when --nal-hrd (D.1.1/D.1.2; x264 encoder.c:3700 emission
+        points).  Delays use the 24-bit lengths our VUI declares."""
+        if not self.p.nal_hrd:
+            return b""
+        from x264_tpu.bitstream.sei import (buffering_period_sei,
+                                            pic_timing_sei)
+        out = b""
+        if idr:
+            d90k = int(90000 * self.p.vbv_bufsize * self.p.vbv_init
+                       / max(1, self.p.vbv_maxrate))
+            out += buffering_period_sei(d90k)
+            self._hrd_cod_since_bp = 0
+        reorder = 1 if self.p.bframes else 0
+        disp = (self._idr_disp + poc_lsb // 2 if self.p.bframes
+                else self._hrd_cod_total)
+        out += pic_timing_sei(
+            2 * self._hrd_cod_since_bp,
+            max(0, 2 * (disp + reorder - self._hrd_cod_total)))
+        self._hrd_cod_since_bp += 1
+        self._hrd_cod_total += 1
         return out
 
     def _cabac_fast(self) -> bool:
@@ -472,6 +500,7 @@ class Encoder:
         out_bytes = b""
         if job["ftype"] == "IDR" and self.p.repeat_headers:
             out_bytes += self.headers()
+        out_bytes += self._hrd_sei(job["idr"], job.get("poc_lsb", 0))
         total_cost = 0
         classes = []
         for b, ob in enumerate(job["outs"]):
@@ -661,6 +690,7 @@ class Encoder:
         out_bytes = b""
         if job["ftype"] == "IDR" and self.p.repeat_headers:
             out_bytes += self.headers()
+        out_bytes += self._hrd_sei(job["idr"], job.get("poc_lsb", 0))
         bs = BitWriter()
         write_slice_header(bs, self.p, self.sps,
                            slice_type=job["slice_type"], idr=job["idr"],
@@ -713,6 +743,7 @@ class Encoder:
         out_bytes = b""
         if job["ftype"] == "IDR" and self.p.repeat_headers:
             out_bytes += self.headers()
+        out_bytes += self._hrd_sei(job["idr"], job.get("poc_lsb", 0))
         bs = BitWriter()
         write_slice_header(bs, self.p, self.sps,
                            slice_type=job["slice_type"], idr=job["idr"],
@@ -832,6 +863,8 @@ class Encoder:
             out_bytes = b""
             if ftype == "IDR" and self.p.repeat_headers:
                 out_bytes += self.headers()
+            out_bytes += self._hrd_sei(ftype == "IDR",
+                                       self._poc_lsb(disp))
             out_bytes += self._encode_frame_syn(
                 y, u, v, ftype, qp, poc_lsb=self._poc_lsb(disp))
             rec = self.dpb[0]
@@ -971,6 +1004,7 @@ class Encoder:
             mb_class = blob[:, n_words + 1]
             cost_total = int(blob[:, n_words + 2].astype(np.int64).sum())
 
+        hrd = self._hrd_sei(False, job["poc_cur"])
         bs = BitWriter()
         write_slice_header(bs, self.p, self.sps, slice_type=SLICE_B,
                            idr=False, frame_num=self.frame_num,
@@ -984,8 +1018,8 @@ class Encoder:
             payload = write_slice_cabac_packed(blob, mbw, mbh, 2, qp,
                                                n_words,
                                                t8_mode=self.p.transform_8x8)
-            data = wrap_slice_nal(bs.to_bytes_aligned() + payload, False,
-                                  is_ref=False)
+            data = hrd + wrap_slice_nal(
+                bs.to_bytes_aligned() + payload, False, is_ref=False)
         else:
             payload, total = merge_mb_strings(words, nbits)
             append_payload(bs, payload, total)
@@ -994,7 +1028,8 @@ class Encoder:
                                     if coded.any() else -1))
             if trailing:
                 bs.ue(trailing)
-            data = wrap_slice_nal(bs.to_rbsp(), False, is_ref=False)
+            data = hrd + wrap_slice_nal(bs.to_rbsp(), False,
+                                        is_ref=False)
 
         # deblocked recon for output/verification (B is not a reference;
         # skipped when full_recon is off — the x264 b_full_recon analog)

@@ -15,6 +15,7 @@ from x264_tpu.bitstream.nal import (
     NAL_SPS,
     make_nal,
 )
+from x264_tpu.params import RC_ABR as RC_ABR_
 from x264_tpu.params import EncoderParams
 
 SLICE_P, SLICE_B, SLICE_I = 0, 1, 2
@@ -33,26 +34,77 @@ class SpsInfo:
     crop_bottom: int = 0
 
 
+# spec Table A-1 (the x264_levels table, reference common/tables.c):
+# level -> (MaxMBPS, MaxFS, MaxDpbMbs, MaxBR kbit, MaxCPB kbit, MaxVmvR)
+LEVELS = [
+    (10, 1485, 99, 396, 64, 175, 64),
+    (11, 3000, 396, 900, 192, 500, 128),
+    (12, 6000, 396, 2376, 384, 1000, 128),
+    (13, 11880, 396, 2376, 768, 2000, 128),
+    (20, 11880, 396, 2376, 2000, 2000, 128),
+    (21, 19800, 792, 4752, 4000, 4000, 256),
+    (22, 20250, 1620, 8100, 4000, 4000, 256),
+    (30, 40500, 1620, 8100, 10000, 10000, 256),
+    (31, 108000, 3600, 18000, 14000, 14000, 512),
+    (32, 216000, 5120, 20480, 20000, 20000, 512),
+    (40, 245760, 8192, 32768, 20000, 25000, 512),
+    (41, 245760, 8192, 32768, 50000, 62500, 512),
+    (42, 522240, 8704, 34816, 50000, 62500, 512),
+    (50, 589824, 22080, 110400, 135000, 135000, 512),
+    (51, 983040, 36864, 184320, 240000, 240000, 512),
+    (52, 2073600, 36864, 184320, 240000, 240000, 512),
+]
+
+
+def validate_levels(p) -> tuple:
+    """(level_idc, warnings) — the x264_validate_levels analog
+    (reference encoder/set.c:876): pick the smallest level whose frame
+    size / MB rate / DPB / bitrate / CPB limits all hold, or check the
+    user's forced level against them (warn, don't refuse — like the
+    reference)."""
+    mbs = p.mb_width * p.mb_height
+    fps = p.fps_num / max(1, p.fps_den)
+    dpb_frames = max(p.ref_frames, 2 if p.bframes else p.ref_frames)
+    br = p.vbv_maxrate or (p.bitrate if p.rc_method == RC_ABR_ else 0)
+    cpb = p.vbv_bufsize
+
+    def fits(lv):
+        _, max_mbps, max_fs, max_dpb_mbs, max_br, max_cpb, _ = lv
+        return (mbs <= max_fs and mbs * fps <= max_mbps
+                and dpb_frames * mbs <= max_dpb_mbs
+                and (not br or br <= max_br * 1.25)    # high-profile CpbBrFactor
+                and (not cpb or cpb <= max_cpb * 1.25))
+
+    warnings = []
+    if p.level_idc:
+        row = next((lv for lv in LEVELS if lv[0] == p.level_idc), None)
+        if row is None:
+            raise ValueError(f"unknown level_idc {p.level_idc}")
+        if not fits(row):
+            warnings.append(
+                f"level {p.level_idc/10:.1f} is too small for "
+                f"{16*p.mb_width}x{16*p.mb_height}@{fps:.3g} with "
+                f"dpb={dpb_frames}; stream will exceed its limits")
+        return p.level_idc, warnings
+    for lv in LEVELS:
+        if fits(lv):
+            return lv[0], warnings
+    warnings.append("stream exceeds level 5.2 limits")
+    return 52, warnings
+
+
 def auto_level(mb_width: int, mb_height: int, fps: float) -> int:
-    """Pick the smallest level that fits (abbreviated x264_validate_levels,
-    encoder/set.c:876 — full table lands with the level API)."""
+    """Smallest level by frame size + MB rate alone (legacy helper;
+    sps_from_params uses validate_levels)."""
     mbs = mb_width * mb_height
-    mbps = mbs * fps
-    # (level, max_fs, max_mbps) from spec Table A-1 (subset)
-    table = [(10, 99, 1485), (11, 396, 3000), (12, 396, 6000), (13, 396, 11880),
-             (20, 396, 11880), (21, 792, 19800), (22, 1620, 20250),
-             (30, 1620, 40500), (31, 3600, 108000), (32, 5120, 216000),
-             (40, 8192, 245760), (41, 8192, 245760), (42, 8704, 522240),
-             (50, 22080, 589824), (51, 36864, 983040), (52, 36864, 2073600)]
-    for lev, max_fs, max_mbps in table:
-        if mbs <= max_fs and mbps <= max_mbps:
-            return lev
+    for lv in LEVELS:
+        if mbs <= lv[2] and mbs * fps <= lv[1]:
+            return lv[0]
     return 52
 
 
 def sps_from_params(p: EncoderParams) -> SpsInfo:
-    fps = p.fps_num / max(1, p.fps_den)
-    level = p.level_idc or auto_level(p.mb_width, p.mb_height, fps)
+    level, _ = validate_levels(p)
     return SpsInfo(
         profile_idc=p.profile_idc,
         level_idc=level,
@@ -67,7 +119,99 @@ def sps_from_params(p: EncoderParams) -> SpsInfo:
     )
 
 
-def write_sps(s: SpsInfo) -> bytes:
+# Table E-1 standard sample aspect ratios -> aspect_ratio_idc
+_SAR_IDC = {(1, 1): 1, (12, 11): 2, (10, 11): 3, (16, 11): 4, (40, 33): 5,
+            (24, 11): 6, (20, 11): 7, (32, 11): 8, (80, 33): 9,
+            (18, 11): 10, (15, 11): 11, (64, 33): 12, (160, 99): 13,
+            (4, 3): 14, (3, 2): 15, (2, 1): 16}
+
+
+def _hrd_values(p: EncoderParams) -> dict:
+    """NAL HRD parameters (E.1.2) from the VBV config, x264-style scale
+    selection (reference encoder/set.c:74): largest scale whose unit
+    still divides into the rate (values round UP — signaled rate/cpb
+    may slightly exceed the configured ones, never undershoot)."""
+    br = p.vbv_maxrate * 1000
+    cpb = p.vbv_bufsize * 1000
+    brs = cps = 0
+    while brs < 15 and (br % (1 << (7 + brs))) == 0:
+        brs += 1
+    while cps < 15 and (cpb % (1 << (5 + cps))) == 0:
+        cps += 1
+    return dict(
+        bit_rate_scale=brs, cpb_size_scale=cps,
+        bit_rate_value=-(-br // (1 << (6 + brs))),
+        cpb_size_value=-(-cpb // (1 << (4 + cps))),
+        cbr=int(p.rc_method == RC_ABR_ and p.vbv_maxrate
+                and p.bitrate == p.vbv_maxrate))
+
+
+def _write_vui(bs: BitWriter, p: EncoderParams, s: SpsInfo) -> None:
+    """vui_parameters (E.1.1) — parity: reference encoder/set.c
+    x264_sps_init VUI block."""
+    sar = (p.sar_width, p.sar_height)
+    if p.sar_width and p.sar_height:
+        bs.put1(1)
+        idc = _SAR_IDC.get(sar, 255)
+        bs.put(8, idc)
+        if idc == 255:                      # Extended_SAR
+            bs.put(16, p.sar_width)
+            bs.put(16, p.sar_height)
+    else:
+        bs.put1(0)
+    bs.put1(0)                              # overscan_info_present
+    signal = (p.videoformat != 5 or p.fullrange or p.colorprim != 2
+              or p.transfer != 2 or p.colmatrix != 2)
+    bs.put1(1 if signal else 0)
+    if signal:
+        bs.put(3, p.videoformat)
+        bs.put1(1 if p.fullrange else 0)
+        desc = (p.colorprim != 2 or p.transfer != 2 or p.colmatrix != 2)
+        bs.put1(1 if desc else 0)
+        if desc:
+            bs.put(8, p.colorprim)
+            bs.put(8, p.transfer)
+            bs.put(8, p.colmatrix)
+    if p.chroma_loc:
+        bs.put1(1)
+        bs.ue(p.chroma_loc)                 # top field
+        bs.ue(p.chroma_loc)                 # bottom field
+    else:
+        bs.put1(0)
+    bs.put1(1)                              # timing_info_present
+    bs.put(32, p.fps_den)                   # num_units_in_tick
+    bs.put(32, 2 * p.fps_num)               # time_scale (field units)
+    bs.put1(1)                              # fixed_frame_rate
+    if p.nal_hrd:
+        bs.put1(1)                          # nal_hrd_parameters_present
+        h = _hrd_values(p)
+        bs.ue(0)                            # cpb_cnt_minus1
+        bs.put(4, h["bit_rate_scale"])
+        bs.put(4, h["cpb_size_scale"])
+        bs.ue(h["bit_rate_value"] - 1)
+        bs.ue(h["cpb_size_value"] - 1)
+        bs.put1(h["cbr"])
+        bs.put(5, 23)                       # initial_cpb_removal_delay_len-1
+        bs.put(5, 23)                       # cpb_removal_delay_length-1
+        bs.put(5, 23)                       # dpb_output_delay_length-1
+        bs.put(5, 0)                        # time_offset_length
+    else:
+        bs.put1(0)
+    bs.put1(0)                              # vcl_hrd_parameters_present
+    if p.nal_hrd:
+        bs.put1(0)                          # low_delay_hrd_flag
+    bs.put1(0)                              # pic_struct_present
+    bs.put1(1)                              # bitstream_restriction
+    bs.put1(1)                              # mvs_over_pic_boundaries
+    bs.ue(0)                                # max_bytes_per_pic_denom
+    bs.ue(0)                                # max_bits_per_mb_denom
+    bs.ue(16)                               # log2_max_mv_length_horizontal
+    bs.ue(16)                               # log2_max_mv_length_vertical
+    bs.ue(1 if p.bframes else 0)            # num_reorder_frames
+    bs.ue(s.num_ref_frames)                 # max_dec_frame_buffering
+
+
+def write_sps(s: SpsInfo, p: EncoderParams | None = None) -> bytes:
     bs = BitWriter()
     bs.put(8, s.profile_idc)
     # constraint_set0..5 + 2 reserved zero bits
@@ -100,7 +244,11 @@ def write_sps(s: SpsInfo) -> bytes:
         bs.ue(s.crop_bottom // 2)
     else:
         bs.put1(0)
-    bs.put1(0)                              # vui_parameters_present (later)
+    if p is not None:
+        bs.put1(1)                          # vui_parameters_present
+        _write_vui(bs, p, s)
+    else:
+        bs.put1(0)
     return make_nal(NAL_SPS, NAL_PRIORITY_HIGHEST, bs.to_rbsp())
 
 

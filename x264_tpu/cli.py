@@ -74,6 +74,18 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="P-slice weighted prediction")
     ap.add_argument("--trellis", type=int, default=None, choices=[0, 1, 2],
                     help="RD-optimal quantization (needs --cabac)")
+    ap.add_argument("--sar", default=None, help="sample AR width:height")
+    ap.add_argument("--range", dest="range_", default=None,
+                    choices=["tv", "pc"], help="video range")
+    ap.add_argument("--videoformat", type=int, default=None)
+    ap.add_argument("--colorprim", type=int, default=None)
+    ap.add_argument("--transfer", type=int, default=None)
+    ap.add_argument("--colormatrix", type=int, default=None)
+    ap.add_argument("--chromaloc", type=int, default=None)
+    ap.add_argument("--nal-hrd", dest="nal_hrd", action="store_true",
+                    help="signal HRD (needs VBV)")
+    ap.add_argument("--level", default=None,
+                    help="force level (e.g. 4.1 or 41)")
     ap.add_argument("--i4x4", dest="i4x4", action="store_true")
     ap.add_argument("--no-i4x4", dest="no_i4x4", action="store_true")
     ap.add_argument("--verbose", action="store_true")
@@ -153,6 +165,23 @@ def params_from_args(args, reader) -> EncoderParams:
         p = p.clone(weightp=args.weightp)
     if args.trellis is not None:
         p = p.clone(trellis=args.trellis)
+    if args.sar:
+        sw, sh = args.sar.replace("/", ":").split(":")
+        p = p.clone(sar_width=int(sw), sar_height=int(sh))
+    if args.range_:
+        p = p.clone(fullrange=args.range_ == "pc")
+    for name in ("videoformat", "colorprim", "transfer", "chromaloc"):
+        v = getattr(args, name)
+        if v is not None:
+            key = "chroma_loc" if name == "chromaloc" else name
+            p = p.clone(**{key: v})
+    if args.colormatrix is not None:
+        p = p.clone(colmatrix=args.colormatrix)
+    if args.nal_hrd:
+        p = p.clone(nal_hrd=True)
+    if args.level is not None:
+        lv = args.level
+        p = p.clone(level_idc=int(float(lv) * 10) if "." in lv else int(lv))
     if args.i4x4:
         p = p.clone(i4x4=True)
     if args.no_i4x4:

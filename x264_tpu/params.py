@@ -103,6 +103,18 @@ class EncoderParams:
     annexb: bool = True
     level_idc: int = 0              # 0 = auto
 
+    # VUI (Annex E; x264 --sar/--range/--videoformat/--colorprim/
+    # --transfer/--colormatrix/--chromaloc/--nal-hrd)
+    sar_width: int = 0              # 0 = unspecified
+    sar_height: int = 0
+    fullrange: bool = False
+    videoformat: int = 5            # 5 = unspecified (E-2)
+    colorprim: int = 2              # 2 = unspecified
+    transfer: int = 2
+    colmatrix: int = 2
+    chroma_loc: int = 0
+    nal_hrd: bool = False           # HRD in VUI + buffering/timing SEI
+
     # misc x264-parity knobs
     # b_full_recon (x264.h:397): deblock non-reference (B) recon too so
     # last_recon matches the decoder; off = encode-speed mode
@@ -186,6 +198,12 @@ class EncoderParams:
                     "8x8 transform is device-pipeline only")
             if p.slices > 1:
                 raise NotImplementedError("8x8dct + slices: pending")
+        if p.nal_hrd and not (p.vbv_maxrate and p.vbv_bufsize):
+            raise ValueError(
+                "--nal-hrd requires VBV (vbv-maxrate + vbv-bufsize), "
+                "like the reference (encoder.c validate_parameters)")
+        if p.chroma_loc not in range(6):
+            raise ValueError("chroma_loc must be 0..5 (E-2)")
         if p.trellis:
             if not p.cabac:
                 raise NotImplementedError(
