@@ -99,15 +99,22 @@ def bench_x264(frames):
             return None
     raw = b"".join(y.tobytes() + u.tobytes() + v.tobytes()
                    for (y, u, v) in frames)
-    r = subprocess.run([avenc, str(W), str(H), str(FPS), str(N_FRAMES),
-                        "medium", str(QP)],
-                       input=raw, capture_output=True)
-    if r.returncode != 0:
-        return None
-    stats = dict(kv.split("=") for kv in r.stderr.decode().split()
-                 if "=" in kv)
-    dt = float(stats["encode_s"])
-    return N_FRAMES / dt, int(stats["bytes"]), r.stdout
+    # best of 3: the first run on an idle VM measures CPU ramp-up, not
+    # x264 (observed 4.5 fps cold vs ~44 fps warm steady-state — the
+    # honest baseline is the warm number)
+    best = None
+    for _ in range(3):
+        r = subprocess.run([avenc, str(W), str(H), str(FPS),
+                            str(N_FRAMES), "medium", str(QP)],
+                           input=raw, capture_output=True)
+        if r.returncode != 0:
+            return None
+        stats = dict(kv.split("=") for kv in r.stderr.decode().split()
+                     if "=" in kv)
+        fps = N_FRAMES / float(stats["encode_s"])
+        if best is None or fps > best[0]:
+            best = (fps, int(stats["bytes"]), r.stdout)
+    return best
 
 
 def main():

@@ -188,19 +188,18 @@ class Encoder:
 
     def _cabac_fast(self) -> bool:
         """CABAC via the device fast path (compact blob + native C
-        entropy).  Multi-slice and multi-ref CABAC stay on the syntax
-        path for now."""
-        return (self.p.cabac and self.p.slices <= 1
-                and self.p.ref_frames <= 1)
+        entropy, incl. multi-ref ref_idx bins).  Multi-slice CABAC stays
+        on the syntax path for now."""
+        return self.p.cabac and self.p.slices <= 1
 
     def _syn_path(self) -> bool:
         """Frames go through the host FrameSyntax writers (instead of the
         device-packed fast path): reference backend, host-entropy debug
-        backend, CABAC combinations the native packed coder doesn't cover
-        yet, and I4x4 (device core emits syntax tensors; the device CAVLC
-        word packer has no I4 header support yet)."""
-        return ((self.p.cabac and not self._cabac_fast())
-                or self.p.backend in ("reference", "device_host_entropy")
+        backend, and I4x4 (device core emits syntax tensors; the device
+        CAVLC word packer has no I4 header support yet).  CABAC always
+        takes the packed fast path now (incl. multi-ref and multi-slice
+        — the band loop codes each band's blob independently)."""
+        return (self.p.backend in ("reference", "device_host_entropy")
                 or self.p.i4x4)
 
     def _use_device(self) -> bool:
@@ -315,7 +314,10 @@ class Encoder:
         rem = mbh % nsl
         heights = [base + (1 if i < rem else 0) for i in range(nsl)]
         starts = np.concatenate(([0], np.cumsum(heights)))[:-1]
-        ladder = [24, 64, 160, 416] if qp >= 16 else [64, 160, 416]
+        if self.p.cabac:
+            ladder = [64, 216, 408] if qp >= 16 else [216, 408]
+        else:
+            ladder = [24, 64, 160, 416] if qp >= 16 else [64, 160, 416]
         n_words = ladder[0]
 
         buf = np.empty((h + h // 2, w), np.uint8)
@@ -342,7 +344,8 @@ class Encoder:
         # driver dryrun).  P frames with equal band heights only; IDR and
         # ragged splits use the loop. ----
         if (self.p.threads > 1 and ref is not None and rem == 0
-                and nsl > 1 and len(jax.devices()) >= nsl):
+                and nsl > 1 and not self.p.cabac
+                and len(jax.devices()) >= nsl):
             from x264_tpu.models.inter_frame import me_lambda
             step = self._sliced_mesh_step(nsl, mbw, base, n_words)
             out = step(yd, ud, vd, ry_pad, ru_pad, rv_pad,
@@ -378,10 +381,11 @@ class Encoder:
             ub = ud[8 * y0:8 * (y0 + bh)]
             vb = vd[8 * y0:8 * (y0 + bh)]
             qpb = qp_arr[y0 * mbw:(y0 + bh) * mbw]
+            ekw = (dict(entropy="cabac", lv_cap=n_words)
+                   if self.p.cabac else dict(n_words=n_words))
             if ref is None:
                 ob = i_frame_core(yb, ub, vb, qpb, mbw=mbw, mbh=bh,
-                                  cqp_off=self.p.chroma_qp_offset,
-                                  n_words=n_words)
+                                  cqp_off=self.p.chroma_qp_offset, **ekw)
                 st = SLICE_I
             else:
                 ob = p_band_core(
@@ -396,7 +400,7 @@ class Encoder:
                     qpb, np.int32(me_lambda(qp)),
                     mbw=mbw, mbh=bh, me_range=self.p.me_range,
                     cqp_off=self.p.chroma_qp_offset,
-                    n_words=n_words, subpel=self.p.subpel)
+                    subpel=self.p.subpel, **ekw)
                 st = SLICE_P
             outs.append(ob)
 
@@ -471,10 +475,11 @@ class Encoder:
         ub = ud[8 * y0:8 * (y0 + bh)]
         vb = vd[8 * y0:8 * (y0 + bh)]
         qpb = job["qp_arr"][y0 * mbw:(y0 + bh) * mbw]
+        ekw = (dict(entropy="cabac", lv_cap=n_words)
+               if self.p.cabac else dict(n_words=n_words))
         if job["refpads"] is None:
             return i_frame_core(yb, ub, vb, qpb, mbw=mbw, mbh=bh,
-                                cqp_off=self.p.chroma_qp_offset,
-                                n_words=n_words)
+                                cqp_off=self.p.chroma_qp_offset, **ekw)
         ry_pad, ru_pad, rv_pad = job["refpads"]
         return p_band_core(
             yb, ub, vb,
@@ -487,7 +492,7 @@ class Encoder:
             qpb, np.int32(me_lambda(job["qp"])),
             mbw=mbw, mbh=bh, me_range=self.p.me_range,
             cqp_off=self.p.chroma_qp_offset,
-            n_words=n_words, subpel=self.p.subpel)
+            subpel=self.p.subpel, **ekw)
 
     def _finalize_device_sliced(self, job: dict) -> bytes:
         from x264_tpu.bitstream.slice_assemble import (
@@ -501,33 +506,48 @@ class Encoder:
         if job["ftype"] == "IDR" and self.p.repeat_headers:
             out_bytes += self.headers()
         out_bytes += self._hrd_sei(job["idr"], job.get("poc_lsb", 0))
+        cab = self.p.cabac
         total_cost = 0
         classes = []
         for b, ob in enumerate(job["outs"]):
             n_words = job["n_words"]
             blob = np.asarray(ob["host_blob"])
-            nbits = blob[:, n_words]
-            if int(nbits.max(initial=0)) > 32 * n_words:
-                # per-band word-budget overflow: re-run this band's
-                # entropy at the next ladder rungs (the sliced analog of
+
+            def _over(blob, n_words):
+                if cab:
+                    return int(blob[:, 13 + n_words // 2 + 8]
+                               .max(initial=0)) > n_words
+                return int(blob[:, n_words].max(initial=0)) > 32 * n_words
+
+            if _over(blob, n_words):
+                # per-band budget overflow: re-run this band's entropy
+                # at the next ladder rungs (the sliced analog of
                 # _finalize_device's re-encode, encoder.c:2893 pattern)
                 for n_words in job["ladder"][1:]:
                     ob = self._rerun_band(job, b, n_words)
                     blob = np.asarray(ob["host_blob"])
-                    nbits = blob[:, n_words]
-                    if int(nbits.max(initial=0)) <= 32 * n_words:
+                    if not _over(blob, n_words):
                         break
                 else:
                     raise RuntimeError(
-                        "sliced CAVLC overflow beyond the largest budget")
-            words = np.ascontiguousarray(blob[:, :n_words]).view(np.uint32)
-            mb_class = blob[:, n_words + 1]
-            classes.append(mb_class)
-            total_cost += int(blob[:, n_words + 2].astype(np.int64).sum())
+                        "sliced entropy overflow beyond the largest budget")
             first_mb = int(job["starts"][b]) * mbw
             nmb = job["heights"][b] * mbw
+            bh = job["heights"][b]
             qpb = job["qp_arr"][first_mb:first_mb + nmb]
             slice_qp = int(np.atleast_1d(qpb)[0])
+            if cab:
+                foff = 13 + n_words // 2
+                mb_class = blob[:, foff]
+                total_cost += int(blob[:, foff + 9].astype(np.int64).sum())
+            else:
+                nbits = blob[:, n_words]
+                words = np.ascontiguousarray(
+                    blob[:, :n_words]).view(np.uint32)
+                mb_class = blob[:, n_words + 1]
+                total_cost += int(blob[:, n_words + 2]
+                                  .astype(np.int64).sum())
+            classes.append(mb_class)
             bs = BitWriter()
             write_slice_header(bs, self.p, self.sps,
                                slice_type=job["slice_type"],
@@ -535,15 +555,28 @@ class Encoder:
                                frame_num=job["frame_num"],
                                idr_pic_id=job["idr_pic_id"],
                                first_mb=first_mb, qp=slice_qp, num_ref=1)
-            payload, total = merge_mb_strings(words, nbits)
-            append_payload(bs, payload, total)
-            if job["slice_type"] == SLICE_P:
-                coded = mb_class != MB_PSKIP
-                trailing = int(nmb - 1 - (np.nonzero(coded)[0][-1]
-                                          if coded.any() else -1))
-                if trailing:
-                    bs.ue(trailing)
-            out_bytes += wrap_slice_nal(bs.to_rbsp(), job["idr"])
+            if cab:
+                from x264_tpu.bitstream.cabac_host import \
+                    write_slice_cabac_packed
+                pad = (-bs.bit_length) % 8
+                if pad:
+                    bs.put(pad, (1 << pad) - 1)  # cabac_alignment_one_bit
+                kind = 0 if job["slice_type"] == SLICE_I else 1
+                payload = write_slice_cabac_packed(
+                    blob, mbw, bh, kind, slice_qp, n_words,
+                    t8_mode=self.p.transform_8x8)
+                out_bytes += wrap_slice_nal(
+                    bs.to_bytes_aligned() + payload, job["idr"])
+            else:
+                payload, total = merge_mb_strings(words, nbits)
+                append_payload(bs, payload, total)
+                if job["slice_type"] == SLICE_P:
+                    coded = mb_class != MB_PSKIP
+                    trailing = int(nmb - 1 - (np.nonzero(coded)[0][-1]
+                                              if coded.any() else -1))
+                    if trailing:
+                        bs.ue(trailing)
+                out_bytes += wrap_slice_nal(bs.to_rbsp(), job["idr"])
         self.stats.append(FrameStats(job["ftype"], len(out_bytes) * 8,
                                      job["qp"]))
         self.rc.update(job["ftype"], len(out_bytes) * 8, total_cost)
@@ -758,7 +791,8 @@ class Encoder:
         kind = 0 if job["slice_type"] == SLICE_I else 1
         payload = write_slice_cabac_packed(
             blob, job["mbw"], job["mbh"], kind, job["slice_qp"], K,
-            t8_mode=self.p.transform_8x8)
+            t8_mode=self.p.transform_8x8,
+            num_ref=job.get("num_ref", 1) if kind == 1 else 1)
         out_bytes += wrap_slice_nal(bs.to_bytes_aligned() + payload,
                                     job["idr"])
         cost = int(blob[:, foff + 9].astype(np.int64).sum())

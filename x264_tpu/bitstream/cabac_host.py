@@ -40,13 +40,14 @@ def _lib():
             i16p, i16p, i16p, i16p,
             i32p, i32p, ctypes.c_void_p,   # t8: NULL = 8x8 mode off
             ctypes.c_void_p,               # i4m: NULL = no I4x4 MBs
+            ctypes.c_void_p, ctypes.c_int,  # ref (NULL=single), num_ref
             u8p, ctypes.c_long,
         ]
         lib.encode_slice_cabac_packed.restype = ctypes.c_long
         lib.encode_slice_cabac_packed.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int,
-            i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             u8p, ctypes.c_long,
         ]
         _LIB = lib
@@ -56,7 +57,8 @@ def _lib():
 def write_slice_cabac_packed(blob: np.ndarray, mbw: int, mbh: int,
                              slice_kind: int, slice_qp: int, K: int,
                              init_idc: int = 0,
-                             t8_mode: bool = False) -> bytes:
+                             t8_mode: bool = False,
+                             num_ref: int = 1) -> bytes:
     """Encode slice_data() with CABAC from the device's compact blob
     (ops/device/entropy_pack.cabac_blob layout).  slice_kind 0=I/1=P/2=B.
     t8_mode: PPS transform_8x8_mode_flag (gates the per-MB flag bin).
@@ -68,7 +70,7 @@ def write_slice_cabac_packed(blob: np.ndarray, mbw: int, mbh: int,
     blob = np.ascontiguousarray(blob.astype(np.int32, copy=False))
     sz = _lib().encode_slice_cabac_packed(
         mbw, mbh, slice_kind, int(slice_qp), init_idc,
-        blob, K, blob.shape[1], int(t8_mode), out, cap)
+        blob, K, blob.shape[1], int(t8_mode), int(num_ref), out, cap)
     if sz < 0:
         raise OverflowError("CABAC level cap or buffer overflow")
     return out[:sz].tobytes()
@@ -115,6 +117,7 @@ def write_slice_cabac(syn, slice_type: int, slice_qp: int,
         (None if syn.i4_modes is None else
          np.ascontiguousarray(syn.i4_modes.astype(np.int32))
          .ctypes.data_as(ctypes.c_void_p)),
+        None, 1,
         out, cap)
     if sz < 0:
         raise RuntimeError("CABAC buffer overflow")

@@ -329,7 +329,7 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
         outs["host_blob"] = cabac_blob(
             luma_dc, ac_zz, cdc, cac, mb_class, mvd, i16_mode,
             chroma_mode, cbp_l, cbp_c, qp, mb_cost, icost, K=lv_cap,
-            t8=t8_flag)
+            t8=t8_flag, ref=ref if n_refs > 1 else None)
         return outs
 
     # CAVLC: full entropy on device — slot grids + per-MB bit packing;

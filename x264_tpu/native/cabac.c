@@ -304,6 +304,8 @@ typedef struct {
     uint8_t *amvd1;      /* (N,2) capped |mvd| (list1) */
     const int32_t *i4m;  /* (N,16) I4x4 pred modes, raster; NULL = no I4 */
     int8_t *i4grid;      /* (4mbh,4mbw) per-block mode chain (2 = non-I4) */
+    const int32_t *ref;  /* (N,) list0 ref_idx, or NULL (single ref) */
+    int num_ref;         /* active list0 size */
 } frame_t;
 
 static int mb_intra(const frame_t *f, int mb)
@@ -437,7 +439,27 @@ static void write_mb(cab_t *c, frame_t *f, int mb, int is_p,
                 enc_dec(c, 67, m > 2);
         }
     } else {
-        /* mvd (ref_idx absent: 1 reference) */
+        if (f->num_ref > 1) {
+            /* ref_idx_l0: unary bins, ctx 54 + inc (9.3.3.1.1.6:
+             * condTermFlagN = 0 for unavailable / intra / skip /
+             * refIdx 0 neighbours); bins 1 / >=2 use ctx 58 / 59 */
+            int ra = has_l && f->cls[mbl] == CLS_P16 && f->ref
+                     && f->ref[mbl] > 0;
+            int rb = has_t && f->cls[mbt] == CLS_P16 && f->ref
+                     && f->ref[mbt] > 0;
+            int v = f->ref ? f->ref[mb] : 0;
+            int ctx = 54 + ra + 2 * rb;
+            for (int i = 0;; i++) {
+                if (v == 0) {
+                    enc_dec(c, ctx, 0);
+                    break;
+                }
+                enc_dec(c, ctx, 1);
+                v--;
+                ctx = 54 + (i == 0 ? 4 : 5);
+            }
+        }
+        /* mvd */
         int al = has_l && f->cls[mbl] == CLS_P16;
         int at = has_t && f->cls[mbt] == CLS_P16;
         int a0 = (al ? f->amvd[2 * mbl] : 0) + (at ? f->amvd[2 * mbt] : 0);
@@ -754,13 +776,15 @@ long encode_slice_cabac(
     const int16_t *cdc, const int16_t *cac,
     const int32_t *bmode, const int32_t *mvd1,
     const int32_t *t8, const int32_t *i4m,
+    const int32_t *ref, int num_ref,
     uint8_t *out, long out_cap)
 {
     int n = mbw * mbh;
     int is_p = slice_kind == 1, is_b = slice_kind == 2;
     frame_t f = {mbw, mbh, n, cls, i16m, chm, mvd, cbpl, cbpc, qp_mb,
                  ldc, lac, cdc, cac, bmode, mvd1, t8,
-                 NULL, {NULL, NULL}, NULL, NULL, NULL, i4m, NULL};
+                 NULL, {NULL, NULL}, NULL, NULL, NULL, i4m, NULL,
+                 ref, num_ref};
     f.nnz = calloc((size_t)(16 * n), 1);
     f.cnnz[0] = calloc((size_t)(4 * n), 1);
     f.cnnz[1] = calloc((size_t)(4 * n), 1);
@@ -887,11 +911,11 @@ long encode_slice_cabac(
  *   [13:13+K/2)   nonzero levels as int16 pairs (lo | hi<<16)
  *   then fields:  cls, mvd_x, mvd_y, i16m, chm, cbpl, cbpc, qp,
  *                 nnz_total, mb_cost, icost [, bmode, mvd1_x, mvd1_y],
- *                 t8 (transform_size_8x8_flag, always last)
+ *                 ref (list0 ref_idx), t8 (always last)
  * Returns payload bytes, or -1 on error / level-cap overflow. */
 long encode_slice_cabac_packed(
     int mbw, int mbh, int slice_kind, int slice_qp, int init_idc,
-    const int32_t *blob, int K, int stride, int t8_mode,
+    const int32_t *blob, int K, int stride, int t8_mode, int num_ref,
     uint8_t *out, long out_cap)
 {
     int n = mbw * mbh;
@@ -912,9 +936,11 @@ long encode_slice_cabac_packed(
     int32_t *bmode = is_b ? malloc((size_t)n * sz32) : NULL;
     int32_t *mvd1 = is_b ? malloc((size_t)2 * n * sz32) : NULL;
     int32_t *t8 = malloc((size_t)n * sz32);
+    int32_t *ref = malloc((size_t)n * sz32);
     long ret = -1;
     if (!ldc || !lac || !cdc || !cac || !cls || !mvd || !i16m || !chm
-        || !cbpl || !cbpc || !qp || !t8 || (is_b && (!bmode || !mvd1)))
+        || !cbpl || !cbpc || !qp || !t8 || !ref
+        || (is_b && (!bmode || !mvd1)))
         goto done;
 
     for (int mb = 0; mb < n; mb++) {
@@ -935,7 +961,8 @@ long encode_slice_cabac_packed(
             mvd1[2 * mb] = fields[12];
             mvd1[2 * mb + 1] = fields[13];
         }
-        t8[mb] = fields[is_b ? 14 : 11];
+        ref[mb] = fields[is_b ? 14 : 11];
+        t8[mb] = fields[is_b ? 15 : 12];
         int16_t *dst[4] = {ldc + 16 * mb, lac + 256 * mb,
                            cdc + 8 * mb, cac + 128 * mb};
         int lim[4] = {16, 256, 8, 128};
@@ -954,10 +981,11 @@ long encode_slice_cabac_packed(
                              cls, i16m, chm, mvd, cbpl, cbpc, qp,
                              ldc, lac, cdc, cac, bmode, mvd1,
                              t8_mode ? t8 : NULL, NULL,
+                             ref, num_ref,
                              out, out_cap);
 done:
     free(ldc); free(lac); free(cdc); free(cac); free(cls); free(mvd);
-    free(i16m); free(chm); free(cbpl); free(cbpc); free(qp);
+    free(i16m); free(chm); free(cbpl); free(cbpc); free(qp); free(ref);
     free(bmode); free(mvd1); free(t8);
     return ret;
 }

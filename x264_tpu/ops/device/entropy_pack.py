@@ -39,7 +39,7 @@ def blob_width(K: int, b: bool = False) -> int:
 
 def cabac_blob(luma_dc, luma_ac, chroma_dc, chroma_ac, mb_class, mvd,
                i16_mode, chroma_mode, cbp_luma, cbp_chroma, qp, mb_cost,
-               icost, K: int, bmode=None, mvd1=None, t8=None):
+               icost, K: int, bmode=None, mvd1=None, t8=None, ref=None):
     """All inputs per-MB int32 tensors (see p_frame_pipeline); K even.
     Returns (N, blob_width(K)) int32."""
     n = mb_class.shape[0]
@@ -86,7 +86,9 @@ def cabac_blob(luma_dc, luma_ac, chroma_dc, chroma_ac, mb_class, mvd,
               cbp_luma, cbp_chroma, qp, nnz_total, mb_cost, icost]
     if bmode is not None:
         fields += [bmode, mvd1[:, 0], mvd1[:, 1]]
-    # transform_size_8x8_flag, always the last field (see cabac.c)
+    # list0 ref_idx, then transform_size_8x8_flag always last (cabac.c)
+    fields += [jnp.zeros(n, jnp.int32) if ref is None
+               else ref.astype(jnp.int32)]
     fields += [jnp.zeros(n, jnp.int32) if t8 is None
                else t8.astype(jnp.int32)]
     return jnp.concatenate(

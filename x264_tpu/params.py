@@ -184,9 +184,6 @@ class EncoderParams:
             assert p.slices == 1, "B+slices: round 2"
             if p.scenecut_threshold:
                 p = p.clone(scenecut_threshold=0)
-        if p.cabac and p.slices > 1:
-            raise NotImplementedError(
-                "multi-slice CABAC lands with device CABAC (round 2)")
         if p.i4x4 and p.slices > 1:
             raise NotImplementedError("i4x4 + slices: pending")
         if p.i4x4 and p.transform_8x8:
@@ -223,9 +220,6 @@ class EncoderParams:
                 raise NotImplementedError("weightp + slices: pending")
             if p.i4x4:
                 raise NotImplementedError("weightp + i4x4: pending")
-            if p.cabac and p.ref_frames > 1:
-                raise NotImplementedError(
-                    "weightp + multi-ref CABAC: pending")
         return p
 
 
