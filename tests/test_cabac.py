@@ -178,16 +178,23 @@ def test_blob_compaction_stress(rng):
             jnp.asarray(flat[:, 272:280].reshape(n, 2, 4), jnp.int32),
             jnp.asarray(flat[:, 280:].reshape(n, 2, 4, 16), jnp.int32),
             z, jnp.zeros((n, 2), jnp.int32), z, z, z, z, z, z, z, K))
-        for i in range(n):
-            nz = flat[i][flat[i] != 0].astype(np.int16)
-            lvw = blob[i, 13:13 + K // 2].astype(np.uint32)
-            got = np.zeros(K, np.int16)
-            got[0::2] = (lvw & 0xffff).astype(np.uint16).astype(np.int16)
-            got[1::2] = (lvw >> 16).astype(np.uint16).astype(np.int16)
-            m = min(len(nz), K)
-            assert np.array_equal(got[:m], nz[:m]), (trial, i)
-            if len(nz) < K:
-                assert not got[len(nz):].any(), (trial, i)
+        from x264_tpu.ops.device.entropy_pack import blob_stride
+        st = blob_stride(False)
+        rows = blob[:n * st].reshape(n, st)
+        lvw = blob[n * st:].astype(np.uint32)
+        got = np.zeros(n * K, np.int16)
+        got[0::2] = (lvw & 0xffff).astype(np.uint16).astype(np.int16)
+        got[1::2] = (lvw >> 16).astype(np.uint16).astype(np.int16)
+        allnz = flat[flat != 0].astype(np.int16)     # frame emission order
+        m = min(len(allnz), n * K)
+        assert np.array_equal(got[:m], allnz[:m]), trial
+        if len(allnz) < n * K:
+            assert not got[len(allnz):].any(), trial
+        # per-MB prefixes match the cumulative counts
+        nnz_mb = (flat != 0).sum(1)
+        assert np.array_equal(rows[:, 13],
+                              np.cumsum(nnz_mb) - nnz_mb), trial
+        assert np.array_equal(rows[:, 14 + 8], nnz_mb), trial
 
 
 @pytest.mark.parametrize("qp", [14, 28, 40])

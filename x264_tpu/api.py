@@ -186,6 +186,12 @@ class Encoder:
         self._hrd_cod_total += 1
         return out
 
+    def _cab_rows(self, blob, n: int, is_b: bool = False):
+        """Per-MB field rows of a flat CABAC blob (entropy_pack layout)."""
+        from x264_tpu.ops.device.entropy_pack import blob_stride
+        st = blob_stride(is_b)
+        return np.asarray(blob).reshape(-1)[:n * st].reshape(n, st)
+
     def _cabac_fast(self) -> bool:
         """CABAC via the device fast path (compact blob + native C
         entropy, incl. multi-ref ref_idx bins).  Multi-slice CABAC stays
@@ -511,12 +517,14 @@ class Encoder:
         classes = []
         for b, ob in enumerate(job["outs"]):
             n_words = job["n_words"]
+            nmb_band = job["heights"][b] * mbw
             blob = np.asarray(ob["host_blob"])
 
             def _over(blob, n_words):
                 if cab:
-                    return int(blob[:, 13 + n_words // 2 + 8]
-                               .max(initial=0)) > n_words
+                    rows = self._cab_rows(blob, nmb_band)
+                    return int(rows[:, 14 + 8].astype(np.int64).sum()) \
+                        > nmb_band * n_words
                 return int(blob[:, n_words].max(initial=0)) > 32 * n_words
 
             if _over(blob, n_words):
@@ -537,9 +545,9 @@ class Encoder:
             qpb = job["qp_arr"][first_mb:first_mb + nmb]
             slice_qp = int(np.atleast_1d(qpb)[0])
             if cab:
-                foff = 13 + n_words // 2
-                mb_class = blob[:, foff]
-                total_cost += int(blob[:, foff + 9].astype(np.int64).sum())
+                rows = self._cab_rows(blob, nmb_band)
+                mb_class = rows[:, 14]
+                total_cost += int(rows[:, 14 + 9].astype(np.int64).sum())
             else:
                 nbits = blob[:, n_words]
                 words = np.ascontiguousarray(
@@ -635,9 +643,9 @@ class Encoder:
             # prediction is no cheaper than intra
             blob = np.asarray(out["host_blob"])
             if self._cabac_fast():
-                foff = 13 + n_words // 2
-                p_cost = float(blob[:, foff + 9].astype(np.int64).sum())
-                i_cost = float(blob[:, foff + 10].astype(np.int64).sum())
+                rows = self._cab_rows(blob, mbw * mbh)
+                p_cost = float(rows[:, 14 + 9].astype(np.int64).sum())
+                i_cost = float(rows[:, 14 + 10].astype(np.int64).sum())
             else:
                 p_cost = float(blob[:, n_words + 2].astype(np.int64).sum())
                 i_cost = float(blob[:, n_words + 3].astype(np.int64).sum())
@@ -756,9 +764,11 @@ class Encoder:
         from x264_tpu.bitstream.cabac_host import write_slice_cabac_packed
 
         K = job["n_words"]
-        foff = 13 + K // 2
-        if int(blob[:, foff + 8].max(initial=0)) > K:
-            # level-cap overflow: re-run the frame core at the next cap
+        n = job["mbw"] * job["mbh"]
+        rows = self._cab_rows(blob, n)
+        total = int(rows[:, 14 + 8].astype(np.int64).sum())
+        if total > n * K:
+            # frame-level stream overflow: re-run at the next capacity
             yd, ud, vd = job["planes"]
             for K in job["ladder"][1:]:
                 job["n_words"] = K
@@ -767,11 +777,12 @@ class Encoder:
                                         job["mbw"], job["mbh"],
                                         wts=job.get("wts"))
                 blob = np.asarray(out["host_blob"])
-                foff = 13 + K // 2
-                if int(blob[:, foff + 8].max(initial=0)) <= K:
+                rows = self._cab_rows(blob, n)
+                total = int(rows[:, 14 + 8].astype(np.int64).sum())
+                if total <= n * K:
                     break
-        self._note_budget(True, int(blob[:, foff + 8].max(initial=0)))
-        mb_class = blob[:, foff]
+        self._note_budget(True, -(-total // n))
+        mb_class = rows[:, 14]
 
         out_bytes = b""
         if job["ftype"] == "IDR" and self.p.repeat_headers:
@@ -795,7 +806,7 @@ class Encoder:
             num_ref=job.get("num_ref", 1) if kind == 1 else 1)
         out_bytes += wrap_slice_nal(bs.to_bytes_aligned() + payload,
                                     job["idr"])
-        cost = int(blob[:, foff + 9].astype(np.int64).sum())
+        cost = int(rows[:, 14 + 9].astype(np.int64).sum())
         self.stats.append(FrameStats(job["ftype"], len(out_bytes) * 8,
                                      job["qp"]))
         self.rc.update(job["ftype"], len(out_bytes) * 8, cost)
@@ -822,7 +833,9 @@ class Encoder:
         d = self._disp_idx
         self._disp_idx += 1
         out = b""
-        if d == 0 or (self.p.keyint_max > 0
+        f_type = self._force.get(d, (None, None))[0] if self._force \
+            else None
+        if d == 0 or f_type == "IDR" or (self.p.keyint_max > 0
                       and d % self.p.keyint_max == 0):
             out += self.flush()           # close the open mini-GOP
             self._idr_disp = d
@@ -831,6 +844,9 @@ class Encoder:
                 self._lookahead().push_anchor(self._pad(fr)[0])
             return out
         self._bq.append((fr, d))
+        if f_type == "P":
+            out += self._flush_bq()
+            return out
         if len(self._bq) == self.p.bframes + 1:
             if self.p.b_adapt:
                 # adaptive mini-GOP cut (slicetype b_adapt=1 analog):
@@ -919,6 +935,9 @@ class Encoder:
         if ftype == "IDR":
             self.frame_num = 0
         qp = self._qp_for_frame(ftype)
+        f_qp = self._forced_for(disp)[1]
+        if f_qp is not None:
+            qp = int(np.clip(f_qp, self.p.qp_min, self.p.qp_max))
         job = self._submit_device(y, u, v, ftype, qp)
         job["poc_lsb"] = self._poc_lsb(disp)
         out = job["out"]
@@ -945,6 +964,9 @@ class Encoder:
         mbw, mbh = w // 16, h // 16
         n = mbw * mbh
         qp = self._qp_for_frame("B")
+        f_qp = self._forced_for(disp)[1]
+        if f_qp is not None:
+            qp = int(np.clip(f_qp, self.p.qp_min, self.p.qp_max))
         ladder = self._ladder(qp)
 
         poc_cur = self._poc_lsb(disp)
@@ -1003,8 +1025,9 @@ class Encoder:
 
         def _over(blob, n_words):
             if cab:
-                return int(blob[:, 13 + n_words // 2 + 8]
-                           .max(initial=0)) > n_words
+                rows = self._cab_rows(blob, n, is_b=True)
+                return int(rows[:, 14 + 8].astype(np.int64).sum()) \
+                    > n * n_words
             return int(blob[:, n_words].max(initial=0)) > 32 * n_words
 
         if _over(blob, n_words):
@@ -1026,10 +1049,11 @@ class Encoder:
                 if not _over(blob, n_words):
                     break
         if cab:
-            foff = 13 + n_words // 2
-            self._note_budget(True, int(blob[:, foff + 8].max(initial=0)))
-            mb_class = blob[:, foff]
-            cost_total = int(blob[:, foff + 9].astype(np.int64).sum())
+            rows = self._cab_rows(blob, n, is_b=True)
+            total = int(rows[:, 14 + 8].astype(np.int64).sum())
+            self._note_budget(True, -(-total // n))
+            mb_class = rows[:, 14]
+            cost_total = int(rows[:, 14 + 9].astype(np.int64).sum())
         else:
             nbits = blob[:, n_words]
             self._note_budget(
@@ -1223,12 +1247,35 @@ class Encoder:
             return "IDR"
         return "P"
 
-    def encode(self, fr: Frame420) -> bytes:
+    # per-frame overrides (x264_picture_t.i_type / i_qplus1 analog):
+    # display idx -> (forced ftype or None, forced qp or None)
+    _force: dict = None
+    _in_disp = 0
+
+    def _forced_for(self, d: int):
+        if not self._force:
+            return (None, None)
+        return self._force.pop(d, (None, None))
+
+    def encode(self, fr: Frame420, frame_type: int = 0,
+               qp: int | None = None) -> bytes:
+        """frame_type: TYPE_AUTO/IDR/I/P/B (params enums) to force this
+        frame's type; qp: force this frame's QP — the --qpfile hooks
+        (reference x264.c:1801 parse_qpfile -> pic.i_type/i_qpplus1)."""
+        if frame_type or qp is not None:
+            from x264_tpu.params import (TYPE_B, TYPE_BREF, TYPE_I,
+                                         TYPE_IDR, TYPE_P)
+            tmap = {TYPE_IDR: "IDR", TYPE_I: "IDR", TYPE_P: "P",
+                    TYPE_B: "B", TYPE_BREF: "B"}
+            if self._force is None:
+                self._force = {}
+            self._force[self._in_disp] = (tmap.get(frame_type), qp)
+        self._in_disp += 1
         if self.p.bframes > 0:
             return self._encode_bgop(fr)
         if self._mbtree_on():
             return self._encode_mbtree(fr)
-        return self._encode_now(fr)
+        return self._encode_now(fr, disp=self._in_disp - 1)
 
     # ---- MB-tree lookahead window (bframes=0 path this round) ----------
     _mbt_q = None
@@ -1263,7 +1310,8 @@ class Encoder:
                                        np.int32(me_lambda(24)),
                                        me_range=8, mbw=mbw_lr,
                                        mbh=mbh_lr)
-        self._mbt_q.append(dict(fr=fr, lr=lr, ic=ic, pc=pc, mv=mv))
+        self._mbt_q.append(dict(fr=fr, lr=lr, ic=ic, pc=pc, mv=mv,
+                                disp=self._in_disp - 1))
         if len(self._mbt_q) <= max(1, self.p.rc_lookahead):
             return b""
         return self._pop_mbtree()
@@ -1286,16 +1334,25 @@ class Encoder:
         else:
             self._mbt_off = None
         try:
-            return self._encode_now(head["fr"])
+            return self._encode_now(head["fr"], disp=head.get("disp"))
         finally:
             self._mbt_off = None
 
     _mbt_off = None
 
-    def _encode_now(self, fr: Frame420) -> bytes:
+    def _encode_now(self, fr: Frame420, disp: int | None = None) -> bytes:
         y, u, v = self._pad(fr)
-        ftype = self._decide_type()
+        f_type, f_qp = (self._forced_for(disp) if disp is not None
+                        else (None, None))
+        if f_type in ("IDR", "P"):
+            ftype = f_type
+            if f_type == "IDR":
+                self._last_idr_idx = self.frame_idx
+        else:
+            ftype = self._decide_type()
         qp = self._qp_for_frame(ftype)
+        if f_qp is not None:
+            qp = int(np.clip(f_qp, self.p.qp_min, self.p.qp_max))
 
         out = b""
         if ftype == "IDR":

@@ -62,15 +62,19 @@ def write_slice_cabac_packed(blob: np.ndarray, mbw: int, mbh: int,
     """Encode slice_data() with CABAC from the device's compact blob
     (ops/device/entropy_pack.cabac_blob layout).  slice_kind 0=I/1=P/2=B.
     t8_mode: PPS transform_8x8_mode_flag (gates the per-MB flag bin).
-    Raises OverflowError when a MB exceeded the level cap K (caller
-    retries the frame core with the next ladder K)."""
+    blob: the FLAT row+stream array (entropy_pack layout); K = average
+    levels-per-MB stream capacity.  Raises OverflowError when the frame
+    exceeded the stream capacity (caller retries at the next rung)."""
+    from x264_tpu.ops.device.entropy_pack import blob_stride
     n = mbw * mbh
     cap = 1024 + n * 512
     out = np.zeros(cap, np.uint8)
-    blob = np.ascontiguousarray(blob.astype(np.int32, copy=False))
+    blob = np.ascontiguousarray(blob.reshape(-1).astype(np.int32,
+                                                        copy=False))
     sz = _lib().encode_slice_cabac_packed(
         mbw, mbh, slice_kind, int(slice_qp), init_idc,
-        blob, K, blob.shape[1], int(t8_mode), int(num_ref), out, cap)
+        blob, K, blob_stride(slice_kind == 2), int(t8_mode),
+        int(num_ref), out, cap)
     if sz < 0:
         raise OverflowError("CABAC level cap or buffer overflow")
     return out[:sz].tobytes()

@@ -94,6 +94,14 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--psnr", action="store_true", help="report PSNR")
     ap.add_argument("--ssim", action="store_true", help="report SSIM")
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--qpfile", default=None,
+                    help="force frame types/QPs from a file "
+                         "('frame type [qp]' per line)")
+    ap.add_argument("--vf", "--video-filter", dest="vf", default=None,
+                    help="filter chain, e.g. crop:0,0,16,0/"
+                         "resize:640x360/select_every:2,0")
+    ap.add_argument("--input-depth", type=int, default=4,
+                    help="read-ahead frames (threaded input)")
     ap.add_argument("--dump-recon", help="write reconstructed frames to "
                     "a .y4m (regression_test.txt workflow)")
     return ap
@@ -208,6 +216,14 @@ def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     reader = open_input(args)
     p = params_from_args(args, reader)
+    from x264_tpu.utils.filters import (ThreadedReader, apply_chain,
+                                        chain_out_size, parse_qpfile,
+                                        parse_vf)
+    chain = parse_vf(args.vf) if args.vf else []
+    if chain:
+        w2, h2 = chain_out_size(chain, p.width, p.height)
+        p = p.clone(width=w2, height=h2)
+    qpfile = parse_qpfile(args.qpfile) if args.qpfile else {}
     enc = Encoder(p)
 
     from x264_tpu.utils.metrics import psnr, ssim
@@ -218,12 +234,18 @@ def main(argv=None) -> int:
     nframes = 0
     total_bytes = 0
     with open(args.output, "wb") as out:
-        for i, fr in enumerate(reader):
+        for i, fr in enumerate(ThreadedReader(reader,
+                                              args.input_depth)):
             if i < args.seek:
                 continue
             if args.frames and nframes >= args.frames:
                 break
-            data = enc.encode(fr)
+            if chain:
+                fr = apply_chain(chain, fr)
+                if fr is None:
+                    continue            # dropped by select_every
+            ft, fqp = qpfile.get(nframes, (0, None))
+            data = enc.encode(fr, frame_type=ft, qp=fqp)
             out.write(data)
             total_bytes += len(data)
             nframes += 1

@@ -905,14 +905,16 @@ long encode_slice_cabac(
 }
 
 /* ---- packed-blob entry (device "phase 2" handoff) ----
- * Per-MB int32 layout (see ops/device/entropy_pack.py):
- *   [0:13)        significance bitmap over the 408-value emission order
- *                 [ldc 16 | lac 256 | cdc 8 | cac 128]
- *   [13:13+K/2)   nonzero levels as int16 pairs (lo | hi<<16)
- *   then fields:  cls, mvd_x, mvd_y, i16m, chm, cbpl, cbpc, qp,
- *                 nnz_total, mb_cost, icost [, bmode, mvd1_x, mvd1_y],
- *                 ref (list0 ref_idx), t8 (always last)
- * Returns payload bytes, or -1 on error / level-cap overflow. */
+ * Flat int32 layout (see ops/device/entropy_pack.py):
+ *   n rows of `stride` words:
+ *     [0:13)  significance bitmap over the 408-value emission order
+ *             [ldc 16 | lac 256 | cdc 8 | cac 128]
+ *     [13]    exclusive prefix of the MB's nonzero count into the stream
+ *     [14:..) fields: cls, mvd_x, mvd_y, i16m, chm, cbpl, cbpc, qp,
+ *             nnz, mb_cost, icost [, bmode, mvd1_x, mvd1_y], ref, t8
+ *   then n*K/2 words: frame-global int16 level pairs (lo | hi<<16).
+ * K = average levels-per-MB stream capacity.
+ * Returns payload bytes, or -1 on error / stream overflow. */
 long encode_slice_cabac_packed(
     int mbw, int mbh, int slice_kind, int slice_qp, int init_idc,
     const int32_t *blob, int K, int stride, int t8_mode, int num_ref,
@@ -920,7 +922,9 @@ long encode_slice_cabac_packed(
 {
     int n = mbw * mbh;
     int is_b = slice_kind == 2;
-    int foff = 13 + K / 2;
+    int foff = 14;
+    long stream_cap = (long)n * K;
+    const int32_t *stream = blob + (size_t)n * stride;
     size_t sz16 = sizeof(int16_t), sz32 = sizeof(int32_t);
     int16_t *ldc = calloc((size_t)16 * n, sz16);
     int16_t *lac = calloc((size_t)256 * n, sz16);
@@ -946,8 +950,9 @@ long encode_slice_cabac_packed(
     for (int mb = 0; mb < n; mb++) {
         const int32_t *row = blob + (size_t)mb * stride;
         const int32_t *fields = row + foff;
-        if (fields[8] > K)
-            goto done;                 /* level cap overflow: caller retries */
+        long prefix = row[13];
+        if (prefix + fields[8] > stream_cap)
+            goto done;             /* stream overflow: caller retries */
         cls[mb] = fields[0];
         mvd[2 * mb] = fields[1];
         mvd[2 * mb + 1] = fields[2];
@@ -966,11 +971,12 @@ long encode_slice_cabac_packed(
         int16_t *dst[4] = {ldc + 16 * mb, lac + 256 * mb,
                            cdc + 8 * mb, cac + 128 * mb};
         int lim[4] = {16, 256, 8, 128};
-        int sec = 0, secbase = 0, r = 0;
+        int sec = 0, secbase = 0;
+        long r = prefix;
         for (int j = 0; j < 408; j++) {
             while (j - secbase >= lim[sec]) { secbase += lim[sec]; sec++; }
             if ((row[j >> 5] >> (j & 31)) & 1) {
-                int32_t w = row[13 + (r >> 1)];
+                int32_t w = stream[r >> 1];
                 int16_t v = (int16_t)((r & 1) ? (w >> 16) : (w & 0xffff));
                 dst[sec][j - secbase] = v;
                 r++;

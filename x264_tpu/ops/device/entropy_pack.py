@@ -14,12 +14,20 @@ Flattened emission order (must match expand_blob() in native/cabac.c):
   [luma_dc 16 | luma_ac 16x16 raster-block zigzag | chroma_dc 2x4 |
    chroma_ac 2x4x16] = 408 values per MB.
 
-Blob layout per MB, int32 words:
-  [0:13)            significance bitmap (little-endian bits, 408 used)
-  [13:13+K/2)       nonzero levels, int16 pairs (lo | hi<<16)
-  [13+K/2: ...)     fields: mb_class, mvd_x, mvd_y, i16_mode,
-                    chroma_mode, cbp_luma, cbp_chroma, qp, nnz_total,
-                    mb_cost, icost [, bmode, mvd1_x, mvd1_y], t8
+Blob layout (ONE flat int32 array = per-MB rows, then the level stream):
+  row, per MB (stride = 14 + n_fields):
+    [0:13)   significance bitmap (little-endian bits, 408 used)
+    [13]     exclusive prefix sum of the MB's nonzero count (its levels
+             start at stream[prefix])
+    [14:..)  fields: mb_class, mvd_x, mvd_y, i16_mode, chroma_mode,
+             cbp_luma, cbp_chroma, qp, nnz_total, mb_cost, icost
+             [, bmode, mvd1_x, mvd1_y], ref, t8
+  stream:  n*K/2 words of int16 level pairs (lo | hi<<16), frame-global.
+
+K is the AVERAGE levels-per-MB capacity: the stream is sized for the
+whole frame, so one busy MB no longer forces a bigger per-MB cap — the
+overflow ladder became frame-total and ~never fires (a 4.37 MB K=216
+per-MB blob at 1080p becomes ~1.9 MB here; the host tunnel is 40 MB/s).
 """
 
 from __future__ import annotations
@@ -29,19 +37,19 @@ import numpy as np
 
 N_VALS = 408
 N_BITMAP = 13
-FIELDS_P = 12
-FIELDS_B = 15
+FIELDS_P = 13
+FIELDS_B = 16
 
 
-def blob_width(K: int, b: bool = False) -> int:
-    return N_BITMAP + K // 2 + (FIELDS_B if b else FIELDS_P)
+def blob_stride(b: bool = False) -> int:
+    return N_BITMAP + 1 + (FIELDS_B if b else FIELDS_P)
 
 
 def cabac_blob(luma_dc, luma_ac, chroma_dc, chroma_ac, mb_class, mvd,
                i16_mode, chroma_mode, cbp_luma, cbp_chroma, qp, mb_cost,
                icost, K: int, bmode=None, mvd1=None, t8=None, ref=None):
     """All inputs per-MB int32 tensors (see p_frame_pipeline); K even.
-    Returns (N, blob_width(K)) int32."""
+    Returns a flat int32 array: n*stride row words + n*K/2 stream words."""
     n = mb_class.shape[0]
     flat = jnp.concatenate([
         luma_dc.reshape(n, 16), luma_ac.reshape(n, 256),
@@ -56,34 +64,38 @@ def cabac_blob(luma_dc, luma_ac, chroma_dc, chroma_ac, mb_class, mvd,
     # disjoint bit positions within a word => sum == or
     bitmap = jnp.einsum("nj,jw->nw", bit, onehot.astype(jnp.int32))
 
-    # stable left-compaction of the nonzeros WITHOUT a scatter (XLA
-    # scatter costs ~22ms here at 1080p): each kept element must move
-    # left by dist = (#zeros before it), which is non-decreasing along
-    # the row, so shifting movers by one distance-bit at a time is
-    # collision-free (classic parallel stream compaction).
-    dist = jnp.cumsum((~mask).astype(jnp.int32), axis=1) - (~mask)
-    vals = jnp.where(mask, flat, 0)
-    keep = mask
-    for b in range(int(np.ceil(np.log2(max(N_VALS, 2))))):
+    nnz_mb = mask.sum(axis=1).astype(jnp.int32)
+    prefix = jnp.cumsum(nnz_mb) - nnz_mb               # exclusive
+
+    # FRAME-GLOBAL stable left-compaction of the nonzeros WITHOUT a
+    # scatter (XLA scatter costs ~22ms here at 1080p): each kept element
+    # must move left by dist = (#zeros before it), which is
+    # non-decreasing along the stream, so shifting movers by one
+    # distance-bit at a time is collision-free (classic parallel stream
+    # compaction, now over all MBs at once).
+    total = n * N_VALS
+    fmask = mask.reshape(total)
+    vals = jnp.where(fmask, flat.reshape(total), 0)
+    dist = jnp.cumsum((~fmask).astype(jnp.int32)) - (~fmask)
+    keep = fmask
+    for b in range(int(np.ceil(np.log2(max(total, 2))))):
         sft = 1 << b
-        v_in = jnp.concatenate(
-            [vals[:, sft:], jnp.zeros((n, sft), jnp.int32)], axis=1)
-        d_in = jnp.concatenate(
-            [dist[:, sft:], jnp.zeros((n, sft), jnp.int32)], axis=1)
-        k_in = jnp.concatenate(
-            [keep[:, sft:], jnp.zeros((n, sft), bool)], axis=1)
+        pad = jnp.zeros((sft,), jnp.int32)
+        v_in = jnp.concatenate([vals[sft:], pad])
+        d_in = jnp.concatenate([dist[sft:], pad])
+        k_in = jnp.concatenate([keep[sft:], pad.astype(bool)])
         arrive = k_in & (((d_in >> b) & 1) == 1)
         depart = keep & (((dist >> b) & 1) == 1)
         vals = jnp.where(arrive, v_in, jnp.where(depart, 0, vals))
         dist = jnp.where(arrive, d_in - sft, jnp.where(depart, 0, dist))
         keep = arrive | (keep & ~depart)
-    lv = vals[:, :K]
-    lv16 = lv & 0xffff
-    packed = lv16[:, 0::2] | (lv16[:, 1::2] << 16)     # (N, K//2)
+    cap = n * K
+    lv16 = vals[:cap] & 0xffff
+    stream = lv16[0::2] | (lv16[1::2] << 16)           # (n*K/2,)
 
-    nnz_total = mask.sum(axis=1).astype(jnp.int32)
-    fields = [mb_class, mvd[:, 0], mvd[:, 1], i16_mode, chroma_mode,
-              cbp_luma, cbp_chroma, qp, nnz_total, mb_cost, icost]
+    fields = [prefix, mb_class, mvd[:, 0], mvd[:, 1], i16_mode,
+              chroma_mode, cbp_luma, cbp_chroma, qp, nnz_mb, mb_cost,
+              icost]
     if bmode is not None:
         fields += [bmode, mvd1[:, 0], mvd1[:, 1]]
     # list0 ref_idx, then transform_size_8x8_flag always last (cabac.c)
@@ -91,6 +103,6 @@ def cabac_blob(luma_dc, luma_ac, chroma_dc, chroma_ac, mb_class, mvd,
                else ref.astype(jnp.int32)]
     fields += [jnp.zeros(n, jnp.int32) if t8 is None
                else t8.astype(jnp.int32)]
-    return jnp.concatenate(
-        [bitmap, packed] + [f.astype(jnp.int32)[:, None] for f in fields],
-        axis=1)
+    rows = jnp.concatenate(
+        [bitmap] + [f.astype(jnp.int32)[:, None] for f in fields], axis=1)
+    return jnp.concatenate([rows.reshape(-1), stream])

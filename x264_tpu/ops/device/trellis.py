@@ -222,29 +222,14 @@ def trellis_quant(coefs_zz, dq_zz, lam2f, tbl, nc: int):
     # {Lr-1, Lr, 0} bracket the RD optimum either way
     Lr = jnp.floor(absc / dqf + 0.5).astype(jnp.int32)
 
-    INF = jnp.float32(3e38)
+    # BIG, not inf: costs ride a one-hot MXU contraction (inf*0 = nan)
+    BIG = jnp.float32(1e30)
     nstate = 9                   # 0..7 = level nodes, 8 = unstarted
-    cost = jnp.concatenate([jnp.full((B, 8), INF),
+    cost = jnp.concatenate([jnp.full((B, 8), BIG),
                             jnp.zeros((B, 1))], axis=1)
 
-    # per-source-state level costs, vectorized over the 8 started nodes +
-    # node 0 reused for the from-unstarted entry
-    def lc_eq1_vec():
-        return b0[:, 0] + byp                                   # (8,)
-
-    def lc_gt1_vec(a):
-        """(B, 8): cost of |level|=a (>1) from each node."""
-        af = a.astype(jnp.float32)[:, None]
-        m = jnp.minimum(af, 15.0)
-        eg0 = jnp.where(
-            a[:, None] >= 15,
-            byp * (2.0 * jnp.floor(jnp.log2(jnp.maximum(af - 14.0, 1.0)))
-                   + 1.0),
-            gt1[None, :, 0])
-        return b0[None, :, 1] + (m - 2.0) * gt1[None, :, 1] + eg0 + byp
-
     # the 5 move kinds per DP step, each with a STATIC target map over the
-    # 9 source states (8 = unstarted); `moves` rows: (tgt9, lvl_kind)
+    # 9 source states (8 = unstarted, entering via node 0's contexts);
     # lvl_kind: 0 -> level 0, 1 -> a1, 2 -> a2
     TE = [int(x) for x in TRANS_EQ1]
     TG = [int(x) for x in TRANS_GT1]
@@ -255,68 +240,97 @@ def trellis_quant(coefs_zz, dq_zz, lam2f, tbl, nc: int):
         (TE + [TE[0]], 2),                   # a2 == 1
         (TG + [TG[0]], 2),                   # a2 > 1
     ]
-    # static per-target candidate lists: (move_idx, src_state)
-    BY_TGT = [[(mi, s) for mi, (tgt, _) in enumerate(MOVES)
-               for s in range(9) if tgt[s] == t] for t in range(9)]
+    tgt45 = np.array([MOVES[m][0][s] for m in range(5) for s in range(9)])
+    src45 = np.tile(np.arange(9), 5).astype(np.int32)
+    kind45 = np.repeat([0, 1, 1, 2, 2], 9).astype(np.int32)
+    # group the 45 (move, src) transitions by target, padded to a
+    # rectangle with a BIG dummy column (index 45)
+    groups = [[i for i in range(45) if tgt45[i] == t] for t in range(9)]
+    G = max(len(x) for x in groups)
+    IDX = np.full((9, G), 45, np.int64)
+    for t, cols in enumerate(groups):
+        IDX[t, :len(cols)] = cols
+    SEL = np.zeros((46, 9 * G), np.float32)
+    SEL[IDX.reshape(-1), np.arange(9 * G)] = 1.0
+    SELj = jnp.asarray(SEL)
+    SRCG = jnp.asarray(np.where(IDX < 45, src45[np.minimum(IDX, 44)],
+                                8).astype(np.int32))     # (9, G)
+    KINDG = jnp.asarray(np.where(IDX < 45, kind45[np.minimum(IDX, 44)],
+                                 0).astype(np.int32))
+    # per-source-column extensions (col 8 = unstarted uses node 0's ctx)
+    lc1_ext = jnp.concatenate([b0[:, 0], b0[0:1, 0]]) + byp     # (9,)
+    b0e1 = jnp.concatenate([b0[:, 1], b0[0:1, 1]])              # (9,)
+    gt1e0 = jnp.concatenate([gt1[:, 0], gt1[0:1, 0]])
+    gt1e1 = jnp.concatenate([gt1[:, 1], gt1[0:1, 1]])
+    started_ind = jnp.asarray(
+        np.concatenate([np.ones(8, np.float32), [0.0]]))        # (9,)
+    unstart_ind = 1.0 - started_ind
+    prec = None
 
     def step(cost, c_p, dq_p, lr, wp, sig0, flags_last, flags_mid):
         """One Viterbi step.  cost (B,9) -> (new_cost, lvl_rec, src_rec).
-        flags_* are traced scalars (first position: flags_last=0 and
-        flags_mid=INF — no started states exist yet anyway)."""
+        All transitions evaluated as five (B,9) move tensors, grouped by
+        target through a one-hot MXU contraction, argmin over the group
+        axis — ~10 big ops instead of ~100 (B,)-sized ones (the op-soup
+        form cost ~8ms/step in TPU While-loop overhead)."""
+        import jax
         a1 = lr
         a2 = jnp.maximum(lr - 1, 0)
+        a1f = a1.astype(jnp.float32)
+        a2f = a2.astype(jnp.float32)
+        d0 = wp * c_p * c_p
+        e1 = c_p - a1f * dq_p
+        e2 = c_p - a2f * dq_p
+        da1 = wp * e1 * e1
+        da2 = wp * e2 * e2
 
-        def dist(a):
-            e = c_p - a.astype(jnp.float32) * dq_p
-            return wp * e * e
+        flv = flags_mid * started_ind + flags_last * unstart_ind   # (9,)
+        base_e = cost + (flv + lc1_ext)[None, :]
+        m1 = jnp.where((a1 == 1)[:, None], base_e + da1[:, None], BIG)
+        m3 = jnp.where((a2 == 1)[:, None], base_e + da2[:, None], BIG)
 
-        d0 = dist(jnp.zeros_like(a1))
-        lvls = [None, a1, a2]
-        dists = [d0, dist(a1), dist(a2)]
-        move_costs = []
-        # move 0: zero everywhere (started pays sig0; unstarted nothing)
-        mc0 = cost + d0[:, None] + jnp.concatenate(
-            [jnp.broadcast_to(sig0, (B, 8)), jnp.zeros((B, 1))], axis=1)
-        move_costs.append(mc0)
-        for kind, lk in ((1, 1), (2, 1), (1, 2), (2, 2)):
-            a = lvls[lk]
-            da = dists[lk]
-            valid = (a == 1) if kind == 1 else (a > 1)
-            if kind == 1:
-                lc = jnp.broadcast_to(lc_eq1_vec()[None, :], (B, 8))
-                lc_u = lc_eq1_vec()[0]
-            else:
-                lc = lc_gt1_vec(a)
-                lc_u = lc[:, 0]
-            started = cost[:, :8] + flags_mid + lc + da[:, None]
-            unstart = cost[:, 8] + flags_last + lc_u + da
-            mc = jnp.concatenate([started, unstart[:, None]], axis=1)
-            move_costs.append(jnp.where(valid[:, None], mc, INF))
+        def lcg(a, af):
+            mm = jnp.minimum(af, 15.0)[:, None]
+            eg0 = jnp.where(
+                (a >= 15)[:, None],
+                byp * (2.0 * jnp.floor(
+                    jnp.log2(jnp.maximum(af - 14.0, 1.0)))[:, None] + 1.0),
+                gt1e0[None, :])
+            return b0e1[None, :] + (mm - 2.0) * gt1e1[None, :] + eg0 + byp
 
-        new_cost, new_lvl, new_src = [], [], []
-        for t in range(9):
-            terms = BY_TGT[t]
-            stackc = jnp.stack([move_costs[mi][:, s] for (mi, s) in terms])
-            k = jnp.argmin(stackc, axis=0)           # first min wins
-            new_cost.append(jnp.min(stackc, axis=0))
-            lvl_opts = jnp.stack(
-                [lvls[MOVES[mi][1]] if MOVES[mi][1] else
-                 jnp.zeros(B, jnp.int32) for (mi, s) in terms])
-            new_lvl.append(jnp.take_along_axis(lvl_opts, k[None], 0)[0])
-            srcs = jnp.asarray(np.array([s for (_, s) in terms], np.int32))
-            new_src.append(srcs[k])
-        return (jnp.stack(new_cost, axis=1), jnp.stack(new_lvl, axis=1),
-                jnp.stack(new_src, axis=1))
+        gt_base = cost + flv[None, :]
+        m2 = jnp.where((a1 > 1)[:, None], gt_base + lcg(a1, a1f)
+                       + da1[:, None], BIG)
+        m4 = jnp.where((a2 > 1)[:, None], gt_base + lcg(a2, a2f)
+                       + da2[:, None], BIG)
+        mc0 = cost + d0[:, None] + (sig0 * started_ind)[None, :]
+        mc = jnp.concatenate([mc0, m1, m2, m3, m4,
+                              jnp.full((B, 1), BIG)], axis=1)  # (B,46)
+        grouped = jnp.einsum("bf,fg->bg", mc, SELj,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32
+                             ).reshape(B, 9, G)
+        kk = jnp.argmin(grouped, axis=2)                       # (B,9)
+        new_cost = jnp.min(grouped, axis=2)
+        oneh = (jnp.arange(G, dtype=jnp.int32)[None, None, :]
+                == kk[:, :, None])
+        new_src = jnp.where(oneh, SRCG[None], 0).sum(axis=2)
+        kind = jnp.where(oneh, KINDG[None], 0).sum(axis=2)
+        new_lvl = jnp.where(kind == 1, a1[:, None],
+                            jnp.where(kind == 2, a2[:, None], 0))
+        return new_cost, new_lvl.astype(jnp.int32), \
+            new_src.astype(jnp.int32)
 
-    INF0 = jnp.float32(0.0)
+    del prec
     # position nc-1 first: significance inferred (no flags), no started
-    # sources yet (their cost is INF)
+    # sources yet (their cost is BIG)
     cost, lvl0, src0 = step(cost, absc[:, nc - 1], dqf[:, nc - 1],
                             Lr[:, nc - 1], w[nc - 1],
-                            INF0, jnp.float32(0.0), INF)
+                            jnp.float32(0.0), jnp.float32(0.0), BIG)
 
-    # remaining positions nc-2 .. 0 under ONE scanned body (compile-size:
-    # the unrolled form was ~nc x this graph and took minutes to build)
+    # remaining positions nc-2 .. 0; unrolled scan: with ~10-op bodies the
+    # While-loop per-iteration overhead dominated (~8ms/step), so unroll
+    # buys ~100x here
     idx = np.arange(nc - 2, -1, -1)
     xs = (absc[:, idx].T, dqf[:, idx].T, Lr[:, idx].T,
           w[idx], sig[idx, 0], sig[idx, 1] + last[idx, 1],
@@ -328,7 +342,8 @@ def trellis_quant(coefs_zz, dq_zz, lam2f, tbl, nc: int):
         return cost, (lvl, src)
 
     import jax
-    cost, (lvls_s, srcs_s) = jax.lax.scan(body, cost, xs)
+    cost, (lvls_s, srcs_s) = jax.lax.scan(
+        body, cost, xs, unroll=nc - 1 if nc == 16 else 9)
     lvl_recs = jnp.concatenate([lvl0[None], lvls_s])    # (nc, B, 9)
     src_recs = jnp.concatenate([src0[None], srcs_s])
 
@@ -348,6 +363,6 @@ def trellis_quant(coefs_zz, dq_zz, lam2f, tbl, nc: int):
         return state, a
 
     _, lv_steps = jax.lax.scan(back, state, (lvl_recs, src_recs),
-                               reverse=True)
+                               reverse=True, unroll=nc)
     lv = lv_steps[::-1].T                    # (B, nc), position order
     return jnp.where(coefs_zz < 0, -lv, lv).astype(jnp.int32)
