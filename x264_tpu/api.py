@@ -158,6 +158,28 @@ class Encoder:
             out += version_sei(self.p)
         return out
 
+    # access-unit metadata log (container muxing: pts/dts/keyframe)
+    _au_meta: list = None
+    _cod_count = 0
+
+    def _note_au(self, nbytes: int, ftype: str, poc_lsb: int):
+        if self._au_meta is None:
+            self._au_meta = []
+        disp = (self._idr_disp + poc_lsb // 2 if self.p.bframes
+                else self._cod_count)
+        self._au_meta.append(dict(bytes=nbytes, pts=disp,
+                                  dts=self._cod_count,
+                                  key=ftype == "IDR"))
+        self._cod_count += 1
+
+    def drain_au_meta(self) -> list:
+        """Access units (sizes within the bytes returned so far, pts/dts
+        in frame units, keyframe flags) since the last drain — the
+        x264_picture_t out-fields analog for muxers."""
+        m = self._au_meta or []
+        self._au_meta = []
+        return m
+
     # NAL HRD timing SEI state (coded-order counters)
     _hrd_cod_since_bp = 0
     _hrd_cod_total = 0
@@ -257,15 +279,22 @@ class Encoder:
                            **ekw)
         return out, SLICE_P
 
+    _cab_states: dict = None     # last final CABAC states per slice type
+
     def _trellis_tbl(self, qp: int, slice_type: str):
         """Per-frame trellis cost bundle, or None when trellis is off
-        (the bundle rides the jit arg pytree — one compiled graph)."""
+        (the bundle rides the jit arg pytree — one compiled graph).
+        Uses the previous same-type frame's final CABAC states as the
+        bit-cost operating point when available (rdo.c's snapshot
+        model, one frame stale) — the ctx-init estimate underprices
+        bits on busy content and over-raises levels."""
         if not (self.p.trellis and self.p.cabac):
             return None
         from x264_tpu.models.inter_frame import me_lambda
         from x264_tpu.ops.device.trellis import frame_trellis
+        states = (self._cab_states or {}).get(slice_type)
         return frame_trellis(qp, slice_type, me_lambda(qp),
-                             self.p.transform_8x8)
+                             self.p.transform_8x8, states=states)
 
     def _requantize_idr(self, qp: int) -> int:
         """Re-derive the frame QP when a P frame is promoted to IDR."""
@@ -590,6 +619,7 @@ class Encoder:
         self.rc.update(job["ftype"], len(out_bytes) * 8, total_cost)
         self._record_stats(job["ftype"], job["qp"], len(out_bytes) * 8,
                            total_cost, np.concatenate(classes))
+        self._note_au(len(out_bytes), job["ftype"], job.get("poc_lsb", 0))
         return out_bytes
 
     def _submit_device(self, y, u, v, ftype: str, qp: int) -> dict:
@@ -755,6 +785,7 @@ class Encoder:
         self.rc.update(job["ftype"], len(out_bytes) * 8, cost)
         self._record_stats(job["ftype"], job["qp"], len(out_bytes) * 8,
                            cost, mb_class)
+        self._note_au(len(out_bytes), job["ftype"], job.get("poc_lsb", 0))
         return out_bytes
 
     def _finalize_cabac(self, job: dict, blob: np.ndarray) -> bytes:
@@ -800,10 +831,14 @@ class Encoder:
         if pad:
             bs.put(pad, (1 << pad) - 1)    # cabac_alignment_one_bit
         kind = 0 if job["slice_type"] == SLICE_I else 1
-        payload = write_slice_cabac_packed(
+        payload, states = write_slice_cabac_packed(
             blob, job["mbw"], job["mbh"], kind, job["slice_qp"], K,
             t8_mode=self.p.transform_8x8,
-            num_ref=job.get("num_ref", 1) if kind == 1 else 1)
+            num_ref=job.get("num_ref", 1) if kind == 1 else 1,
+            want_states=True)
+        if self._cab_states is None:
+            self._cab_states = {}
+        self._cab_states["I" if kind == 0 else "P"] = states
         out_bytes += wrap_slice_nal(bs.to_bytes_aligned() + payload,
                                     job["idr"])
         cost = int(rows[:, 14 + 9].astype(np.int64).sum())
@@ -812,6 +847,7 @@ class Encoder:
         self.rc.update(job["ftype"], len(out_bytes) * 8, cost)
         self._record_stats(job["ftype"], job["qp"], len(out_bytes) * 8,
                            cost, mb_class)
+        self._note_au(len(out_bytes), job["ftype"], job.get("poc_lsb", 0))
         return out_bytes
 
     # ---- B-frame mini-GOP orchestration (IbbP, temporal direct) --------
@@ -922,6 +958,7 @@ class Encoder:
             syn = self._last_syn
             rec.col_mv = jnp.asarray(syn.mv.astype(np.int32))
             rec.col_intra = jnp.asarray(syn.mb_class == 0)
+            self._note_au(len(out_bytes), ftype, self._poc_lsb(disp))
             return out_bytes
         return self._finalize_device(self._submit_anchor(fr, disp, ftype))
 
@@ -1073,9 +1110,12 @@ class Encoder:
             pad = (-bs.bit_length) % 8
             if pad:
                 bs.put(pad, (1 << pad) - 1)
-            payload = write_slice_cabac_packed(blob, mbw, mbh, 2, qp,
-                                               n_words,
-                                               t8_mode=self.p.transform_8x8)
+            payload, bst = write_slice_cabac_packed(
+                blob, mbw, mbh, 2, qp, n_words,
+                t8_mode=self.p.transform_8x8, want_states=True)
+            if self._cab_states is None:
+                self._cab_states = {}
+            self._cab_states["B"] = bst
             data = hrd + wrap_slice_nal(
                 bs.to_bytes_aligned() + payload, False, is_ref=False)
         else:
@@ -1108,6 +1148,7 @@ class Encoder:
         self.rc.update("B", len(data) * 8, cost_total)
         self._record_stats("B", qp, len(data) * 8, cost_total,
                            np.where(mb_class == 3, 3, 2))
+        self._note_au(len(data), "B", poc_cur)
         return data
 
     def encode_pipelined(self, fr: Frame420) -> bytes:
@@ -1367,7 +1408,9 @@ class Encoder:
                 "mixing encode() and encode_pipelined(); flush() first"
             job = self._submit_device(y, u, v, ftype, qp)
             return self._finalize_device(job)
-        return out + self._encode_frame_syn(y, u, v, ftype, qp)
+        data = out + self._encode_frame_syn(y, u, v, ftype, qp)
+        self._note_au(len(data), ftype, 0)
+        return data
 
     def _encode_frame_syn(self, y, u, v, ftype, qp, poc_lsb=0):
         """Syntax-tensor encode path (reference backend / CABAC /

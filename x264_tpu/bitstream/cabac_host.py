@@ -42,6 +42,7 @@ def _lib():
             ctypes.c_void_p,               # i4m: NULL = no I4x4 MBs
             ctypes.c_void_p, ctypes.c_int,  # ref (NULL=single), num_ref
             u8p, ctypes.c_long,
+            ctypes.c_void_p,                # state_out (1024) or NULL
         ]
         lib.encode_slice_cabac_packed.restype = ctypes.c_long
         lib.encode_slice_cabac_packed.argtypes = [
@@ -49,6 +50,7 @@ def _lib():
             ctypes.c_int,
             i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             u8p, ctypes.c_long,
+            ctypes.c_void_p,                # state_out (1024) or NULL
         ]
         _LIB = lib
     return _LIB
@@ -58,7 +60,8 @@ def write_slice_cabac_packed(blob: np.ndarray, mbw: int, mbh: int,
                              slice_kind: int, slice_qp: int, K: int,
                              init_idc: int = 0,
                              t8_mode: bool = False,
-                             num_ref: int = 1) -> bytes:
+                             num_ref: int = 1,
+                             want_states: bool = False):
     """Encode slice_data() with CABAC from the device's compact blob
     (ops/device/entropy_pack.cabac_blob layout).  slice_kind 0=I/1=P/2=B.
     t8_mode: PPS transform_8x8_mode_flag (gates the per-MB flag bin).
@@ -71,12 +74,17 @@ def write_slice_cabac_packed(blob: np.ndarray, mbw: int, mbh: int,
     out = np.zeros(cap, np.uint8)
     blob = np.ascontiguousarray(blob.reshape(-1).astype(np.int32,
                                                         copy=False))
+    states = np.zeros(1024, np.uint8) if want_states else None
     sz = _lib().encode_slice_cabac_packed(
         mbw, mbh, slice_kind, int(slice_qp), init_idc,
         blob, K, blob_stride(slice_kind == 2), int(t8_mode),
-        int(num_ref), out, cap)
+        int(num_ref), out, cap,
+        None if states is None
+        else states.ctypes.data_as(ctypes.c_void_p))
     if sz < 0:
         raise OverflowError("CABAC level cap or buffer overflow")
+    if want_states:
+        return out[:sz].tobytes(), states
     return out[:sz].tobytes()
 
 
@@ -122,7 +130,7 @@ def write_slice_cabac(syn, slice_type: int, slice_qp: int,
          np.ascontiguousarray(syn.i4_modes.astype(np.int32))
          .ctypes.data_as(ctypes.c_void_p)),
         None, 1,
-        out, cap)
+        out, cap, None)
     if sz < 0:
         raise RuntimeError("CABAC buffer overflow")
     return out[:sz].tobytes()

@@ -233,7 +233,23 @@ def main(argv=None) -> int:
     t0 = time.time()
     nframes = 0
     total_bytes = 0
-    with open(args.output, "wb") as out:
+    from x264_tpu.output import RawMuxer, open_muxer
+    mux = open_muxer(args.output, p)
+    raw_out = isinstance(mux, RawMuxer)
+    if not raw_out:
+        mux.write_headers(enc.headers())
+    delay = 1 if p.bframes else 0        # pts shift keeps cts >= 0
+
+    def write_aus(data):
+        for meta in enc.drain_au_meta():
+            au, rest = data[:meta["bytes"]], data[meta["bytes"]:]
+            data = rest
+            mux.write_frame(au, meta["pts"] + delay, meta["dts"],
+                            meta["key"])
+        assert not data, "AU metadata out of sync with the byte stream"
+
+    if True:
+        out = None
         for i, fr in enumerate(ThreadedReader(reader,
                                               args.input_depth)):
             if i < args.seek:
@@ -246,7 +262,7 @@ def main(argv=None) -> int:
                     continue            # dropped by select_every
             ft, fqp = qpfile.get(nframes, (0, None))
             data = enc.encode(fr, frame_type=ft, qp=fqp)
-            out.write(data)
+            write_aus(data)
             total_bytes += len(data)
             nframes += 1
             if args.psnr or args.ssim or recon_frames is not None:
@@ -273,8 +289,9 @@ def main(argv=None) -> int:
                 sys.stderr.flush()
         # drain reordering/lookahead queues (x264's pi_nal flush loop)
         tail = enc.flush()
-        out.write(tail)
+        write_aus(tail)
         total_bytes += len(tail)
+        mux.close()
 
     el = time.time() - t0
     fps_out = p.fps_num / p.fps_den

@@ -777,7 +777,7 @@ long encode_slice_cabac(
     const int32_t *bmode, const int32_t *mvd1,
     const int32_t *t8, const int32_t *i4m,
     const int32_t *ref, int num_ref,
-    uint8_t *out, long out_cap)
+    uint8_t *out, long out_cap, uint8_t *state_out)
 {
     int n = mbw * mbh;
     int is_p = slice_kind == 1, is_b = slice_kind == 2;
@@ -901,6 +901,8 @@ long encode_slice_cabac(
     free(f.i4grid);
     if (c.overflow)
         return -1;
+    if (state_out)
+        memcpy(state_out, c.state, 1024);   /* trellis cost feedback */
     return (c.bitpos + 7) >> 3;
 }
 
@@ -918,7 +920,7 @@ long encode_slice_cabac(
 long encode_slice_cabac_packed(
     int mbw, int mbh, int slice_kind, int slice_qp, int init_idc,
     const int32_t *blob, int K, int stride, int t8_mode, int num_ref,
-    uint8_t *out, long out_cap)
+    uint8_t *out, long out_cap, uint8_t *state_out)
 {
     int n = mbw * mbh;
     int is_b = slice_kind == 2;
@@ -988,7 +990,7 @@ long encode_slice_cabac_packed(
                              ldc, lac, cdc, cac, bmode, mvd1,
                              t8_mode ? t8 : NULL, NULL,
                              ref, num_ref,
-                             out, out_cap);
+                             out, out_cap, state_out);
 done:
     free(ldc); free(lac); free(cdc); free(cac); free(cls); free(mvd);
     free(i16m); free(chm); free(cbpl); free(cbpc); free(qp); free(ref);

@@ -172,8 +172,40 @@ def tables_tuple(slice_qp: int, slice_type: str, cat: int) -> tuple:
     return (t["sig"], t["last"], t["b0"], t["gt1"], t["cbf"])
 
 
+def _state_bits(states: np.ndarray, idx) -> np.ndarray:
+    """(..., 2) bin costs from LIVE engine states (packed as
+    (pStateIdx<<1)|mps by native/cabac.c) — the rdo.c snapshot model,
+    one frame stale instead of x264's same-MB snapshot."""
+    st = states[np.asarray(idx)].astype(np.int64)
+    plps = 0.5 * _ALPHA ** (st >> 1)
+    p1 = np.where(st & 1, 1.0 - plps, plps)
+    p1 = np.clip(p1, 1e-4, 1.0 - 1e-4)
+    return (np.stack([-np.log2(1.0 - p1), -np.log2(p1)], axis=-1)
+            * 256.0).astype(np.float32)
+
+
+def tables_from_states(states: np.ndarray, cat: int) -> tuple:
+    """Trellis cost tuple from the previous frame's final CABAC states
+    (the adaptive analog of tables_tuple; layout identical)."""
+    if cat == 5:
+        sig = _state_bits(states, 402 + SIG8X8_MAP)
+        last = _state_bits(states, 417 + LAST8X8_MAP)
+        lvl_off = 426
+        cbf = np.array([0.0, 256.0], np.float32)
+    else:
+        off = {0: 0, 1: 15, 2: 29, 3: 44, 4: 47}[cat]
+        npos = {0: 16, 1: 15, 2: 16, 3: 4, 4: 15}[cat] - 1
+        sig = _state_bits(states, 105 + off + np.arange(npos))
+        last = _state_bits(states, 166 + off + np.arange(npos))
+        lvl_off = 227 + {0: 0, 1: 10, 2: 20, 3: 30, 4: 39}[cat]
+        cbf = _state_bits(states, 85 + 4 * cat)
+    b0 = _state_bits(states, lvl_off + LVL1_CTX)
+    gt1 = _state_bits(states, lvl_off + LVLGT1_CTX)
+    return (sig, last, b0, gt1, np.asarray(cbf, np.float32).reshape(2))
+
+
 def frame_trellis(slice_qp: int, slice_type: str, lam: int,
-                  t8: bool) -> tuple:
+                  t8: bool, states=None) -> tuple:
     """The (tbl4, tbl8, lam2f) bundle the frame cores take.  lam2f =
     lambda2/256 (bit costs are 1/256-bit units).
 
@@ -182,8 +214,12 @@ def frame_trellis(slice_qp: int, slice_type: str, lam: int,
     SAD-lambda role it plays elsewhere over-weights mv bits rather than
     under-weighting them, but for RD it IS lambda2; squaring it would
     over-penalize bits ~45x and zero out most residual."""
-    tbl4 = tables_tuple(slice_qp, slice_type, 2)
-    tbl8 = tables_tuple(slice_qp, slice_type, 5) if t8 else None
+    if states is not None:
+        tbl4 = tables_from_states(states, 2)
+        tbl8 = tables_from_states(states, 5) if t8 else None
+    else:
+        tbl4 = tables_tuple(slice_qp, slice_type, 2)
+        tbl8 = tables_tuple(slice_qp, slice_type, 5) if t8 else None
     lam2f = np.float32(max(float(lam), 1.0) / 256.0)
     return (tbl4, tbl8, lam2f)
 
