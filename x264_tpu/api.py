@@ -76,6 +76,7 @@ class Encoder:
                 entries, self.p.bitrate or 1000,
                 self.p.fps_num / max(1, self.p.fps_den),
                 qp_min=self.p.qp_min, qp_max=self.p.qp_max)
+        self._init_qp = self.p.qp      # PPS pic_init_qp base (frozen)
         self._warm_thread = None
         # only worth a background thread when compiles are expensive
         # (big frames); tiny test encoders would pay thread+compile churn
@@ -149,6 +150,55 @@ class Encoder:
         and latency-sensitive callers)."""
         if self._warm_thread is not None:
             self._warm_thread.join(timeout)
+
+    # -- x264_encoder_reconfig (encoder/encoder.c:1955) ----------------------
+    RECONFIG_OK = frozenset((
+        "qp", "crf", "bitrate", "qp_min", "qp_max", "me_range", "subpel",
+        "scenecut_threshold", "deblock", "deblock_alpha", "deblock_beta",
+        "weightp", "trellis", "aq_mode", "aq_strength", "keyint_max",
+        "keyint_min", "vbv_maxrate", "vbv_bufsize", "rc_method",
+        "log_level", "me_method"))
+
+    def reconfig(self, **kw) -> None:
+        """Change run-time parameters mid-stream.  Only the analysis/RC
+        whitelist is reconfigurable — anything baked into SPS/PPS
+        (geometry, entropy mode, bframes, refs, 8x8dct, fps/VUI) is
+        rejected, matching the reference's reconfigurable subset."""
+        bad = set(kw) - self.RECONFIG_OK
+        if bad:
+            raise ValueError(f"not reconfigurable: {sorted(bad)}")
+        newp = self.p.clone(**kw).validate()
+        self.p = newp
+        self.rc.p = newp               # RC reads params dynamically
+
+    def delayed_frames(self) -> int:
+        """Frames buffered inside the encoder (B queue + lookahead) —
+        x264_encoder_delayed_frames."""
+        n = len(self._bq or [])
+        n += len(self._mbt_q or [])
+        n += 1 if getattr(self, "_pending", None) is not None else 0
+        return n
+
+    def intra_refresh(self) -> None:
+        """Request a refresh at the earliest opportunity
+        (x264_encoder_intra_refresh; without PIR columns this forces the
+        next frame to IDR)."""
+        if self._force is None:
+            self._force = {}
+        self._force[self._in_disp] = ("IDR", None)
+
+    def invalidate_reference(self, frame_num: int) -> int:
+        """Stop predicting from pictures with frame_num >= the given
+        coded frame number (x264_encoder_invalidate_reference: the
+        downstream decoder lost them).  The decoder's DPB still CONTAINS
+        the lost pictures, so list0 indices can't simply be re-packed;
+        the reference re-points refs via list reordering — here the
+        recovery is an immediate IDR (always conformant, costs one
+        keyframe)."""
+        invalid = sum(1 for r in self.dpb if r.frame_num >= frame_num)
+        if invalid:
+            self.intra_refresh()
+        return invalid
 
     # -- x264_encoder_headers ------------------------------------------------
     def headers(self) -> bytes:
@@ -587,6 +637,7 @@ class Encoder:
             classes.append(mb_class)
             bs = BitWriter()
             write_slice_header(bs, self.p, self.sps,
+                           init_qp=self._init_qp,
                                slice_type=job["slice_type"],
                                idr=job["idr"],
                                frame_num=job["frame_num"],
@@ -764,6 +815,7 @@ class Encoder:
         out_bytes += self._hrd_sei(job["idr"], job.get("poc_lsb", 0))
         bs = BitWriter()
         write_slice_header(bs, self.p, self.sps,
+                           init_qp=self._init_qp,
                            slice_type=job["slice_type"], idr=job["idr"],
                            frame_num=job["frame_num"],
                            idr_pic_id=job["idr_pic_id"], qp=job["slice_qp"],
@@ -821,6 +873,7 @@ class Encoder:
         out_bytes += self._hrd_sei(job["idr"], job.get("poc_lsb", 0))
         bs = BitWriter()
         write_slice_header(bs, self.p, self.sps,
+                           init_qp=self._init_qp,
                            slice_type=job["slice_type"], idr=job["idr"],
                            frame_num=job["frame_num"],
                            idr_pic_id=job["idr_pic_id"], qp=job["slice_qp"],
@@ -1101,7 +1154,8 @@ class Encoder:
 
         hrd = self._hrd_sei(False, job["poc_cur"])
         bs = BitWriter()
-        write_slice_header(bs, self.p, self.sps, slice_type=SLICE_B,
+        write_slice_header(bs, self.p, self.sps,
+                           init_qp=self._init_qp, slice_type=SLICE_B,
                            idr=False, frame_num=self.frame_num,
                            qp=qp, num_ref=1, num_ref_l1=1,
                            poc_lsb=poc_cur, is_ref=False)
@@ -1475,7 +1529,8 @@ class Encoder:
             idr = True
 
         bs = BitWriter()
-        write_slice_header(bs, self.p, self.sps, slice_type=slice_type,
+        write_slice_header(bs, self.p, self.sps,
+                           init_qp=self._init_qp, slice_type=slice_type,
                            idr=idr, frame_num=self.frame_num,
                            idr_pic_id=self.idr_pic_id, qp=slice_qp,
                            num_ref=1, poc_lsb=poc_lsb)

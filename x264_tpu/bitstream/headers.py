@@ -282,7 +282,8 @@ def write_slice_header(bs: BitWriter, p: EncoderParams, sps: SpsInfo, *,
                        idr_pic_id: int = 0, first_mb: int = 0,
                        qp: int | None = None, num_ref: int = 1,
                        poc_lsb: int = 0, num_ref_l1: int = 1,
-                       is_ref: bool = True, weights=None) -> None:
+                       is_ref: bool = True, weights=None,
+                       init_qp: int | None = None) -> None:
     """Appends slice_header() bits to bs. Caller wraps into a NAL."""
     bs.ue(first_mb)
     bs.ue(slice_type + 5)                   # "all slices same type" variant
@@ -333,7 +334,9 @@ def write_slice_header(bs: BitWriter, p: EncoderParams, sps: SpsInfo, *,
     if p.cabac and slice_type != SLICE_I:
         bs.ue(0)                            # cabac_init_idc
     qp = p.qp if qp is None else qp
-    bs.se(qp - p.qp)                        # slice_qp_delta vs pic_init_qp
+    # slice_qp_delta is vs the PPS's pic_init_qp, which was written at
+    # open — reconfig may have changed p.qp since (encoder.c reconfig)
+    bs.se(qp - (p.qp if init_qp is None else init_qp))
     # deblocking_filter_control_present is always on in our PPS
     if p.deblock:
         bs.ue(0)
