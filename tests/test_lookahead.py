@@ -88,3 +88,23 @@ def test_b_adapt_conformance(rng):
         assert np.array_equal(dec[d][0], recs[d][:H, :W]), d
     types = [s.frame_type for s in enc.stats]
     assert "B" in types and "P" in types
+
+
+def test_scenecut_with_bframes(rng):
+    """Pre-encode lowres scenecut inside B GOPs (slicetype.c:1430 rule;
+    round-1 disabled scenecut whenever bframes>0)."""
+    from x264_tpu.utils.oracle import decode_annexb
+    sc1 = rng.integers(0, 140, (H, W)).astype(np.uint8)
+    sc2 = rng.integers(100, 255, (H, W)).astype(np.uint8)
+    frames = [Frame420((sc1 if i < 5 else sc2).copy(),
+                       np.full((H // 2, W // 2), 100, np.uint8),
+                       np.full((H // 2, W // 2), 120, np.uint8))
+              for i in range(10)]
+    enc = Encoder(EncoderParams(width=W, height=H, qp=30,
+                                backend="device", bframes=2, cabac=True,
+                                scenecut_threshold=40, keyint_min=1))
+    stream = b"".join(enc.encode(f) for f in frames) + enc.flush()
+    types = [s.frame_type for s in enc.stats]
+    assert types.count("IDR") >= 2, types
+    assert types[5] == "IDR" or "IDR" in types[4:7], types
+    assert len(decode_annexb(stream, W, H)) == 10

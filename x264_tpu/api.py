@@ -924,6 +924,11 @@ class Encoder:
         out = b""
         f_type = self._force.get(d, (None, None))[0] if self._force \
             else None
+        if f_type is None and d > 0 and self._lowres_scenecut(fr, d):
+            # pre-encode scenecut (slicetype.c:1430 lowres rule): cut
+            # BEFORE encoding instead of the bframes=0 path's
+            # encode-then-promote
+            f_type = "IDR"
         if d == 0 or f_type == "IDR" or (self.p.keyint_max > 0
                       and d % self.p.keyint_max == 0):
             out += self.flush()           # close the open mini-GOP
@@ -948,6 +953,41 @@ class Encoder:
             else:
                 out += self._flush_bq()
         return out
+
+    _sc_prev_lr = None
+
+    def _lowres_scenecut(self, fr, d: int) -> bool:
+        """Lowres inter-vs-intra scene test on the SOURCE frames — one
+        small jit call per input frame (x264 lookahead scenecut,
+        slicetype.c:1430).  Only used for the bframes>0 path; bframes=0
+        reuses the full-res costs its core already computes."""
+        if not self.p.scenecut_threshold:
+            return False
+        import jax.numpy as jnp
+        from x264_tpu.models.inter_frame import intra_cost_estimate, \
+            me_lambda
+        from x264_tpu.models.lookahead import lowres_plane
+        from x264_tpu.ops.device.me import full_search_16x16
+        y, _, _ = self._pad(fr)
+        lr = lowres_plane(jnp.asarray(y))
+        prev = self._sc_prev_lr
+        self._sc_prev_lr = lr
+        if prev is None:
+            return False
+        lrn = np.asarray(lr)
+        mbw_lr, mbh_lr = lrn.shape[1] // 16, lrn.shape[0] // 16
+        if mbw_lr < 1 or mbh_lr < 1:
+            return False
+        if d - self._idr_disp < max(1, self.p.keyint_min):
+            return False
+        _, pc = full_search_16x16(lr, jnp.pad(prev, 32, mode="edge"),
+                                  np.int32(me_lambda(24)), me_range=8,
+                                  mbw=mbw_lr, mbh=mbh_lr)
+        p_cost = float(np.asarray(pc).astype(np.int64).sum())
+        i_cost = float(intra_cost_estimate(lrn, mbw_lr, mbh_lr)
+                       .astype(np.int64).sum())
+        bias = self.p.scenecut_threshold / 100.0
+        return p_cost >= (1.0 - bias) * i_cost
 
     _la = None
 

@@ -182,8 +182,6 @@ class EncoderParams:
         if p.bframes:
             assert p.ref_frames == 1, "bframes requires ref_frames=1 (r2)"
             assert p.slices == 1, "B+slices: round 2"
-            if p.scenecut_threshold:
-                p = p.clone(scenecut_threshold=0)
         if p.i4x4 and p.slices > 1:
             raise NotImplementedError("i4x4 + slices: pending")
         if p.i4x4 and p.transform_8x8:
