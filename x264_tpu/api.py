@@ -716,9 +716,13 @@ class Encoder:
                                          n_words, mbw, mbh, wts=wts)
         blob = None
         if (ref is not None and self.p.scenecut_threshold > 0
+                and self.p.bframes == 0
                 and self.frame_idx - self._last_idr_idx
                 >= self.p.keyint_min
                 and self._pending is None):
+            # post-encode promote (bframes=0 only: it resets frame_num
+            # without the B path's POC bookkeeping; B GOPs use the
+            # lowres PRE-encode cut in _encode_bgop instead)
             # scenecut (x264 slicetype.c:1430 rule, no-lookahead variant):
             # the P cost is already computed; promote to IDR if inter
             # prediction is no cheaper than intra
