@@ -26,8 +26,18 @@ def _lib():
         if (not os.path.exists(so)
                 or os.path.getmtime(so) < os.path.getmtime(src)
                 or os.path.getmtime(so) < os.path.getmtime(hdr)):
-            subprocess.run(["gcc", "-O2", "-shared", "-fPIC", src, "-o", so],
-                           check=True, capture_output=True)
+            import fcntl
+            # flock: parallel test workers must not race the build
+            with open(src) as lockf:
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+                if (not os.path.exists(so)
+                        or os.path.getmtime(so) < os.path.getmtime(src)
+                        or os.path.getmtime(so) < os.path.getmtime(hdr)):
+                    tmp = so + ".tmp.so"
+                    subprocess.run(["gcc", "-O2", "-shared", "-fPIC",
+                                    src, "-o", tmp],
+                                   check=True, capture_output=True)
+                    os.replace(tmp, so)
         lib = ctypes.CDLL(so)
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")

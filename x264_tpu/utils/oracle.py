@@ -18,10 +18,17 @@ _AVDEC = os.path.abspath(os.path.join(_TOOLS_DIR, "avdec"))
 
 def _ensure_avdec() -> str:
     if not os.path.exists(_AVDEC):
+        import fcntl
         src = os.path.join(os.path.dirname(_AVDEC), "avdec.c")
-        subprocess.run(
-            ["gcc", "-O2", "-o", _AVDEC, src, "-lavcodec", "-lavutil"],
-            check=True)
+        # flock: parallel test workers must not race the build
+        with open(src) as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if not os.path.exists(_AVDEC):
+                tmp = _AVDEC + ".tmp"
+                subprocess.run(
+                    ["gcc", "-O2", "-o", tmp, src,
+                     "-lavcodec", "-lavutil"], check=True)
+                os.replace(tmp, _AVDEC)
     return _AVDEC
 
 
