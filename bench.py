@@ -61,18 +61,23 @@ def bench_ours(frames):
     from x264_tpu.params import EncoderParams
     from x264_tpu.utils.yuv import Frame420
 
+    # scenecut off: CQP fixed-GOP measurement (the pre-encode lowres cut
+    # adds per-frame blocking device pulls that belong to the lookahead
+    # path, not the steady-state core this metric tracks)
     p = EncoderParams(width=W, height=H, qp=QP, me_range=16,
                       backend="device", deblock=True, keyint_max=250,
                       bframes=2, full_recon=False, cabac=True,
-                      transform_8x8=True, weightp=1, trellis=1)
+                      transform_8x8=True, weightp=1, trellis=1,
+                      scenecut_threshold=0)
     enc = Encoder(p)
     stream = b""
     warm = 4
     for i in range(warm):
         stream += enc.encode(Frame420(*frames[i]))
-    # join the background entropy-ladder compile warm-up: steady-state
+    # join the background entropy-ladder compile warm-up (bounded: a
+    # wedged remote compile must not hang the bench): steady-state
     # throughput is the metric; mid-stream XLA compiles are not
-    enc.warm()
+    enc.warm(600)
     t0 = time.perf_counter()
     for i in range(warm, N_FRAMES):
         stream += enc.encode(Frame420(*frames[i]))
