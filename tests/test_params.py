@@ -17,7 +17,6 @@ ROOT = pathlib.Path(__file__).resolve().parents[1] / "x264_tpu"
 REJECTED = {
     "intra_refresh": True,
     "constrained_intra": True,
-    "p8x8": True,
     "i16x16": False,
     "p16x16": False,
     "deadzone_intra": 7,
@@ -54,4 +53,18 @@ def test_every_field_consumed_or_rejected():
 def test_unimplemented_fields_fail_loudly(name, value):
     p = EncoderParams(width=64, height=48, **{name: value})
     with pytest.raises((NotImplementedError, AssertionError, ValueError)):
+        p.validate()
+
+
+@pytest.mark.parametrize("kw", [
+    dict(cabac=True),
+    dict(bframes=2),
+    dict(slices=2),
+    dict(i4x4=True),
+])
+def test_p8x8_pending_combos_fail_loudly(kw):
+    """p8x8 is live for the device+CAVLC+P-only combo; every pending
+    combination must still be rejected, not silently ignored."""
+    p = EncoderParams(width=64, height=48, p8x8=True, **kw)
+    with pytest.raises(NotImplementedError):
         p.validate()

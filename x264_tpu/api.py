@@ -326,6 +326,7 @@ class Encoder:
                            subpel=self.p.subpel,
                            t8=self.p.transform_8x8, wts=wts,
                            trellis_tbl=self._trellis_tbl(base_qp, "P"),
+                           parts=self.p.p8x8,
                            **ekw)
         return out, SLICE_P
 
@@ -1305,8 +1306,13 @@ class Encoder:
         return deblock_core(
             ry, ru, rv, out["mb_class"] == 0,
             out["nnz_deblock"] if "nnz_deblock" in out else out["luma_nnz"],
-            out["mv"] if "mv" in out else jnp.zeros((n, 2), jnp.int32),
-            out["ref_mb"] if "ref_mb" in out else jnp.zeros(n, jnp.int32),
+            # quadrant-granular mvs/refs when partitions are active (the
+            # internal-edge mv-discontinuity bS rule needs them)
+            out["mv8"] if "mv8" in out
+            else out["mv"] if "mv" in out else jnp.zeros((n, 2), jnp.int32),
+            out["ref8"] if "mv8" in out
+            else out["ref_mb"] if "ref_mb" in out
+            else jnp.zeros(n, jnp.int32),
             qp_mb, qpc_mb,
             np.int32(self.p.deblock_alpha * 2),
             np.int32(self.p.deblock_beta * 2), mbw=mbw, mbh=mbh,

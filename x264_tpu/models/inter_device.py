@@ -97,7 +97,8 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                      mbw: int, mbh: int, me_range: int, cqp_off: int,
                      n_words: int = 24, subpel: int = 0,
                      entropy: str = "cavlc", lv_cap: int = 64,
-                     t8: bool = False, wts=None, trellis_tbl=None):
+                     t8: bool = False, wts=None, trellis_tbl=None,
+                     parts: bool = False):
     """All-device P-frame pixel pipeline on *pre-padded* reference planes
     (so the sharded band path can hand in halo slices — parallel/sliced.py).
     y/u/v: source planes (uint8, H=16*mbh x W=16*mbw); ref_*_pad: STACKED
@@ -115,41 +116,87 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
     n_refs = ref_y_pad.shape[0]
     refbits = _te_ref_bits(n_refs)
 
-    # fullpel search per reference; pick per-MB best by cost + ref cost
-    # (encoder/analyse.c mb_analyse_inter_p16x16's per-ref loop)
-    mv = None
-    for k in range(n_refs):
-        mv_k, cost_k = full_search_16x16(y, ref_y_pad[k], lam,
-                                         me_range=me_range, mbw=mbw,
-                                         mbh=mbh)
-        cost_k = cost_k + lam * int(refbits[k])
-        if mv is None:
-            mv, _cost, ref = mv_k, cost_k, jnp.zeros(n, jnp.int32)
-        else:
-            better = cost_k < _cost
-            _cost = jnp.where(better, cost_k, _cost)
-            mv = jnp.where(better[:, None], mv_k, mv)
-            ref = jnp.where(better, k, ref)
-
     src_mbs = T.plane_to_mbs(y.astype(jnp.int32), mbh, mbw, 16)
-    if subpel > 0:
-        planes = jnp.stack([mc_hpel_planes(ref_y_pad[k])
-                            for k in range(n_refs)])      # (K,4,Hp,Wp)
-        mv, mb_cost, pred = subpel_refine(src_mbs, planes, mv, lam,
-                                          me_range, subpel, mbw, mbh,
-                                          ref_idx=ref, return_pred=True)
-    else:
-        mb_cost = _cost
-        if n_refs == 1:
-            pred = mc_luma_fullpel(ref_y_pad[0], mv, mbw, mbh, PAD)
+    shape = None
+    if parts:
+        # partition path (16x16/16x8/8x16/8x8): one exhaustive pass
+        # accumulates all nine unit argmins; the partition shape is
+        # decided at fullpel and the subpel refine runs at quadrant
+        # granularity with partition-pooled costs (me_parts.py).
+        # Reference shares one per-MB ref across partitions (chosen by
+        # the 16x16 unit cost; mixed-ref p8x8 pending).
+        from x264_tpu.ops.device.me_parts import (choose_shape,
+                                                  full_search_parts,
+                                                  subpel_refine_parts)
+        assert subpel > 0, "partitions require subpel >= 1"
+        units = None
+        for k in range(n_refs):
+            u_k = full_search_parts(y, ref_y_pad[k], lam,
+                                    me_range=me_range, mbw=mbw, mbh=mbh)
+            c16_k = u_k["cost_f"] + lam * int(refbits[k])
+            if units is None:
+                units, best16 = u_k, c16_k
+                ref = jnp.zeros(n, jnp.int32)
+            else:
+                better = c16_k < best16
+                best16 = jnp.where(better, c16_k, best16)
+                ref = jnp.where(better, k, ref)
+                units = {
+                    key: jnp.where(
+                        better.reshape((n,) + (1,) * (u_k[key].ndim - 1)),
+                        u_k[key], units[key])
+                    for key in units}
+        shape, mv8, _ = choose_shape(units, lam)
+        if jax.default_backend() == "tpu":
+            from x264_tpu.ops.device.wingather import pack_planes4
+            planes = jnp.stack([mc_hpel_planes(ref_y_pad[k])
+                                for k in range(n_refs)])
+            mv8, part_costs, pred = subpel_refine_parts(
+                src_mbs, mv8, shape, lam, me_range, subpel, mbw, mbh,
+                ref_idx=ref, packed_planes=pack_planes4(planes))
         else:
-            # fullpel gather from each MB's chosen reference
-            stacked = jnp.stack([ref_y_pad[k].astype(jnp.int32)[None]
-                                 for k in range(n_refs)]).squeeze(1)
-            pred = mc_luma_qpel(
-                jnp.broadcast_to(stacked[:, None], (n_refs, 4)
-                                 + stacked.shape[1:]),
-                mv, mbw, mbh, PAD, ref_idx=ref)
+            mv8, part_costs, pred = subpel_refine_parts(
+                src_mbs, mv8, shape, lam, me_range, subpel, mbw, mbh,
+                ref_idx=ref if n_refs > 1 else None,
+                ref_pad=ref_y_pad[0] if n_refs == 1 else ref_y_pad)
+        mb_cost = part_costs.sum(1)
+        mv = mv8[:, 0]
+    else:
+        # fullpel search per reference; pick per-MB best by cost + ref
+        # cost (encoder/analyse.c mb_analyse_inter_p16x16's per-ref loop)
+        mv = None
+        for k in range(n_refs):
+            mv_k, cost_k = full_search_16x16(y, ref_y_pad[k], lam,
+                                             me_range=me_range, mbw=mbw,
+                                             mbh=mbh)
+            cost_k = cost_k + lam * int(refbits[k])
+            if mv is None:
+                mv, _cost, ref = mv_k, cost_k, jnp.zeros(n, jnp.int32)
+            else:
+                better = cost_k < _cost
+                _cost = jnp.where(better, cost_k, _cost)
+                mv = jnp.where(better[:, None], mv_k, mv)
+                ref = jnp.where(better, k, ref)
+
+        if subpel > 0:
+            planes = jnp.stack([mc_hpel_planes(ref_y_pad[k])
+                                for k in range(n_refs)])  # (K,4,Hp,Wp)
+            mv, mb_cost, pred = subpel_refine(src_mbs, planes, mv, lam,
+                                              me_range, subpel, mbw, mbh,
+                                              ref_idx=ref,
+                                              return_pred=True)
+        else:
+            mb_cost = _cost
+            if n_refs == 1:
+                pred = mc_luma_fullpel(ref_y_pad[0], mv, mbw, mbh, PAD)
+            else:
+                # fullpel gather from each MB's chosen reference
+                stacked = jnp.stack([ref_y_pad[k].astype(jnp.int32)[None]
+                                     for k in range(n_refs)]).squeeze(1)
+                pred = mc_luma_qpel(
+                    jnp.broadcast_to(stacked[:, None], (n_refs, 4)
+                                     + stacked.shape[1:]),
+                    mv, mbw, mbh, PAD, ref_idx=ref)
     if wts is not None:
         # explicit weighted prediction (spec 8.4.2.3.3: interpolate,
         # THEN weight) — models/weightp.py; search stayed unweighted
@@ -170,10 +217,18 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                                        recon_y_mbs, ac_zz, nnz, cbp_l,
                                        trellis8=tr8)
 
-    pred_u, pred_v = mc_chroma_uv(
-        ref_u_pad[0] if n_refs == 1 else ref_u_pad,
-        ref_v_pad[0] if n_refs == 1 else ref_v_pad,
-        mv, mbw, mbh, PAD // 2, ref_idx=None if n_refs == 1 else ref)
+    if parts:
+        from x264_tpu.ops.device.mc import mc_chroma_uv_quad
+        pred_u, pred_v = mc_chroma_uv_quad(
+            ref_u_pad[0] if n_refs == 1 else ref_u_pad,
+            ref_v_pad[0] if n_refs == 1 else ref_v_pad,
+            mv8, mbw, mbh, PAD // 2,
+            ref_idx=None if n_refs == 1 else ref)
+    else:
+        pred_u, pred_v = mc_chroma_uv(
+            ref_u_pad[0] if n_refs == 1 else ref_u_pad,
+            ref_v_pad[0] if n_refs == 1 else ref_v_pad,
+            mv, mbw, mbh, PAD // 2, ref_idx=None if n_refs == 1 else ref)
     src_u = T.plane_to_mbs(u.astype(jnp.int32), mbh, mbw, 8)
     src_v = T.plane_to_mbs(v.astype(jnp.int32), mbh, mbw, 8)
     ru_mbs, rv_mbs, cdc, cac, cnnz, cbp_c = encode_chroma(
@@ -304,9 +359,17 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
     t8_flag = t8_flag & ~intra_mask & (cbp_l > 0)
 
     # device MB classification (shared by both entropy modes)
-    mb_class, mvd = dheader.classify_p(mv, cbp_l, cbp_c, mbw, mbh,
-                                       ref=ref if n_refs > 1 else None,
-                                       intra=intra_mask)
+    if parts:
+        ref8 = jnp.broadcast_to(ref[:, None], (n, 4))
+        mb_class, mvd_part, _ = dheader.classify_p_parts(
+            mv8, ref8, shape, cbp_l, cbp_c, mbw, mbh, intra=intra_mask)
+        mvd = mvd_part[:, 0]
+        shape = jnp.where(intra_mask | (mb_class == dheader.MB_PSKIP_D),
+                          0, shape)
+    else:
+        mb_class, mvd = dheader.classify_p(mv, cbp_l, cbp_c, mbw, mbh,
+                                           ref=ref if n_refs > 1 else None,
+                                           intra=intra_mask)
     ref = jnp.where(mb_class == dheader.MB_PSKIP_D, 0, ref)
 
     outs = dict(
@@ -321,6 +384,13 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
         recon_u=T.mbs_to_plane(ru_mbs, mbh, mbw, 8).astype(jnp.uint8),
         recon_v=T.mbs_to_plane(rv_mbs, mbh, mbw, 8).astype(jnp.uint8),
     )
+    if parts:
+        # quadrant-granular motion for deblock bS and temporal direct
+        # (intra MBs' mvs are never consulted: bS intra rules win, and
+        # the direct path masks by col_intra)
+        outs.update(shape=shape, mv8=mv8,
+                    ref8=jnp.broadcast_to(ref[:, None], (n, 4)),
+                    mvd_part=mvd_part)
 
     if entropy == "cabac":
         # compact syntax blob; the serial arithmetic coding runs in C on
@@ -329,7 +399,10 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
         outs["host_blob"] = cabac_blob(
             luma_dc, ac_zz, cdc, cac, mb_class, mvd, i16_mode,
             chroma_mode, cbp_l, cbp_c, qp, mb_cost, icost, K=lv_cap,
-            t8=t8_flag, ref=ref if n_refs > 1 else None)
+            t8=t8_flag, ref=ref if n_refs > 1 else None,
+            shape=shape if parts else None,
+            mvd_part=mvd_part if parts else None,
+            ref_part=outs["ref8"] if parts else None)
         return outs
 
     # CAVLC: full entropy on device — slot grids + per-MB bit packing;
@@ -337,10 +410,16 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
     res_vals, res_lens = residual_slots(
         luma_dc, ac_zz, nnz, cdc, cac, cnnz,
         cbp_l, cbp_c, intra_mask, mbw, mbh)
-    hv, hl = dheader.header_slots(
-        mb_class, i16_mode, chroma_mode, mvd, cbp_l, cbp_c, qp,
-        is_p_slice=True, ref=ref, num_ref=n_refs,
-        t8=t8_flag if t8 else None)
+    if parts:
+        hv, hl = dheader.header_slots_parts(
+            mb_class, shape, i16_mode, chroma_mode, mvd_part,
+            outs["ref8"], cbp_l, cbp_c, qp, num_ref=n_refs,
+            t8=t8_flag if t8 else None)
+    else:
+        hv, hl = dheader.header_slots(
+            mb_class, i16_mode, chroma_mode, mvd, cbp_l, cbp_c, qp,
+            is_p_slice=True, ref=ref, num_ref=n_refs,
+            t8=t8_flag if t8 else None)
     words, nbits = pack_tokens(jnp.concatenate([hv, res_vals], axis=1),
                                jnp.concatenate([hl, res_lens], axis=1),
                                n_words)
@@ -358,18 +437,19 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
 p_band_core = functools.partial(
     jax.jit, static_argnames=("mbw", "mbh", "me_range", "cqp_off",
                               "n_words", "subpel", "entropy",
-                              "lv_cap", "t8"))(p_frame_pipeline)
+                              "lv_cap", "t8", "parts"))(p_frame_pipeline)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("mbw", "mbh", "me_range", "cqp_off",
                                     "n_words", "subpel", "entropy",
-                                    "lv_cap", "t8"))
+                                    "lv_cap", "t8", "parts"))
 def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
                  mbw: int, mbh: int, me_range: int, cqp_off: int,
                  n_words: int = 24, subpel: int = 0,
                  entropy: str = "cavlc", lv_cap: int = 64,
-                 t8: bool = False, wts=None, trellis_tbl=None):
+                 t8: bool = False, wts=None, trellis_tbl=None,
+                 parts: bool = False):
     """Single-chip entry: edge-pad the references on device, run the
     pipeline (see p_frame_pipeline for the contract).  ref_* may be
     (H, W) single-ref or stacked (K, H, W) in list0 order."""
@@ -385,7 +465,8 @@ def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
                             me_range=me_range, cqp_off=cqp_off,
                             n_words=n_words, subpel=subpel,
                             entropy=entropy, lv_cap=lv_cap, t8=t8,
-                            wts=wts, trellis_tbl=trellis_tbl)
+                            wts=wts, trellis_tbl=trellis_tbl,
+                            parts=parts)
 
 
 def classify_pframe_vec(syn, mv: np.ndarray, cbp_l: np.ndarray,

@@ -31,7 +31,9 @@ _TC0 = jnp.asarray(TC0.astype(np.int32))
 def bs_grids(mb_intra, luma_nnz, mv, ref, mbw: int, mbh: int, t8=None):
     """Boundary strengths for every 4-px edge.
 
-    mb_intra (N,) bool; luma_nnz (N,16) raster-block; mv (N,2); ref (N,).
+    mb_intra (N,) bool; luma_nnz (N,16) raster-block; mv (N,2) per-MB or
+    (N,4,2) per-QUADRANT (partitioned P frames: internal 8x8 edges then
+    get the mv-discontinuity bS=1 rule, 8.7.2.1); ref (N,) or (N,4).
     t8 (N,) bool or None: MBs coded with the 8x8 transform do not filter
     their interior 4x4 luma edges (8.7: only edges 0 and 2 exist).
     Returns (bs_v, bs_h) (4*mbh, 4*mbw) int32: bs_v[gy,gx] = strength of
@@ -41,8 +43,16 @@ def bs_grids(mb_intra, luma_nnz, mv, ref, mbw: int, mbh: int, t8=None):
            .reshape(gh, gw))
     intra_mb = mb_intra.reshape(mbh, mbw)
     intra_g = jnp.repeat(jnp.repeat(intra_mb, 4, 0), 4, 1)
-    mv_g = jnp.repeat(jnp.repeat(mv.reshape(mbh, mbw, 2), 4, 0), 4, 1)
-    ref_g = jnp.repeat(jnp.repeat(ref.reshape(mbh, mbw), 4, 0), 4, 1)
+    if mv.ndim == 3:         # quadrant-granular (q = 2*qy + qx)
+        mv_g = (jnp.repeat(jnp.repeat(
+            mv.reshape(mbh, mbw, 2, 2, 2), 2, axis=2), 2, axis=3)
+            .transpose(0, 2, 1, 3, 4).reshape(gh, gw, 2))
+        ref_g = (jnp.repeat(jnp.repeat(
+            ref.reshape(mbh, mbw, 2, 2), 2, axis=2), 2, axis=3)
+            .transpose(0, 2, 1, 3).reshape(gh, gw))
+    else:
+        mv_g = jnp.repeat(jnp.repeat(mv.reshape(mbh, mbw, 2), 4, 0), 4, 1)
+        ref_g = jnp.repeat(jnp.repeat(ref.reshape(mbh, mbw), 4, 0), 4, 1)
 
     col = jnp.arange(gw)[None, :]
     row = jnp.arange(gh)[:, None]

@@ -39,15 +39,19 @@ N_VALS = 408
 N_BITMAP = 13
 FIELDS_P = 13
 FIELDS_B = 16
+FIELDS_PARTS = 10     # appended when P partitions are active: shape,
+                      # mvd slots 1-3 (x,y), ref slots 1-3
 
 
-def blob_stride(b: bool = False) -> int:
-    return N_BITMAP + 1 + (FIELDS_B if b else FIELDS_P)
+def blob_stride(b: bool = False, parts: bool = False) -> int:
+    return N_BITMAP + 1 + (FIELDS_B if b else FIELDS_P) \
+        + (FIELDS_PARTS if parts else 0)
 
 
 def cabac_blob(luma_dc, luma_ac, chroma_dc, chroma_ac, mb_class, mvd,
                i16_mode, chroma_mode, cbp_luma, cbp_chroma, qp, mb_cost,
-               icost, K: int, bmode=None, mvd1=None, t8=None, ref=None):
+               icost, K: int, bmode=None, mvd1=None, t8=None, ref=None,
+               shape=None, mvd_part=None, ref_part=None):
     """All inputs per-MB int32 tensors (see p_frame_pipeline); K even.
     Returns a flat int32 array: n*stride row words + n*K/2 stream words."""
     n = mb_class.shape[0]
@@ -103,6 +107,14 @@ def cabac_blob(luma_dc, luma_ac, chroma_dc, chroma_ac, mb_class, mvd,
                else ref.astype(jnp.int32)]
     fields += [jnp.zeros(n, jnp.int32) if t8 is None
                else t8.astype(jnp.int32)]
+    if shape is not None:
+        # P partitions (16x8/8x16/8x8): shape code, mvd of partition
+        # slots 1-3 (slot 0 travels in the base mvd fields), refs 1-3
+        fields += [shape,
+                   mvd_part[:, 1, 0], mvd_part[:, 1, 1],
+                   mvd_part[:, 2, 0], mvd_part[:, 2, 1],
+                   mvd_part[:, 3, 0], mvd_part[:, 3, 1],
+                   ref_part[:, 1], ref_part[:, 2], ref_part[:, 3]]
     rows = jnp.concatenate(
         [bitmap] + [f.astype(jnp.int32)[:, None] for f in fields], axis=1)
     return jnp.concatenate([rows.reshape(-1), stream])

@@ -118,6 +118,176 @@ def classify_p(mv, cbp_luma, cbp_chroma, mbw: int, mbh: int, ref=None,
     return mb_class, mvd
 
 
+# (shape, part) -> (lbx, lby, pw, ph) in 4x4-block units (7.4.5.2 order)
+_PART_GEOM = {
+    (0, 0): (0, 0, 4, 4),
+    (1, 0): (0, 0, 4, 2), (1, 1): (0, 2, 4, 2),
+    (2, 0): (0, 0, 2, 4), (2, 1): (2, 0, 2, 4),
+    (3, 0): (0, 0, 2, 2), (3, 1): (2, 0, 2, 2),
+    (3, 2): (0, 2, 2, 2), (3, 3): (2, 2, 2, 2),
+}
+
+
+def classify_p_parts(mv8, ref8, shape, cbp_luma, cbp_chroma, mbw: int,
+                     mbh: int, intra=None):
+    """Partition-aware P classification: P_Skip + normative per-partition
+    MVP/mvd (8.4.1.3) — fully parallel.  The 16x16-only proof
+    (classify_p) extends: every decoded 4x4 block's (mv, ref) equals the
+    encoder's chosen value regardless of neighbours (a skip's mv is the
+    skip mv by definition), so partition MVPs are pure functions of the
+    chosen 4x4-grain field; decode-order availability (e.g. the C
+    neighbour of a 16x8 bottom partition lies in the not-yet-decoded
+    right MB) is STATIC per (shape, part), enumerated below.  Oracle:
+    models/mvpred.classify_p_parts_scan (bit-exact, tested).
+
+    mv8 (N,4,2) per-quadrant chosen mvs (q = 2*qy+qx); ref8 (N,4);
+    shape (N,) in {0:16x16, 1:16x8, 2:8x16, 3:8x8}; intra (N,) bool or
+    None.  Returns (mb_class (N,), mvd_part (N,4,2) partition-slot
+    order, is_skip (N,))."""
+    n = mbw * mbh
+    h4, w4 = 4 * mbh, 4 * mbw
+    mv8 = mv8.astype(jnp.int32)
+    ref8 = ref8.astype(jnp.int32)
+    # 4x4-grain chosen grids (quad -> 2x2 blocks)
+    mvq = mv8.reshape(mbh, mbw, 2, 2, 2)       # (my, mx, qy, qx, 2)
+    mv4 = (jnp.repeat(jnp.repeat(mvq, 2, axis=2), 2, axis=3)
+           .transpose(0, 2, 1, 3, 4).reshape(h4, w4, 2))
+    refq = ref8.reshape(mbh, mbw, 2, 2)
+    ref4 = (jnp.repeat(jnp.repeat(refq, 2, axis=2), 2, axis=3)
+            .transpose(0, 2, 1, 3).reshape(h4, w4))
+    if intra is not None:
+        ig = jnp.repeat(jnp.repeat(intra.reshape(mbh, mbw), 4, 0), 4, 1)
+        mv4 = jnp.where(ig[..., None], 0, mv4)
+        ref4 = jnp.where(ig, -1, ref4)
+
+    # pad 4 blocks on top/left/right so any (oy, ox) in [-1, 5] resolves
+    mv4p = jnp.pad(mv4, ((4, 0), (4, 4), (0, 0)))
+    ref4p = jnp.pad(ref4, ((4, 0), (4, 4)), constant_values=-1)
+
+    def samp(oy: int, ox: int):
+        """Grid values at (4*my + oy, 4*mx + ox) for all MBs -> flat
+        (mv (N,2), ref (N,))."""
+        mvs = mv4p[oy + 4: oy + 4 + 4 * mbh: 4,
+                   ox + 4: ox + 4 + 4 * mbw: 4]
+        rfs = ref4p[oy + 4: oy + 4 + 4 * mbh: 4,
+                    ox + 4: ox + 4 + 4 * mbw: 4]
+        return mvs.reshape(n, 2), rfs.reshape(n)
+
+    mbyv = (jnp.arange(n, dtype=jnp.int32) // mbw)
+    mbxv = (jnp.arange(n, dtype=jnp.int32) % mbw)
+    TRUE = jnp.ones(n, bool)
+    at = mbyv > 0
+    al = mbxv > 0
+    ar = mbxv < (mbw - 1)
+
+    def neigh(oy, ox, avail):
+        mv, rf = samp(oy, ox)
+        mv = jnp.where(avail[:, None], mv, 0)
+        rf = jnp.where(avail, rf, -1)
+        return mv, rf, avail
+
+    def median3(a, b, c):
+        st = jnp.sort(jnp.stack([a, b, c], axis=0), axis=0)
+        return st[1]
+
+    def mvp_of(A, B, C, cur_ref, directional=None):
+        """8.4.1.3 / 8.4.1.3.1 from neighbour triples (mv, ref, avail)."""
+        mva, ra, av_a = A
+        mvb, rb, av_b = B
+        mvc, rc, av_c = C
+        sa = ra == cur_ref
+        sb = rb == cur_ref
+        sc = rc == cur_ref
+        one = (sa.astype(jnp.int32) + sb + sc) == 1
+        one_mv = (mva * sa[:, None] + mvb * sb[:, None]
+                  + mvc * sc[:, None])
+        med = median3(mva, mvb, mvc)
+        only_a = av_a & ~av_b & ~av_c
+        mvp = jnp.where(only_a[:, None], mva,
+                        jnp.where(one[:, None], one_mv, med))
+        if directional is not None:
+            dmv, dref = directional
+            mvp = jnp.where((dref == cur_ref)[:, None], dmv, mvp)
+        return mvp
+
+    # per-combo MVPs; combo key (shape, part)
+    mvp_combo = {}
+    skip_parts = {}
+    for (sh, p), (lbx, lby, pw, ph) in _PART_GEOM.items():
+        A = neigh(lby, lbx - 1, TRUE if lbx > 0 else al)
+        B = neigh(lby - 1, lbx, TRUE if lby > 0 else at)
+        # C availability / D substitution (static decode-order rules)
+        cy, cx = lby - 1, lbx + pw
+        if (sh, p) in ((1, 1), (3, 3)):
+            c_av = jnp.zeros(n, bool)           # right MB: not decoded
+        elif cy >= 0 and cx < 4:
+            c_av = TRUE                          # same MB, earlier part
+        elif cy < 0 and cx >= 4:
+            c_av = at & ar                       # above-right MB
+        elif cy < 0:
+            c_av = at                            # above MB
+        else:
+            c_av = TRUE
+        dy_, dx_ = lby - 1, lbx - 1
+        if dy_ >= 0 and dx_ >= 0:
+            d_av = TRUE                          # same MB, earlier part
+        elif dy_ >= 0:
+            d_av = al                            # left MB
+        elif dx_ >= 0:
+            d_av = at                            # above MB
+        else:
+            d_av = at & al                       # above-left MB
+        Cmv, Cr = samp(cy, cx)
+        Dmv, Dr = samp(dy_, dx_)
+        use_d = ~c_av
+        Cn = (jnp.where(use_d[:, None], jnp.where(d_av[:, None], Dmv, 0),
+                        jnp.where(c_av[:, None], Cmv, 0)),
+              jnp.where(use_d, jnp.where(d_av, Dr, -1),
+                        jnp.where(c_av, Cr, -1)),
+              jnp.where(use_d, d_av, c_av))
+
+        q = (lby // 2) * 2 + (lbx // 2)
+        cur_ref = ref8[:, q]
+        directional = None
+        if sh == 1:
+            directional = (B[0], B[1]) if p == 0 else (A[0], A[1])
+        elif sh == 2:
+            directional = (A[0], A[1]) if p == 0 else (Cn[0], Cn[1])
+        mvp_combo[(sh, p)] = mvp_of(A, B, Cn, cur_ref, directional)
+        if (sh, p) == (0, 0):
+            # P_Skip pieces (8.4.1.1): zero-mv A/B shortcut + ref-0 MVP
+            mvp0 = mvp_of(A, B, Cn, jnp.zeros(n, jnp.int32))
+            a_zero = A[2] & (A[1] == 0) & (A[0] == 0).all(-1)
+            b_zero = B[2] & (B[1] == 0) & (B[0] == 0).all(-1)
+            edge = ~at | ~al
+            skip_parts = dict(mvp0=mvp0, zero=edge | a_zero | b_zero)
+
+    skip_mv = jnp.where(skip_parts["zero"][:, None], 0,
+                        skip_parts["mvp0"])
+    is_skip = ((shape == 0) & (cbp_luma == 0) & (cbp_chroma == 0)
+               & (ref8[:, 0] == 0) & (mv8[:, 0] == skip_mv).all(-1))
+    if intra is not None:
+        is_skip = is_skip & ~intra
+
+    # mvd per partition slot, selected by the MB's shape
+    mvd_part = jnp.zeros((n, 4, 2), jnp.int32)
+    first_q = {(0, 0): 0, (1, 0): 0, (1, 1): 2, (2, 0): 0, (2, 1): 1,
+               (3, 0): 0, (3, 1): 1, (3, 2): 2, (3, 3): 3}
+    for (sh, p), mvp in mvp_combo.items():
+        sel = shape == sh
+        mvd_part = mvd_part.at[:, p].set(
+            jnp.where(sel[:, None], mv8[:, first_q[(sh, p)]] - mvp,
+                      mvd_part[:, p]))
+    mvd_part = jnp.where(is_skip[:, None, None], 0, mvd_part)
+    if intra is not None:
+        mvd_part = jnp.where(intra[:, None, None], 0, mvd_part)
+
+    mb_class = jnp.where(is_skip, MB_PSKIP_D, MB_P16_D).astype(jnp.int32)
+    if intra is not None:
+        mb_class = jnp.where(intra, MB_I16_D, mb_class)
+    return mb_class, mvd_part, is_skip
+
+
 def header_slots(mb_class, i16_mode, chroma_mode, mvd, cbp_luma, cbp_chroma,
                  qp_mb, is_p_slice: bool, ref=None, num_ref: int = 1,
                  t8=None):
@@ -198,6 +368,115 @@ def header_slots(mb_class, i16_mode, chroma_mode, mvd, cbp_luma, cbp_chroma,
     v, ln = se_codes(delta)
     hv[8] = jnp.where(emits, v, 0)
     hl[8] = jnp.where(emits, ln, 0)
+
+    return jnp.stack(hv, axis=1), jnp.stack(hl, axis=1)
+
+
+HEADER_SLOTS_PARTS = 22
+
+
+def header_slots_parts(mb_class, shape, i16_mode, chroma_mode, mvd_part,
+                       ref_part, cbp_luma, cbp_chroma, qp_mb,
+                       num_ref: int = 1, t8=None):
+    """Per-MB CAVLC header codes for partitioned P slices (7.3.5/7.3.5.1
+    emission order): [skip_run, mb_type, chroma_mode, sub_mb_type x4,
+    ref x4, (mvd_x, mvd_y) x4, cbp, t8_flag, qp_delta] -> (N, 22).
+
+    shape (N,) 0..3 (== inter mb_type ue value, P_8x8ref0 handled);
+    mvd_part (N,4,2) partition-slot order; ref_part (N,4).  Slots unused
+    by a shape get zero length.  Parity: reference encoder/cavlc.c
+    cavlc_mb_header_p."""
+    n = mb_class.shape[0]
+    skip = mb_class == MB_PSKIP_D
+    coded = ~skip
+    intra = mb_class == MB_I16_D
+    p_inter = coded & ~intra
+    cbp_l = cbp_luma.astype(jnp.int32)
+    cbp_c = cbp_chroma.astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    nparts = jnp.asarray([1, 2, 2, 4], jnp.int32)[shape]
+
+    hv = [jnp.zeros(n, jnp.int32) for _ in range(HEADER_SLOTS_PARTS)]
+    hl = [jnp.zeros(n, jnp.int32) for _ in range(HEADER_SLOTS_PARTS)]
+
+    # skip_run
+    marker = jnp.where(coded, idx, -1)
+    run_max = jax.lax.cummax(marker)
+    prev_coded = jnp.concatenate([jnp.array([-1], jnp.int32),
+                                  run_max[:-1]])
+    v, ln = ue_codes(idx - prev_coded - 1)
+    hv[0] = v
+    hl[0] = jnp.where(coded, ln, 0)
+
+    # mb_type: inter = shape (P_8x8ref0=4 when 8x8 and all refs 0 with
+    # multi-ref active); intra I16 = 5 + formula
+    # P_8x8ref0 whenever every sub-partition references picture 0 —
+    # x264's rule (cavlc.c b_sub_ref), not gated on num_ref: at
+    # num_ref 1 ue(4) and ue(3) cost the same 5 bits
+    all_ref0 = (ref_part == 0).all(-1)
+    use_ref0 = (shape == 3) & all_ref0
+    sh_code = jnp.where(use_ref0, 4, shape)
+    mb_type = jnp.where(
+        intra, 5 + 1 + i16_mode.astype(jnp.int32) + 4 * cbp_c
+        + 12 * (cbp_l != 0), sh_code)
+    v, ln = ue_codes(mb_type)
+    hv[1] = v
+    hl[1] = jnp.where(coded, ln, 0)
+
+    v, ln = ue_codes(chroma_mode.astype(jnp.int32))
+    hv[2] = jnp.where(intra, v, 0)
+    hl[2] = jnp.where(intra, ln, 0)
+
+    # sub_mb_type: P_L0_8x8 only -> ue(0) = single "1" bit, x4
+    is8 = p_inter & (shape == 3)
+    for k in range(4):
+        hv[3 + k] = jnp.where(is8, 1, 0)
+        hl[3 + k] = jnp.where(is8, 1, 0)
+
+    # ref_idx per live partition (te(); absent at num_ref 1 and for
+    # P_8x8ref0)
+    if num_ref > 1:
+        write_ref = p_inter & ~use_ref0
+        for k in range(4):
+            live = write_ref & (k < nparts)
+            r = ref_part[:, k].astype(jnp.int32)
+            if num_ref == 2:
+                v, ln = 1 - r, jnp.ones(n, jnp.int32)
+            else:
+                v, ln = ue_codes(r)
+            hv[7 + k] = jnp.where(live, v, 0)
+            hl[7 + k] = jnp.where(live, ln, 0)
+
+    # mvd per live partition
+    for k in range(4):
+        live = p_inter & (k < nparts)
+        for c in range(2):
+            v, ln = se_codes(mvd_part[:, k, c])
+            hv[11 + 2 * k + c] = jnp.where(live, v, 0)
+            hl[11 + 2 * k + c] = jnp.where(live, ln, 0)
+
+    v, ln = ue_codes(_CBP2G[0, (cbp_c << 4) | cbp_l])
+    hv[19] = jnp.where(p_inter, v, 0)
+    hl[19] = jnp.where(p_inter, ln, 0)
+
+    if t8 is not None:
+        on = p_inter & (cbp_l > 0)
+        hv[20] = jnp.where(on, t8.astype(jnp.int32), 0)
+        hl[20] = on.astype(jnp.int32)
+
+    emits = coded & ((cbp_l != 0) | (cbp_c != 0) | intra)
+    qp = qp_mb.astype(jnp.int32)
+    ordn = jnp.cumsum(emits.astype(jnp.int32)) - 1
+    qp_compact = jnp.zeros(n, jnp.int32).at[
+        jnp.where(emits, ordn, n)].set(qp, mode="drop")
+    prev_qp = jnp.where(ordn > 0, qp_compact[jnp.maximum(ordn - 1, 0)],
+                        qp[0])
+    delta = qp - prev_qp
+    delta = jnp.where(delta > 25, delta - 52,
+                      jnp.where(delta < -26, delta + 52, delta))
+    v, ln = se_codes(delta)
+    hv[21] = jnp.where(emits, v, 0)
+    hl[21] = jnp.where(emits, ln, 0)
 
     return jnp.stack(hv, axis=1), jnp.stack(hl, axis=1)
 

@@ -131,6 +131,44 @@ def mc_chroma(ref_c_pad, mv, mbw: int, mbh: int, pad_c: int, ref_idx=None):
             + (8 - fx) * fy * p10 + fx * fy * p11 + 32) >> 6
 
 
+def mc_chroma_uv_quad(ref_u_pad, ref_v_pad, mv8, mbw: int, mbh: int,
+                      pad_c: int, ref_idx=None):
+    """Per-quadrant chroma MC: mv8 (N,4,2) luma qpel mvs (quadrant
+    q = 2*qy + qx) -> each 4x4 chroma block interpolated at its own mv
+    (8.4.2.2.2, the partitioned-MB case).  Returns (pred_u, pred_v)
+    (N,8,8) int32; reduces to mc_chroma_uv when all quads share one mv."""
+    n = mbw * mbh
+    m = 4 * n
+    mvf = mv8.reshape(m, 2)
+    mby = jnp.arange(n, dtype=jnp.int32) // mbw
+    mbx = jnp.arange(n, dtype=jnp.int32) % mbw
+    qy = jnp.asarray([0, 0, 1, 1])
+    qx = jnp.asarray([0, 1, 0, 1])
+    cy = (mby[:, None] * 8 + qy[None, :] * 4).reshape(m)
+    cx = (mbx[:, None] * 8 + qx[None, :] * 4).reshape(m)
+    ix, iy = mvf[:, 0] >> 3, mvf[:, 1] >> 3
+    fx, fy = mvf[:, 0] & 7, mvf[:, 1] & 7
+    y0 = pad_c + cy + iy
+    x0 = pad_c + cx + ix
+    yi = y0[:, None, None] + jnp.arange(5, dtype=jnp.int32)[None, :, None]
+    xi = x0[:, None, None] + jnp.arange(5, dtype=jnp.int32)[None, None, :]
+    uv = jnp.stack([ref_u_pad, ref_v_pad])         # (2,Hc,Wc) / (2,K,...)
+    if ref_idx is None:
+        a = uv[:, yi, xi].astype(jnp.int32)        # (2, M, 5, 5)
+    else:
+        rix = jnp.repeat(ref_idx, 4)
+        a = uv[:, rix[:, None, None], yi, xi].astype(jnp.int32)
+    p00, p01 = a[:, :, :4, :4], a[:, :, :4, 1:]
+    p10, p11 = a[:, :, 1:, :4], a[:, :, 1:, 1:]
+    fx = fx[None, :, None, None]
+    fy = fy[None, :, None, None]
+    pred = ((8 - fx) * (8 - fy) * p00 + fx * (8 - fy) * p01
+            + (8 - fx) * fy * p10 + fx * fy * p11 + 32) >> 6
+    pred = (pred.reshape(2, n, 2, 2, 4, 4).transpose(0, 1, 2, 4, 3, 5)
+            .reshape(2, n, 8, 8))
+    return pred[0], pred[1]
+
+
 def mc_chroma_uv(ref_u_pad, ref_v_pad, mv, mbw: int, mbh: int,
                  pad_c: int, ref_idx=None):
     """Both chroma planes in ONE window gather (the per-MB indices are

@@ -61,10 +61,30 @@ def gather_win18(packed, y0, x0, mbw: int, mbh: int, ref_idx=None):
     y0/x0: (N,) absolute top-left window coordinates in the padded
     plane; must satisfy y0 - 16*mby in [0, 62] and x0+18 <= Wp (true for
     any |mv_int| <= PAD-8+1 with PAD=32 planes)."""
+    n = mbw * mbh
+    band = jnp.arange(n, dtype=jnp.int32) // mbw
+    return gather_win(packed, y0, x0, band, win=_WIN, ref_idx=ref_idx,
+                      mbh=mbh)
+
+
+def gather_win(packed, y0, x0, band, win: int, ref_idx=None,
+               mbh: int | None = None):
+    """General form: M windows packed[y0+i, x0+j], i,j in [0, win), as
+    (M, win, 32) uint32 (columns win..31 junk).  band (M,): the MB row
+    whose 80-row band contains the window (y0 - 16*band must lie in
+    [0, 80 - win]).  M must be mbh * per_row with windows ORDERED BY
+    BAND (all of band 0 first, ...) — true for per-MB windows (per_row
+    = mbw) and for per-quadrant units u = 4*mb + q (per_row = 4*mbw);
+    the band batching is what keeps the one-hot contraction small (the
+    r axis is shared between bands and windows, exactly as in the
+    original per-MB form)."""
     if packed.ndim == 2:
         packed = packed[None]
     k, hp, wp = packed.shape
-    n = mbw * mbh
+    if mbh is None:
+        mbh = (hp - 2 * 32) // 16
+    m = y0.shape[0]
+    per_row = m // mbh
     wp2 = -(-wp // 16) * 16
     if wp2 != wp:
         packed = jnp.pad(packed, ((0, 0), (0, 0), (0, wp2 - wp)))
@@ -74,20 +94,19 @@ def gather_win18(packed, y0, x0, mbw: int, mbh: int, ref_idx=None):
     b_lo = (bands & 0xFFFF).astype(_F32).reshape(k, mbh, _BAND, ngrp, 16)
     b_hi = (bands >> 16).astype(_F32).reshape(k, mbh, _BAND, ngrp, 16)
 
-    mby = jnp.arange(n, dtype=jnp.int32) // mbw
-    dy = y0 - 16 * mby                                 # [0, 62]
+    dy = y0 - 16 * band                                # [0, 80 - win]
     g0 = x0 >> 4
     s = x0 & 15
 
-    # coarse column one-hot (mbh, mbw, K, ngrp, 3), folded ref select
+    # coarse column one-hot (mbh, per_row, K, ngrp, 3), ref select folded
     gi = jnp.arange(ngrp, dtype=jnp.int32)
     ti = jnp.arange(3, dtype=jnp.int32)
     csel = (gi[None, :, None] == g0[:, None, None] + ti[None, None, :])
     if ref_idx is None:
-        ref_idx = jnp.zeros(n, jnp.int32)
+        ref_idx = jnp.zeros(m, jnp.int32)
     ksel = (jnp.arange(k, dtype=jnp.int32)[None, :] == ref_idx[:, None])
     csel = (csel[:, None, :, :] & ksel[:, :, None, None]).astype(_F32)
-    csel = csel.reshape(mbh, mbw, k, ngrp, 3)
+    csel = csel.reshape(mbh, per_row, k, ngrp, 3)
 
     # precision=HIGHEST: TPU f32 matmuls default to a single bf16 pass
     # (8-bit mantissa), which corrupts u16 operands — the one-hot sums
@@ -99,12 +118,12 @@ def gather_win18(packed, y0, x0, mbw: int, mbh: int, ref_idx=None):
         return jnp.einsum("KrRgk,rmKgt->rmRtk", b, csel,
                           precision=prec, preferred_element_type=_F32)
 
-    c_lo = coarse(b_lo).reshape(n, _BAND, 48)
-    c_hi = coarse(b_hi).reshape(n, _BAND, 48)
+    c_lo = coarse(b_lo).reshape(m, _BAND, 48)
+    c_hi = coarse(b_hi).reshape(m, _BAND, 48)
 
-    # row one-hot (N, 18, 80)
+    # row one-hot (M, win, 80)
     ri = jnp.arange(_BAND, dtype=jnp.int32)
-    ii = jnp.arange(_WIN, dtype=jnp.int32)
+    ii = jnp.arange(win, dtype=jnp.int32)
     rsel = (ri[None, None, :] == dy[:, None, None] + ii[None, :, None]
             ).astype(_F32)
     r_lo = jnp.einsum("niR,nRc->nic", rsel, c_lo,
@@ -112,12 +131,12 @@ def gather_win18(packed, y0, x0, mbw: int, mbh: int, ref_idx=None):
     r_hi = jnp.einsum("niR,nRc->nic", rsel, c_hi,
                       precision=prec, preferred_element_type=_F32)
 
-    # fine shift: 16 static 32-column slices, per-MB select
+    # fine shift: 16 static 32-column slices, per-window select
     lo = r_lo[:, :, 0:_OUTW]
     hi = r_hi[:, :, 0:_OUTW]
     for sh in range(1, 16):
-        m = (s == sh)[:, None, None]
-        lo = jnp.where(m, r_lo[:, :, sh:sh + _OUTW], lo)
-        hi = jnp.where(m, r_hi[:, :, sh:sh + _OUTW], hi)
+        msk = (s == sh)[:, None, None]
+        lo = jnp.where(msk, r_lo[:, :, sh:sh + _OUTW], lo)
+        hi = jnp.where(msk, r_hi[:, :, sh:sh + _OUTW], hi)
 
     return (lo.astype(jnp.uint32) | (hi.astype(jnp.uint32) << 16))

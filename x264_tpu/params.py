@@ -72,7 +72,9 @@ class EncoderParams:
     i4x4: bool = False              # enable intra 4x4 analysis
     i16x16: bool = True             # mandatory mode (validate rejects False)
     p16x16: bool = True             # mandatory mode (validate rejects False)
-    p8x8: bool = False              # partitions beyond 16x16: round 3
+    # --partitions p8x8: inter partitions 16x8/8x16/8x8 (one shared ref
+    # per MB; sub-8x8 splits pending like x264 presets <= slow)
+    p8x8: bool = False
     transform_8x8: bool = False     # --8x8dct (High profile adaptive 8x8)
     # --trellis: RD-optimal quantization (ops/device/trellis.py, the
     # rdo.c quant_trellis_cabac analog).  1/2 both run the same batched
@@ -165,7 +167,23 @@ class EncoderParams:
         if p.constrained_intra:
             raise NotImplementedError("--constrained-intra: pending")
         if p.p8x8:
-            raise NotImplementedError("p8x8 partitions: round 3")
+            # fail-loudly gates for the partition path's pending combos
+            if p.subpel < 1:
+                p = p.clone(p8x8=False)   # like x264 ultrafast: no p8x8
+            if p.backend in ("reference", "device_host_entropy"):
+                raise NotImplementedError("p8x8: device pipeline only")
+            if p.cabac:
+                raise NotImplementedError(
+                    "p8x8 + CABAC: pending native partition syntax")
+            if p.bframes:
+                raise NotImplementedError(
+                    "p8x8 + bframes: pending quad-grain temporal direct")
+            if p.slices > 1 or p.threads > 1:
+                raise NotImplementedError("p8x8 + slices/threads: pending")
+            if p.i4x4:
+                raise NotImplementedError(
+                    "p8x8 + i4x4: pending (i4x4 rides the host-entropy "
+                    "syntax path, which has no partition writer yet)")
         if not (p.i16x16 and p.p16x16):
             raise NotImplementedError("i16x16/p16x16 cannot be disabled")
         if (p.deadzone_intra, p.deadzone_inter) != (11, 21):
