@@ -83,6 +83,29 @@ def test_parts_weightp_bitexact():
     encode_and_check(frames, p)
 
 
+@pytest.mark.parametrize("qp,aq,t8,trellis", [
+    (24, 0, False, 0), (30, 1, False, 0), (26, 0, True, 0),
+    (18, 0, False, 0), (28, 0, True, 1)])
+def test_parts_cabac_bitexact(qp, aq, t8, trellis):
+    """Partition syntax through the native CABAC coder (mb_type prefix,
+    sub_mb_type, per-partition mvd with 8x8-grain contexts)."""
+    frames = split_motion_frames(96, 64, 4)
+    p = EncoderParams(width=96, height=64, qp=qp, keyint_max=250,
+                      deblock=True, me_range=8, subpel=2,
+                      p8x8=True, cabac=True, aq_mode=aq,
+                      transform_8x8=t8, trellis=trellis)
+    encode_and_check(frames, p)
+
+
+def test_parts_cabac_multiref_bitexact():
+    """Per-partition ref_idx bins with 8x8-grain neighbour contexts."""
+    frames = split_motion_frames(96, 64, 5)
+    p = EncoderParams(width=96, height=64, qp=28, keyint_max=250,
+                      deblock=True, me_range=8, subpel=2,
+                      p8x8=True, cabac=True, ref_frames=3)
+    encode_and_check(frames, p)
+
+
 def test_parts_actually_chosen():
     """The decision must actually produce non-16x16 shapes on this
     content (otherwise the conformance tests above are vacuous)."""

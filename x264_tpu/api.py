@@ -258,10 +258,11 @@ class Encoder:
         self._hrd_cod_total += 1
         return out
 
-    def _cab_rows(self, blob, n: int, is_b: bool = False):
+    def _cab_rows(self, blob, n: int, is_b: bool = False,
+                  parts: bool = False):
         """Per-MB field rows of a flat CABAC blob (entropy_pack layout)."""
         from x264_tpu.ops.device.entropy_pack import blob_stride
-        st = blob_stride(is_b)
+        st = blob_stride(is_b, parts)
         return np.asarray(blob).reshape(-1)[:n * st].reshape(n, st)
 
     def _cabac_fast(self) -> bool:
@@ -729,7 +730,7 @@ class Encoder:
             # prediction is no cheaper than intra
             blob = np.asarray(out["host_blob"])
             if self._cabac_fast():
-                rows = self._cab_rows(blob, mbw * mbh)
+                rows = self._cab_rows(blob, mbw * mbh, parts=self.p.p8x8)
                 p_cost = float(rows[:, 14 + 9].astype(np.int64).sum())
                 i_cost = float(rows[:, 14 + 10].astype(np.int64).sum())
             else:
@@ -853,7 +854,8 @@ class Encoder:
 
         K = job["n_words"]
         n = job["mbw"] * job["mbh"]
-        rows = self._cab_rows(blob, n)
+        parts = self.p.p8x8 and job["slice_type"] == SLICE_P
+        rows = self._cab_rows(blob, n, parts=parts)
         total = int(rows[:, 14 + 8].astype(np.int64).sum())
         if total > n * K:
             # frame-level stream overflow: re-run at the next capacity
@@ -865,7 +867,7 @@ class Encoder:
                                         job["mbw"], job["mbh"],
                                         wts=job.get("wts"))
                 blob = np.asarray(out["host_blob"])
-                rows = self._cab_rows(blob, n)
+                rows = self._cab_rows(blob, n, parts=parts)
                 total = int(rows[:, 14 + 8].astype(np.int64).sum())
                 if total <= n * K:
                     break
@@ -893,7 +895,7 @@ class Encoder:
             blob, job["mbw"], job["mbh"], kind, job["slice_qp"], K,
             t8_mode=self.p.transform_8x8,
             num_ref=job.get("num_ref", 1) if kind == 1 else 1,
-            want_states=True)
+            parts=parts, want_states=True)
         if self._cab_states is None:
             self._cab_states = {}
         self._cab_states["I" if kind == 0 else "P"] = states

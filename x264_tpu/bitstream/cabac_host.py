@@ -51,6 +51,8 @@ def _lib():
             i32p, i32p, ctypes.c_void_p,   # t8: NULL = 8x8 mode off
             ctypes.c_void_p,               # i4m: NULL = no I4x4 MBs
             ctypes.c_void_p, ctypes.c_int,  # ref (NULL=single), num_ref
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            # shape/mvdp/refp: NULL = 16x16-only frame
             u8p, ctypes.c_long,
             ctypes.c_void_p,                # state_out (1024) or NULL
         ]
@@ -59,6 +61,7 @@ def _lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int,
             i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,                   # parts (P partition fields)
             u8p, ctypes.c_long,
             ctypes.c_void_p,                # state_out (1024) or NULL
         ]
@@ -71,6 +74,7 @@ def write_slice_cabac_packed(blob: np.ndarray, mbw: int, mbh: int,
                              init_idc: int = 0,
                              t8_mode: bool = False,
                              num_ref: int = 1,
+                             parts: bool = False,
                              want_states: bool = False):
     """Encode slice_data() with CABAC from the device's compact blob
     (ops/device/entropy_pack.cabac_blob layout).  slice_kind 0=I/1=P/2=B.
@@ -87,8 +91,8 @@ def write_slice_cabac_packed(blob: np.ndarray, mbw: int, mbh: int,
     states = np.zeros(1024, np.uint8) if want_states else None
     sz = _lib().encode_slice_cabac_packed(
         mbw, mbh, slice_kind, int(slice_qp), init_idc,
-        blob, K, blob_stride(slice_kind == 2), int(t8_mode),
-        int(num_ref), out, cap,
+        blob, K, blob_stride(slice_kind == 2, parts), int(t8_mode),
+        int(num_ref), int(parts), out, cap,
         None if states is None
         else states.ctypes.data_as(ctypes.c_void_p))
     if sz < 0:
@@ -139,7 +143,7 @@ def write_slice_cabac(syn, slice_type: int, slice_qp: int,
         (None if syn.i4_modes is None else
          np.ascontiguousarray(syn.i4_modes.astype(np.int32))
          .ctypes.data_as(ctypes.c_void_p)),
-        None, 1,
+        None, 1, None, None, None,
         out, cap, None)
     if sz < 0:
         raise RuntimeError("CABAC buffer overflow")

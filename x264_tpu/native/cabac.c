@@ -10,8 +10,9 @@
  * here).  Context init / LPS-range / transition constants are the
  * normative tables in cabac_tables.h.
  *
- * Coverage: P/I/B slices with I_16x16, P_L0_16x16, P_Skip, B 16x16 MB
- * types, 4:2:0, frame coding; High-profile 8x8 transform on inter MBs
+ * Coverage: P/I/B slices with I_16x16, I_NxN, P_L0 16x16/16x8/8x16,
+ * P_8x8 (P_L0_8x8 sub-partitions), P_Skip, B 16x16 MB types, 4:2:0,
+ * frame coding; High-profile 8x8 transform on inter MBs
  * (transform_size_8x8_flag 9.3.3.1.1.10 + ctxBlockCat-5 residuals).
  * Build: gcc -O2 -shared -fPIC cabac.c -o libx264tpu_cabac.so
  */
@@ -306,7 +307,23 @@ typedef struct {
     int8_t *i4grid;      /* (4mbh,4mbw) per-block mode chain (2 = non-I4) */
     const int32_t *ref;  /* (N,) list0 ref_idx, or NULL (single ref) */
     int num_ref;         /* active list0 size */
+    /* P partitions (16x8/8x16/8x8), NULL when the frame is 16x16-only:
+     * shape (N,) mb_type code 0-3; mvdp (N,4,2) per-partition-slot mvd in
+     * decode order; refp (N,4) per-slot list0 ref.  Context neighbours
+     * move to 8x8 granularity (9.3.3.1.1.6/.7 via the 6.4.11.7 partition
+     * derivation): amvd8 (2mbh,2mbw,2) capped |mvd|, ref8 (2mbh,2mbw)
+     * with intra/skip cells zeroed (condTermFlagN = 0 cases). */
+    const int32_t *shape, *mvdp, *refp;
+    uint8_t *amvd8;
+    uint8_t *ref8;
 } frame_t;
+
+/* partition geometry (spec 7.4.5.2 decode order; quad q = 2*qy + qx) */
+static const uint8_t PART_FIRSTQ[4][4] = {
+    {0, 0, 0, 0}, {0, 2, 0, 0}, {0, 1, 0, 0}, {0, 1, 2, 3}};
+static const uint8_t PART_OF_QUAD[4][4] = {
+    {0, 0, 0, 0}, {0, 0, 1, 1}, {0, 1, 0, 1}, {0, 1, 2, 3}};
+static const uint8_t PART_N[4] = {1, 2, 2, 4};
 
 static int mb_intra(const frame_t *f, int mb)
 {
@@ -369,9 +386,17 @@ static void write_mb(cab_t *c, frame_t *f, int mb, int is_p,
                 enc_dec(c, 20, pm & 1);
             }
         } else {
+            /* P mb_type prefix (Table 9-34; ctx 14..17): 16x16 '000',
+             * 16x8 '011', 8x16 '010', P_8x8 '001' */
+            int sh = f->shape ? f->shape[mb] : 0;
             enc_dec(c, 14, 0);
-            enc_dec(c, 15, 0);
-            enc_dec(c, 16, 0);
+            if (sh == 0)      { enc_dec(c, 15, 0); enc_dec(c, 16, 0); }
+            else if (sh == 1) { enc_dec(c, 15, 1); enc_dec(c, 17, 1); }
+            else if (sh == 2) { enc_dec(c, 15, 1); enc_dec(c, 17, 0); }
+            else              { enc_dec(c, 15, 0); enc_dec(c, 16, 1); }
+            if (sh == 3)
+                for (int p = 0; p < 4; p++)
+                    enc_dec(c, 21, 1);   /* sub_mb_type = P_L0_8x8 */
         }
     } else {
         /* 9.3.3.1.1.3: condTermFlagN = mbN available && mbN != I_NxN */
@@ -437,6 +462,44 @@ static void write_mb(cab_t *c, frame_t *f, int mb, int is_p,
             enc_dec(c, 67, m > 1);
             if (m > 1)
                 enc_dec(c, 67, m > 2);
+        }
+    } else if (f->shape) {
+        /* partition-grain ref_idx + mvd: neighbours at 8x8 granularity
+         * via the prefilled grids (left/top cells are decode-earlier by
+         * geometry, so final-value prefill is order-safe) */
+        int sh = f->shape[mb];
+        int g2w = 2 * f->mbw;
+        /* 7.3.5.2 order: ALL ref_idx_l0 first, THEN all mvd_l0 */
+        if (f->num_ref > 1) {
+            for (int p = 0; p < PART_N[sh]; p++) {
+                int q = PART_FIRSTQ[sh][p];
+                int cy = 2 * mby + (q >> 1), cx = 2 * mbx + (q & 1);
+                int ra = cx > 0 && f->ref8[cy * g2w + cx - 1] > 0;
+                int rb = cy > 0 && f->ref8[(cy - 1) * g2w + cx] > 0;
+                int v = f->refp ? f->refp[4 * mb + p] : 0;
+                int ctx = 54 + ra + 2 * rb;
+                for (int i = 0;; i++) {
+                    if (v == 0) {
+                        enc_dec(c, ctx, 0);
+                        break;
+                    }
+                    enc_dec(c, ctx, 1);
+                    v--;
+                    ctx = 54 + (i == 0 ? 4 : 5);
+                }
+            }
+        }
+        for (int p = 0; p < PART_N[sh]; p++) {
+            int q = PART_FIRSTQ[sh][p];
+            int cy = 2 * mby + (q >> 1), cx = 2 * mbx + (q & 1);
+            int a0 = (cx > 0 ? f->amvd8[2 * (cy * g2w + cx - 1)] : 0)
+                   + (cy > 0 ? f->amvd8[2 * ((cy - 1) * g2w + cx)] : 0);
+            int a1 = (cx > 0 ? f->amvd8[2 * (cy * g2w + cx - 1) + 1] : 0)
+                   + (cy > 0 ? f->amvd8[2 * ((cy - 1) * g2w + cx) + 1] : 0);
+            write_mvd_comp(c, 40, (a0 > 2) + (a0 > 32),
+                           f->mvdp[(4 * mb + p) * 2]);
+            write_mvd_comp(c, 47, (a1 > 2) + (a1 > 32),
+                           f->mvdp[(4 * mb + p) * 2 + 1]);
         }
     } else {
         if (f->num_ref > 1) {
@@ -777,6 +840,7 @@ long encode_slice_cabac(
     const int32_t *bmode, const int32_t *mvd1,
     const int32_t *t8, const int32_t *i4m,
     const int32_t *ref, int num_ref,
+    const int32_t *shape, const int32_t *mvdp, const int32_t *refp,
     uint8_t *out, long out_cap, uint8_t *state_out)
 {
     int n = mbw * mbh;
@@ -784,7 +848,7 @@ long encode_slice_cabac(
     frame_t f = {mbw, mbh, n, cls, i16m, chm, mvd, cbpl, cbpc, qp_mb,
                  ldc, lac, cdc, cac, bmode, mvd1, t8,
                  NULL, {NULL, NULL}, NULL, NULL, NULL, i4m, NULL,
-                 ref, num_ref};
+                 ref, num_ref, shape, mvdp, refp, NULL, NULL};
     f.nnz = calloc((size_t)(16 * n), 1);
     f.cnnz[0] = calloc((size_t)(4 * n), 1);
     f.cnnz[1] = calloc((size_t)(4 * n), 1);
@@ -792,8 +856,10 @@ long encode_slice_cabac(
     f.amvd = calloc((size_t)(2 * n), 1);
     f.amvd1 = calloc((size_t)(2 * n), 1);
     f.i4grid = malloc((size_t)(16 * n));
+    f.amvd8 = shape ? calloc((size_t)(8 * n), 1) : NULL;
+    f.ref8 = shape ? calloc((size_t)(4 * n), 1) : NULL;
     if (!f.nnz || !f.cnnz[0] || !f.cnnz[1] || !f.dccbf || !f.amvd
-        || !f.amvd1 || !f.i4grid)
+        || !f.amvd1 || !f.i4grid || (shape && (!f.amvd8 || !f.ref8)))
         return -1;
 
     int gw = 4 * mbw, cgw = 2 * mbw;
@@ -854,6 +920,26 @@ long encode_slice_cabac(
         int ay = mvd[2 * mb + 1] < 0 ? -mvd[2 * mb + 1] : mvd[2 * mb + 1];
         f.amvd[2 * mb] = (uint8_t)(ax > 66 ? 66 : ax);
         f.amvd[2 * mb + 1] = (uint8_t)(ay > 66 ? 66 : ay);
+        if (shape) {
+            /* 8x8-grain neighbour grids: intra cells stay 0 (9.3.3.1.1.7
+             * absMvdCompN = 0 / 9.3.3.1.1.6 condTermFlagN = 0); skip
+             * cells carry mvd 0 / ref 0 by classification */
+            int sh = (cls[mb] == CLS_P16) ? shape[mb] : 0;
+            int inter = cls[mb] == CLS_P16;
+            int g2w = 2 * mbw;
+            for (int q = 0; q < 4; q++) {
+                int p = PART_OF_QUAD[sh][q];
+                int cell = (2 * mby + (q >> 1)) * g2w + 2 * mbx + (q & 1);
+                int mx = inter ? mvdp[(4 * mb + p) * 2] : 0;
+                int my = inter ? mvdp[(4 * mb + p) * 2 + 1] : 0;
+                if (mx < 0) mx = -mx;
+                if (my < 0) my = -my;
+                f.amvd8[2 * cell] = (uint8_t)(mx > 66 ? 66 : mx);
+                f.amvd8[2 * cell + 1] = (uint8_t)(my > 66 ? 66 : my);
+                f.ref8[cell] = (uint8_t)(inter && refp
+                                         ? refp[4 * mb + p] : 0);
+            }
+        }
         if (is_b && mvd1) {
             int bx = mvd1[2 * mb] < 0 ? -mvd1[2 * mb] : mvd1[2 * mb];
             int by = mvd1[2 * mb + 1] < 0 ? -mvd1[2 * mb + 1]
@@ -899,6 +985,8 @@ long encode_slice_cabac(
     free(f.amvd);
     free(f.amvd1);
     free(f.i4grid);
+    free(f.amvd8);
+    free(f.ref8);
     if (c.overflow)
         return -1;
     if (state_out)
@@ -920,6 +1008,7 @@ long encode_slice_cabac(
 long encode_slice_cabac_packed(
     int mbw, int mbh, int slice_kind, int slice_qp, int init_idc,
     const int32_t *blob, int K, int stride, int t8_mode, int num_ref,
+    int parts,
     uint8_t *out, long out_cap, uint8_t *state_out)
 {
     int n = mbw * mbh;
@@ -943,10 +1032,14 @@ long encode_slice_cabac_packed(
     int32_t *mvd1 = is_b ? malloc((size_t)2 * n * sz32) : NULL;
     int32_t *t8 = malloc((size_t)n * sz32);
     int32_t *ref = malloc((size_t)n * sz32);
+    int32_t *shape = parts ? malloc((size_t)n * sz32) : NULL;
+    int32_t *mvdp = parts ? malloc((size_t)8 * n * sz32) : NULL;
+    int32_t *refp = parts ? malloc((size_t)4 * n * sz32) : NULL;
     long ret = -1;
     if (!ldc || !lac || !cdc || !cac || !cls || !mvd || !i16m || !chm
         || !cbpl || !cbpc || !qp || !t8 || !ref
-        || (is_b && (!bmode || !mvd1)))
+        || (is_b && (!bmode || !mvd1))
+        || (parts && (!shape || !mvdp || !refp)))
         goto done;
 
     for (int mb = 0; mb < n; mb++) {
@@ -970,6 +1063,21 @@ long encode_slice_cabac_packed(
         }
         ref[mb] = fields[is_b ? 14 : 11];
         t8[mb] = fields[is_b ? 15 : 12];
+        if (parts) {
+            /* partition tail fields (entropy_pack FIELDS_PARTS): shape,
+             * mvd slots 1-3, refs 1-3; slot 0 rides the base fields */
+            shape[mb] = fields[13];
+            mvdp[8 * mb] = fields[1];
+            mvdp[8 * mb + 1] = fields[2];
+            for (int p = 1; p < 4; p++) {
+                mvdp[8 * mb + 2 * p] = fields[14 + 2 * (p - 1)];
+                mvdp[8 * mb + 2 * p + 1] = fields[15 + 2 * (p - 1)];
+            }
+            refp[4 * mb] = fields[11];
+            refp[4 * mb + 1] = fields[20];
+            refp[4 * mb + 2] = fields[21];
+            refp[4 * mb + 3] = fields[22];
+        }
         int16_t *dst[4] = {ldc + 16 * mb, lac + 256 * mb,
                            cdc + 8 * mb, cac + 128 * mb};
         int lim[4] = {16, 256, 8, 128};
@@ -989,11 +1097,12 @@ long encode_slice_cabac_packed(
                              cls, i16m, chm, mvd, cbpl, cbpc, qp,
                              ldc, lac, cdc, cac, bmode, mvd1,
                              t8_mode ? t8 : NULL, NULL,
-                             ref, num_ref,
+                             ref, num_ref, shape, mvdp, refp,
                              out, out_cap, state_out);
 done:
     free(ldc); free(lac); free(cdc); free(cac); free(cls); free(mvd);
     free(i16m); free(chm); free(cbpl); free(cbpc); free(qp); free(ref);
     free(bmode); free(mvd1); free(t8);
+    free(shape); free(mvdp); free(refp);
     return ret;
 }
