@@ -57,12 +57,11 @@ def test_unimplemented_fields_fail_loudly(name, value):
 
 
 @pytest.mark.parametrize("kw", [
-    dict(bframes=2),
     dict(slices=2),
     dict(i4x4=True),
 ])
 def test_p8x8_pending_combos_fail_loudly(kw):
-    """p8x8 is live for the device CAVLC/CABAC P-only combos; every
+    """p8x8 is live for the device CAVLC/CABAC I/P/B combos; every
     pending combination must still be rejected, not silently ignored."""
     p = EncoderParams(width=64, height=48, p8x8=True, **kw)
     with pytest.raises(NotImplementedError):

@@ -106,6 +106,47 @@ def test_parts_cabac_multiref_bitexact():
     encode_and_check(frames, p)
 
 
+@pytest.mark.parametrize("bframes,cabac,qp", [
+    (1, False, 26), (2, False, 30), (2, True, 26), (1, True, 33)])
+def test_parts_bframes_bitexact(bframes, cabac, qp):
+    """p8x8 anchors + B frames: the B core derives temporal direct from
+    the anchor's QUADRANT-grain motion field (8.4.1.2.2 with
+    direct_8x8_inference_flag=1), so a partitioned colocated MB gives
+    each 8x8 quad its own scaled direct mv.  Display-order recon must be
+    bit-exact (B streams reorder, so encode_and_check doesn't apply)."""
+    frames = split_motion_frames(96, 64, 7)
+    W, H = 96, 64
+    p = EncoderParams(width=W, height=H, qp=qp, keyint_max=250,
+                      deblock=True, me_range=8, subpel=2,
+                      p8x8=True, bframes=bframes, cabac=cabac)
+    enc = Encoder(p)
+    recs = {}
+    _b, _a = enc._finalize_b, enc._submit_anchor
+
+    def spyb(job):
+        data = _b(job)
+        r = enc.last_recon
+        recs[job["disp"]] = (np.asarray(r.y), np.asarray(r.u),
+                             np.asarray(r.v))
+        return data
+
+    def spya(fr, d, ftype):
+        job = _a(fr, d, ftype)
+        r = enc.dpb[0]
+        recs[d] = (np.asarray(r.y), np.asarray(r.u), np.asarray(r.v))
+        return job
+
+    enc._finalize_b, enc._submit_anchor = spyb, spya
+    stream = b"".join(enc.encode(f) for f in frames) + enc.flush()
+    dec = decode_annexb(stream, W, H)
+    assert len(dec) == len(frames)
+    for d in range(len(frames)):
+        ry, ru, rv = recs[d]
+        assert np.array_equal(dec[d][0], ry[:H, :W]), f"display {d} luma"
+        assert np.array_equal(dec[d][1], ru[:H // 2, :W // 2]), f"{d} cb"
+        assert np.array_equal(dec[d][2], rv[:H // 2, :W // 2]), f"{d} cr"
+
+
 def test_parts_actually_chosen():
     """The decision must actually produce non-16x16 shapes on this
     content (otherwise the conformance tests above are vacuous)."""

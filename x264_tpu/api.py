@@ -1056,7 +1056,9 @@ class Encoder:
             rec = self.dpb[0]
             rec.poc = self._poc_lsb(disp)
             syn = self._last_syn
-            rec.col_mv = jnp.asarray(syn.mv.astype(np.int32))
+            rec.col_mv = jnp.broadcast_to(
+                jnp.asarray(syn.mv.astype(np.int32))[:, None],
+                (syn.mv.shape[0], 4, 2))
             rec.col_intra = jnp.asarray(syn.mb_class == 0)
             self._note_au(len(out_bytes), ftype, self._poc_lsb(disp))
             return out_bytes
@@ -1080,12 +1082,18 @@ class Encoder:
         out = job["out"]
         rec = self.dpb[0]
         rec.poc = self._poc_lsb(disp)
-        if "mv" in out:
-            rec.col_mv = out["mv"]
+        if "mv8" in out:
+            # quadrant-grain anchor motion (partitions): temporal direct
+            # derives per-quad (direct_8x8_inference corner rule)
+            rec.col_mv = out["mv8"]
+            rec.col_intra = out["mb_class"] == 0
+        elif "mv" in out:
+            rec.col_mv = jnp.broadcast_to(
+                out["mv"][:, None], (out["mv"].shape[0], 4, 2))
             rec.col_intra = out["mb_class"] == 0
         else:
             n = job["mbw"] * job["mbh"]
-            rec.col_mv = jnp.zeros((n, 2), jnp.int32)
+            rec.col_mv = jnp.zeros((n, 4, 2), jnp.int32)
             rec.col_intra = jnp.ones(n, bool)
         return job
 

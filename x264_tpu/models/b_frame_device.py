@@ -34,8 +34,9 @@ from x264_tpu.ops.device.bitpack import pack_tokens
 from x264_tpu.ops.device.cavlc import residual_slots
 from x264_tpu.ops.device.mc import (
     hpel_planes as mc_hpel_planes,
-    mc_chroma_uv,
+    mc_chroma_uv_quad,
     mc_luma_qpel,
+    mc_luma_qpel_quad,
 )
 from x264_tpu.ops.device.me import (
     full_search_16x16,
@@ -61,9 +62,12 @@ def b_frame_core(y, u, v,
                  n_words: int = 24, subpel: int = 2,
                  entropy: str = "cavlc", lv_cap: int = 64,
                  t8_mode: bool = False, trellis_tbl=None):
-    """Encode one B frame.  col_mv (N,2): the L1 anchor's per-MB motion
-    field; col_intra (N,) bool; dist_scale: temporal-direct
-    DistScaleFactor (8.4.1.2.3), traced int32."""
+    """Encode one B frame.  col_mv (N,4,2): the L1 anchor's QUADRANT-
+    grain motion field (uniform quads when the anchor is 16x16-only;
+    distinct when the anchor used partitions — 8.4.1.2.2's
+    direct_8x8_inference corner rule resolves to the quadrant's own mv
+    at our >= 8x8 partition grain); col_intra (N,) bool; dist_scale:
+    temporal-direct DistScaleFactor (8.4.1.2.3), traced int32."""
     n = mbw * mbh
     qp = jnp.broadcast_to(jnp.asarray(qp, jnp.int32).reshape(-1), (n,))
     qpc = _CHROMA_QP[jnp.clip(qp + cqp_off, 0, 51)]
@@ -72,8 +76,9 @@ def b_frame_core(y, u, v,
     l1y = _pad_edge(l1_y, PAD)
     src_mbs = T.plane_to_mbs(y.astype(jnp.int32), mbh, mbw, 16)
 
-    # ---- temporal direct MVs (8.4.1.2.3) ----
-    mvcol = jnp.where(col_intra[:, None], 0, col_mv.astype(jnp.int32))
+    # ---- temporal direct MVs (8.4.1.2.3), per quadrant ----
+    mvcol = jnp.where(col_intra[:, None, None], 0,
+                      col_mv.astype(jnp.int32))          # (N,4,2)
     dmv0 = (dist_scale * mvcol + 128) >> 8
     dmv1 = dmv0 - mvcol
     # clamp into the reachable window (interp padding safety)
@@ -99,8 +104,8 @@ def b_frame_core(y, u, v,
     mv0, cost0, pred0 = me(l0y, planes0)
     mv1, cost1, pred1 = me(l1y, planes1)
     pred_bi = (pred0 + pred1 + 1) >> 1
-    pd0 = mc_luma_qpel(planes0, dmv0, mbw, mbh, PAD)
-    pd1 = mc_luma_qpel(planes1, dmv1, mbw, mbh, PAD)
+    pd0 = mc_luma_qpel_quad(planes0, dmv0, mbw, mbh, PAD)
+    pd1 = mc_luma_qpel_quad(planes1, dmv1, mbw, mbh, PAD)
     pred_dir = (pd0 + pd1 + 1) >> 1
 
     off = 4 * me_range + 4
@@ -120,8 +125,11 @@ def b_frame_core(y, u, v,
 
     use0 = (bmode == dheader.B_L0) | (bmode == dheader.B_BI)
     use1 = (bmode == dheader.B_L1) | (bmode == dheader.B_BI)
-    fmv0 = jnp.where(use0[:, None], mv0, dmv0)
-    fmv1 = jnp.where(use1[:, None], mv1, dmv1)
+    # quadrant-grain final motion: explicit modes broadcast their one mv
+    fmv0 = jnp.where(use0[:, None, None],
+                     jnp.broadcast_to(mv0[:, None], (n, 4, 2)), dmv0)
+    fmv1 = jnp.where(use1[:, None, None],
+                     jnp.broadcast_to(mv1[:, None], (n, 4, 2)), dmv1)
     any0 = use0 | (bmode == dheader.B_DIRECT)
     any1 = use1 | (bmode == dheader.B_DIRECT)
 
@@ -140,8 +148,8 @@ def b_frame_core(y, u, v,
     l0v = _pad_edge(l0_v, PAD // 2)
     l1u = _pad_edge(l1_u, PAD // 2)
     l1v = _pad_edge(l1_v, PAD // 2)
-    cu0, cv0 = mc_chroma_uv(l0u, l0v, fmv0, mbw, mbh, PAD // 2)
-    cu1, cv1 = mc_chroma_uv(l1u, l1v, fmv1, mbw, mbh, PAD // 2)
+    cu0, cv0 = mc_chroma_uv_quad(l0u, l0v, fmv0, mbw, mbh, PAD // 2)
+    cu1, cv1 = mc_chroma_uv_quad(l1u, l1v, fmv1, mbw, mbh, PAD // 2)
     both = (any0 & any1)[:, None, None]
     cpred_u = jnp.where(both, (cu0 + cu1 + 1) >> 1,
                         jnp.where(any0[:, None, None], cu0, cu1))
@@ -153,6 +161,8 @@ def b_frame_core(y, u, v,
         src_u, src_v, cpred_u, cpred_v, qpc, intra=False)
 
     # ---- mvd vs per-list median MVP; skip = direct + no residual ----
+    # (quad-grain fmv: the MVP picks the normative neighbouring 4x4
+    # block's quadrant, so direct neighbours contribute their own quad)
     mvp0 = dheader.mvp_for_list(fmv0, any0, mbw, mbh)
     mvp1 = dheader.mvp_for_list(fmv1, any1, mbw, mbh)
     mvd0 = jnp.where(use0[:, None], mv0 - mvp0, 0)

@@ -102,8 +102,16 @@ def bs_grids_b(luma_nnz, mv0, mv1, any0, any1, mbw: int, mbh: int):
         return jnp.repeat(jnp.repeat(x.reshape(mbh, mbw, *x.shape[1:]),
                                      4, 0), 4, 1)
 
-    m0 = rep(mv0)
-    m1 = rep(mv1)
+    def rep_mv(x):
+        """(N,2) uniform or (N,4,2) quad-grain -> per-4x4 (gh,gw,2)."""
+        if x.ndim == 2:
+            return rep(x)
+        g = x.reshape(mbh, mbw, 2, 2, 2).transpose(0, 2, 1, 3, 4)
+        g = g.reshape(2 * mbh, 2 * mbw, 2)
+        return jnp.repeat(jnp.repeat(g, 2, 0), 2, 1)
+
+    m0 = rep_mv(mv0)
+    m1 = rep_mv(mv1)
     a0 = rep(any0.astype(jnp.int32))
     a1 = rep(any1.astype(jnp.int32))
     col = jnp.arange(gw)[None, :]

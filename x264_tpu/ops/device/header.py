@@ -549,27 +549,36 @@ def header_slots_b(bmode, is_skip, mvd0, mvd1, cbp_luma, cbp_chroma, qp_mb,
 
 def mvp_for_list(mv, used, mbw: int, mbh: int):
     """Median MVP over neighbours that use this list (ref 0), 8.4.1.3.
-    mv (N,2), used (N,) bool.  Returns mvp (N,2)."""
-    m = mv.astype(jnp.int32).reshape(mbh, mbw, 2)
+    mv (N,2) per-MB, or (N,4,2) quadrant-grain (direct MBs under quad
+    temporal direct); used (N,) bool.  Returns mvp (N,2).
+
+    With quad-grain input the neighbouring 4x4 block of the current
+    16x16 partition resolves to a specific quadrant of the neighbour MB
+    (6.4.11.7): A = left MB's top-right quad, B = top MB's bottom-left,
+    C = top-right MB's bottom-left, D = top-left MB's bottom-right.
+    Reduces to the per-MB form when all quads agree."""
+    if mv.ndim == 2:
+        mv = jnp.broadcast_to(mv[:, None, :], (mv.shape[0], 4, 2))
+    m4 = mv.astype(jnp.int32).reshape(mbh, mbw, 4, 2)
     u = used.reshape(mbh, mbw)
 
-    def shifted(dy, dx):
-        mvn = jnp.zeros_like(m)
+    def shifted(dy, dx, q):
+        mvn = jnp.zeros((mbh, mbw, 2), jnp.int32)
         un = jnp.zeros_like(u)
         av = jnp.zeros((mbh, mbw), bool)
         ys = slice(max(dy, 0), mbh + min(dy, 0))
         xs = slice(max(dx, 0), mbw + min(dx, 0))
         yd = slice(max(-dy, 0), mbh + min(-dy, 0))
         xd = slice(max(-dx, 0), mbw + min(-dx, 0))
-        mvn = mvn.at[yd, xd].set(m[ys, xs])
+        mvn = mvn.at[yd, xd].set(m4[ys, xs, q])
         un = un.at[yd, xd].set(u[ys, xs])
         av = av.at[yd, xd].set(True)
         return mvn, un, av
 
-    mva, ua, av_a = shifted(0, -1)
-    mvb, ub, av_b = shifted(-1, 0)
-    mvc, uc, av_c = shifted(-1, 1)
-    mvd_, ud_, av_d = shifted(-1, -1)
+    mva, ua, av_a = shifted(0, -1, 1)
+    mvb, ub, av_b = shifted(-1, 0, 2)
+    mvc, uc, av_c = shifted(-1, 1, 2)
+    mvd_, ud_, av_d = shifted(-1, -1, 3)
     use_d = ~av_c
     mvc = jnp.where(use_d[..., None], mvd_, mvc)
     uc = jnp.where(use_d, ud_, uc)

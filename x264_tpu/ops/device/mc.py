@@ -94,6 +94,51 @@ def mc_luma_qpel(planes4, mv, mbw: int, mbh: int, pad: int, ref_idx=None):
     return (s1 + s2 + 1) >> 1
 
 
+def mc_luma_qpel_quad(planes4, mv8, mbw: int, mbh: int, pad: int):
+    """Quarter-pel MC at 8x8 quadrant granularity: mv8 (N,4,2) qpel mvs
+    (quadrant q = 2*qy + qx).  Same two-sample selection over 10x10
+    windows; bit-identical to mc_luma_qpel when all quads share one mv
+    (the samples are pure functions of absolute position + mv).  Used by
+    the quad-grain temporal direct path (8.4.1.2.2 with
+    direct_8x8_inference_flag = 1).  Returns (N,16,16) int32."""
+    from x264_tpu.ops.device.wingather import gather_win, pack_planes4
+
+    n = mbw * mbh
+    m = 4 * n
+    mvf = mv8.reshape(m, 2)
+    mby = jnp.arange(n, dtype=jnp.int32) // mbw
+    mbx = jnp.arange(n, dtype=jnp.int32) % mbw
+    qy = jnp.asarray([0, 0, 1, 1])
+    qx = jnp.asarray([0, 1, 0, 1])
+    uy = (mby[:, None] * 16 + qy[None, :] * 8).reshape(m)
+    ux = (mbx[:, None] * 16 + qx[None, :] * 8).reshape(m)
+    ix, iy = mvf[:, 0] >> 2, mvf[:, 1] >> 2
+    fx, fy = mvf[:, 0] & 3, mvf[:, 1] & 3
+    y0 = pad + uy + iy - 1
+    x0 = pad + ux + ix - 1
+    packed = pack_planes4(planes4)
+    band = jnp.repeat(mby, 4)
+    w32 = gather_win(packed, y0, x0, band, win=10)[:, :, :10]
+    w4 = [((w32 >> (8 * p)) & 0xFF).astype(jnp.int32) for p in range(4)]
+    tbl = _qp_tbl()[fx, fy]                       # (M, 6)
+
+    def sample(pp, dy, dx):
+        out = jnp.zeros((m, 8, 8), jnp.int32)
+        for p in range(4):
+            for a in range(2):
+                for b in range(2):
+                    msk = ((pp == p) & (dy == a) & (dx == b))[:, None, None]
+                    out = jnp.where(msk, w4[p][:, 1 + a:9 + a, 1 + b:9 + b],
+                                    out)
+        return out
+
+    s1 = sample(tbl[:, 0], tbl[:, 1], tbl[:, 2])
+    s2 = sample(tbl[:, 3], tbl[:, 4], tbl[:, 5])
+    pred = (s1 + s2 + 1) >> 1
+    return (pred.reshape(n, 2, 2, 8, 8).transpose(0, 1, 3, 2, 4)
+            .reshape(n, 16, 16))
+
+
 def mc_luma_fullpel(ref_pad, mv, mbw: int, mbh: int, pad: int):
     """Gather (N,16,16) fullpel predictions.  mv (N,2) qpel (multiples of 4)."""
     n = mbw * mbh

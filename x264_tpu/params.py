@@ -172,9 +172,6 @@ class EncoderParams:
                 p = p.clone(p8x8=False)   # like x264 ultrafast: no p8x8
             if p.backend in ("reference", "device_host_entropy"):
                 raise NotImplementedError("p8x8: device pipeline only")
-            if p.bframes:
-                raise NotImplementedError(
-                    "p8x8 + bframes: pending quad-grain temporal direct")
             if p.slices > 1 or p.threads > 1:
                 raise NotImplementedError("p8x8 + slices/threads: pending")
             if p.i4x4:
