@@ -161,3 +161,75 @@ def test_i4x4_device_backend_bitexact():
     p = EncoderParams(width=96, height=64, qp=28, keyint_max=0,
                       deblock=True, backend="device", i4x4=True, aq_mode=1)
     encode_and_check(frames, p)
+
+
+@pytest.mark.parametrize("qp", [14, 26, 40])
+def test_i4x4_cabac_packed_bitexact(qp):
+    """I4x4 through the device-packed CABAC fast path (pred-mode nibble
+    fields in the blob -> native coder I_NxN trees)."""
+    frames = synth_frames(64, 48, 2)
+    p = EncoderParams(width=64, height=48, qp=qp, keyint_max=1,
+                      deblock=True, backend="device", i4x4=True,
+                      cabac=True)
+    encode_and_check(frames, p)
+
+
+def test_i4x4_cabac_pgop_bitexact():
+    """I4x4 IDR (packed CABAC) + P frames referencing the mixed recon."""
+    frames = synth_frames(96, 64, 4)
+    p = EncoderParams(width=96, height=64, qp=28, keyint_max=0,
+                      deblock=True, backend="device", i4x4=True,
+                      cabac=True, aq_mode=1)
+    encode_and_check(frames, p)
+
+
+def test_i4x4_with_8x8dct_cabac():
+    """Composition: i4x4 (I slices) + adaptive 8x8 transform (P slices)
+    under one PPS with transform_8x8_mode_flag=1 — the I_NxN MBs must
+    code transform_size_8x8_flag=0."""
+    frames = synth_frames(96, 64, 4)
+    p = EncoderParams(width=96, height=64, qp=26, keyint_max=0,
+                      deblock=True, backend="device", i4x4=True,
+                      cabac=True, transform_8x8=True)
+    encode_and_check(frames, p)
+
+
+def test_medium_composition_bitexact():
+    """The round-3 'medium-equivalent' composition gate:
+    i4x4 + p8x8 + 8x8dct + weightp + trellis + CABAC + 2 B frames
+    in ONE encode (VERDICT.md round-2 item 2).  B streams reorder, so
+    recons are captured per display index via the submit/finalize hooks
+    and compared against the decoder in display order."""
+    W, H = 96, 64
+    frames = synth_frames(W, H, 7)
+    p = EncoderParams(width=W, height=H, qp=26, keyint_max=0,
+                      deblock=True, backend="device", i4x4=True,
+                      cabac=True, transform_8x8=True, weightp=1,
+                      trellis=1, p8x8=True, bframes=2,
+                      scenecut_threshold=0)
+    enc = Encoder(p)
+    recs = {}
+    _b, _a = enc._finalize_b, enc._submit_anchor
+
+    def spyb(job):
+        data = _b(job)
+        r = enc.last_recon
+        recs[job["disp"]] = (np.asarray(r.y), np.asarray(r.u),
+                             np.asarray(r.v))
+        return data
+
+    def spya(fr, d, ftype):
+        job = _a(fr, d, ftype)
+        r = enc.dpb[0]
+        recs[d] = (np.asarray(r.y), np.asarray(r.u), np.asarray(r.v))
+        return job
+
+    enc._finalize_b, enc._submit_anchor = spyb, spya
+    stream = b"".join(enc.encode(f) for f in frames) + enc.flush()
+    dec = decode_annexb(stream, W, H)
+    assert len(dec) == len(frames)
+    for d in range(len(frames)):
+        ry, ru, rv = recs[d]
+        assert np.array_equal(dec[d][0], ry[:H, :W]), f"display {d} luma"
+        assert np.array_equal(dec[d][1], ru[:H // 2, :W // 2]), f"{d} cb"
+        assert np.array_equal(dec[d][2], rv[:H // 2, :W // 2]), f"{d} cr"

@@ -78,25 +78,29 @@ class Encoder:
                 qp_min=self.p.qp_min, qp_max=self.p.qp_max)
         self._init_qp = self.p.qp      # PPS pic_init_qp base (frozen)
         self._warm_thread = None
+        self._warm_done = None
         # only worth a background thread when compiles are expensive
         # (big frames); tiny test encoders would pay thread+compile churn
         if self._use_device() and not self._syn_path() \
                 and self.p.slices == 1 \
                 and self.p.mb_width * self.p.mb_height >= 2000:
             import threading
+            self._warm_done = threading.Event()
             self._warm_thread = threading.Thread(
                 target=self._warm_compiles, daemon=True)
             self._warm_thread.start()
 
     def _warm_compiles(self):
         """Pre-trace every entropy-ladder rung of the frame cores on
-        dummy data (background thread at open).  The overflow re-encode
-        ladder makes n_words/lv_cap a STATIC jit parameter: without this,
-        the first busy frame that steps the ladder pays a full XLA
-        compile (~1-2 min at 1080p through the remote-compile tunnel)
-        mid-stream — the round-2 bench collapsed from 6 fps to 0.17 fps
-        on exactly two such stalls.  The jit caches are global, so this
-        throwaway work warms the real path."""
+        dummy data (background thread at open).  n_words/lv_cap is a
+        STATIC jit parameter: without this, the first frame that steps
+        the ladder pays a full XLA compile (~30-100 s at 1080p through
+        the remote-compile tunnel) mid-stream.  The jit caches are
+        global, so this throwaway work warms the real path; the exact
+        call signatures (qp_arr kind, wts, trellis tables, parts) must
+        mirror the real encode paths or a variant escapes the warm-up.
+        Sets _warm_done when EVERY ladder rung of every frame core has
+        been compiled — warm() keys off the event, not the thread."""
         try:
             import jax.numpy as jnp
             p = self.p
@@ -117,7 +121,12 @@ class Encoder:
                 wts = jnp.asarray(np.asarray([NEUTRAL] * p.ref_frames,
                                              np.int32))
             last = None
-            for n_words in self._ladder(qp):
+            full = [96, 408] if self._cabac_fast() else [64, 416]
+            # first rung is the one every frame starts at: signal
+            # readiness as soon as it is compiled; the overflow-fallback
+            # rung warms afterwards, best-effort (rare, and the
+            # persistent compile cache amortizes it across processes)
+            for rung_i, n_words in enumerate(full):
                 out, _ = self._run_core(yd, ud, vd, None, True, qp,
                                         qp_arr, n_words, mbw, mbh)
                 out2, _ = self._run_core(yd, ud, vd, refs, False, qp,
@@ -131,7 +140,7 @@ class Encoder:
                            if self._cabac_fast() else dict(n_words=n_words))
                     ob = b_frame_core(
                         yd, ud, vd, yd, ud, vd, yd, ud, vd,
-                        jnp.zeros((n, 2), jnp.int32), jnp.ones(n, bool),
+                        jnp.zeros((n, 4, 2), jnp.int32), jnp.ones(n, bool),
                         np.int32(128), np.int32(qp),
                         np.int32(me_lambda(qp)), mbw=mbw, mbh=mbh,
                         me_range=p.me_range, cqp_off=p.chroma_qp_offset,
@@ -140,16 +149,26 @@ class Encoder:
                     last = ob["host_blob"]
                 if p.deblock:
                     self._deblock_device(out2, qp, mbw, mbh)
+                if rung_i == 0 and last is not None:
+                    last.block_until_ready()
+                    self._warm_done.set()
             if last is not None:
                 last.block_until_ready()
-        except Exception:
-            pass            # warm-up is best-effort; real path compiles lazily
+        except Exception as e:
+            # warm-up is best-effort (the real path compiles lazily), but
+            # record the failure and release warm() waiters
+            self._warm_error = e
+        finally:
+            self._warm_done.set()
 
-    def warm(self, timeout=None):
-        """Block until the background compile warm-up finishes (bench
-        and latency-sensitive callers)."""
-        if self._warm_thread is not None:
-            self._warm_thread.join(timeout)
+    def warm(self, timeout=None) -> bool:
+        """Block until the background compile warm-up has compiled every
+        ladder rung of every frame core (bench and latency-sensitive
+        callers).  Returns True when the warm-up provably completed;
+        False on timeout or when no warm-up thread was started."""
+        if self._warm_done is None:
+            return False
+        return self._warm_done.wait(timeout)
 
     # -- x264_encoder_reconfig (encoder/encoder.c:1955) ----------------------
     RECONFIG_OK = frozenset((
@@ -259,10 +278,10 @@ class Encoder:
         return out
 
     def _cab_rows(self, blob, n: int, is_b: bool = False,
-                  parts: bool = False):
+                  parts: bool = False, i4: bool = False):
         """Per-MB field rows of a flat CABAC blob (entropy_pack layout)."""
         from x264_tpu.ops.device.entropy_pack import blob_stride
-        st = blob_stride(is_b, parts)
+        st = blob_stride(is_b, parts, i4)
         return np.asarray(blob).reshape(-1)[:n * st].reshape(n, st)
 
     def _cabac_fast(self) -> bool:
@@ -274,12 +293,13 @@ class Encoder:
     def _syn_path(self) -> bool:
         """Frames go through the host FrameSyntax writers (instead of the
         device-packed fast path): reference backend, host-entropy debug
-        backend, and I4x4 (device core emits syntax tensors; the device
-        CAVLC word packer has no I4 header support yet).  CABAC always
-        takes the packed fast path now (incl. multi-ref and multi-slice
-        — the band loop codes each band's blob independently)."""
+        backend, and I4x4 with CAVLC (the device CAVLC word packer has
+        no I4 header support yet).  CABAC always takes the packed fast
+        path now — incl. I4x4 (pred-mode nibble fields), multi-ref and
+        multi-slice (the band loop codes each band's blob
+        independently)."""
         return (self.p.backend in ("reference", "device_host_entropy")
-                or self.p.i4x4)
+                or (self.p.i4x4 and not self._cabac_fast()))
 
     def _use_device(self) -> bool:
         if self.p.backend == "reference":
@@ -305,6 +325,14 @@ class Encoder:
         ekw = (dict(entropy="cabac", lv_cap=n_words) if ent == "cabac"
                else dict(n_words=n_words))
         if idr or ref is None:
+            if self.p.i4x4 and ent == "cabac":
+                from x264_tpu.models.intra_device import i4_frame_core
+                out = i4_frame_core(yd, ud, vd, qp_arr,
+                                    np.int32(me_lambda(base_qp)),
+                                    mbw=mbw, mbh=mbh,
+                                    cqp_off=self.p.chroma_qp_offset,
+                                    entropy="cabac", lv_cap=n_words)
+                return out, SLICE_I
             from x264_tpu.models.intra_device import i_frame_core
             out = i_frame_core(yd, ud, vd, qp_arr,
                                mbw=mbw, mbh=mbh,
@@ -352,30 +380,30 @@ class Encoder:
         """Re-derive the frame QP when a P frame is promoted to IDR."""
         return max(self.p.qp_min, qp - self.rc.IP_OFFSET)
 
-    # content-adaptive entropy budget: start at the smallest rung that
-    # held the recent frames' observed maxima, so the overflow re-encode
-    # (encoder.c:2893 analog) happens once per content change instead of
-    # doubling the device work on every frame
-    _lv_recent: list = None     # CABAC: max nonzero levels per MB
-    _wd_recent: list = None     # CAVLC: max packed words per MB
+    # Entropy budget: a FIXED two-rung ladder.  n_words/lv_cap is a
+    # static jit parameter (it sets the blob shape), so every distinct
+    # rung is a separate XLA program — the round-2 content-adaptive
+    # ladder caused mid-stream compiles (30-100 s through the remote
+    # tunnel) whenever the start rung moved.  Two rungs bound the
+    # compile set; after an overflow the floor ratchets up and STAYS up
+    # (one re-encode per content change, like encoder.c:2893's ladder).
+    _rung_floor = 0
 
     def _ladder(self, qp: int) -> list:
-        if self._cabac_fast():
-            full = [64, 216, 408] if qp >= 16 else [216, 408]
-            recent = self._lv_recent
-        else:
-            full = [24, 64, 160, 416] if qp >= 16 else [64, 160, 416]
-            recent = self._wd_recent
-        hint = max(recent) if recent else 0
-        keep = [r for r in full if r >= hint]
+        full = [96, 408] if self._cabac_fast() else [64, 416]
+        keep = [r for r in full if r >= self._rung_floor]
         return keep if keep else full[-1:]
 
     def _note_budget(self, cabac: bool, observed: int):
-        """Record a frame's observed entropy size (8-frame window max)."""
-        key = "_lv_recent" if cabac else "_wd_recent"
-        lst = getattr(self, key) or []
-        lst.append(observed)
-        setattr(self, key, lst[-8:])
+        """Record a frame's observed entropy size; ratchet the ladder
+        floor so a rung that overflowed once is never retried."""
+        full = [96, 408] if cabac else [64, 416]
+        for r in full:
+            if observed <= r:
+                if r > self._rung_floor:
+                    self._rung_floor = r
+                return
+        self._rung_floor = full[-1]
 
     def _submit_device_sliced(self, y, u, v, ftype: str, qp: int) -> dict:
         """Multi-slice frame: split MB rows into p.slices bands, run the
@@ -401,10 +429,7 @@ class Encoder:
         rem = mbh % nsl
         heights = [base + (1 if i < rem else 0) for i in range(nsl)]
         starts = np.concatenate(([0], np.cumsum(heights)))[:-1]
-        if self.p.cabac:
-            ladder = [64, 216, 408] if qp >= 16 else [216, 408]
-        else:
-            ladder = [24, 64, 160, 416] if qp >= 16 else [64, 160, 416]
+        ladder = [96, 408] if self.p.cabac else [64, 416]
         n_words = ladder[0]
 
         buf = np.empty((h + h // 2, w), np.uint8)
@@ -855,7 +880,8 @@ class Encoder:
         K = job["n_words"]
         n = job["mbw"] * job["mbh"]
         parts = self.p.p8x8 and job["slice_type"] == SLICE_P
-        rows = self._cab_rows(blob, n, parts=parts)
+        i4 = self.p.i4x4 and job["slice_type"] == SLICE_I
+        rows = self._cab_rows(blob, n, parts=parts, i4=i4)
         total = int(rows[:, 14 + 8].astype(np.int64).sum())
         if total > n * K:
             # frame-level stream overflow: re-run at the next capacity
@@ -867,7 +893,7 @@ class Encoder:
                                         job["mbw"], job["mbh"],
                                         wts=job.get("wts"))
                 blob = np.asarray(out["host_blob"])
-                rows = self._cab_rows(blob, n, parts=parts)
+                rows = self._cab_rows(blob, n, parts=parts, i4=i4)
                 total = int(rows[:, 14 + 8].astype(np.int64).sum())
                 if total <= n * K:
                     break
@@ -895,7 +921,7 @@ class Encoder:
             blob, job["mbw"], job["mbh"], kind, job["slice_qp"], K,
             t8_mode=self.p.transform_8x8,
             num_ref=job.get("num_ref", 1) if kind == 1 else 1,
-            parts=parts, want_states=True)
+            parts=parts, i4=i4, want_states=True)
         if self._cab_states is None:
             self._cab_states = {}
         self._cab_states["I" if kind == 0 else "P"] = states
@@ -1314,7 +1340,7 @@ class Encoder:
         qpc_mb = qpc_tab[jnp.clip(qp_mb + self.p.chroma_qp_offset, 0, 51)]
         from x264_tpu.ops.device.deblock import deblock_impl
         return deblock_core(
-            ry, ru, rv, out["mb_class"] == 0,
+            ry, ru, rv, out["mb_class"] <= 1,   # I16 (0) or I_NxN (1)
             out["nnz_deblock"] if "nnz_deblock" in out else out["luma_nnz"],
             # quadrant-granular mvs/refs when partitions are active (the
             # internal-edge mv-discontinuity bS rule needs them)

@@ -62,6 +62,7 @@ def _lib():
             ctypes.c_int,
             i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int,                   # parts (P partition fields)
+            ctypes.c_int,                   # i4 (I_NxN pred-mode fields)
             u8p, ctypes.c_long,
             ctypes.c_void_p,                # state_out (1024) or NULL
         ]
@@ -75,6 +76,7 @@ def write_slice_cabac_packed(blob: np.ndarray, mbw: int, mbh: int,
                              t8_mode: bool = False,
                              num_ref: int = 1,
                              parts: bool = False,
+                             i4: bool = False,
                              want_states: bool = False):
     """Encode slice_data() with CABAC from the device's compact blob
     (ops/device/entropy_pack.cabac_blob layout).  slice_kind 0=I/1=P/2=B.
@@ -91,8 +93,8 @@ def write_slice_cabac_packed(blob: np.ndarray, mbw: int, mbh: int,
     states = np.zeros(1024, np.uint8) if want_states else None
     sz = _lib().encode_slice_cabac_packed(
         mbw, mbh, slice_kind, int(slice_qp), init_idc,
-        blob, K, blob_stride(slice_kind == 2, parts), int(t8_mode),
-        int(num_ref), int(parts), out, cap,
+        blob, K, blob_stride(slice_kind == 2, parts, i4), int(t8_mode),
+        int(num_ref), int(parts), int(i4), out, cap,
         None if states is None
         else states.ctypes.data_as(ctypes.c_void_p))
     if sz < 0:

@@ -231,8 +231,10 @@ def _z4(x4: int, y4: int) -> int:
     return 8 * (y4 >> 1) + 4 * (x4 >> 1) + 2 * (y4 & 1) + (x4 & 1)
 
 
-@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "cqp_off"))
-def i4_frame_core(y, u, v, qp, lam, mbw: int, mbh: int, cqp_off: int):
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "cqp_off",
+                                             "entropy", "lv_cap"))
+def i4_frame_core(y, u, v, qp, lam, mbw: int, mbh: int, cqp_off: int,
+                  entropy: str = "syntax", lv_cap: int = 96):
     """All-device I-frame pipeline with per-MB I16x16-vs-I4x4 decision
     (reference encoder/analyse.c mb_analyse_intra + macroblock.c
     x264_mb_encode_i4x4).  The MB wavefront runs in KNIGHT order
@@ -470,6 +472,17 @@ def i4_frame_core(y, u, v, qp, lam, mbw: int, mbh: int, cqp_off: int):
     out["recon_u"] = ru.astype(jnp.uint8)
     out["recon_v"] = rv.astype(jnp.uint8)
     out["qp_mb"] = qp
+    if entropy == "cabac":
+        # packed fast-path blob (entropy_pack layout + 2 trailing I_NxN
+        # pred-mode nibble fields) — the host C coder consumes it directly
+        from x264_tpu.ops.device.entropy_pack import cabac_blob
+        out["host_blob"] = cabac_blob(
+            acc["luma_dc"], acc["luma_ac"], acc["chroma_dc"],
+            acc["chroma_ac"], acc["mb_class"],
+            jnp.zeros((n, 2), jnp.int32), acc["i16_mode"],
+            acc["chroma_mode"], acc["cbp_luma"], acc["cbp_chroma"],
+            qp, acc["mb_cost"], jnp.zeros(n, jnp.int32), K=lv_cap,
+            i4_modes=acc["i4_modes"])
     return out
 
 

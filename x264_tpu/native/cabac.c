@@ -1008,7 +1008,7 @@ long encode_slice_cabac(
 long encode_slice_cabac_packed(
     int mbw, int mbh, int slice_kind, int slice_qp, int init_idc,
     const int32_t *blob, int K, int stride, int t8_mode, int num_ref,
-    int parts,
+    int parts, int i4,
     uint8_t *out, long out_cap, uint8_t *state_out)
 {
     int n = mbw * mbh;
@@ -1035,11 +1035,13 @@ long encode_slice_cabac_packed(
     int32_t *shape = parts ? malloc((size_t)n * sz32) : NULL;
     int32_t *mvdp = parts ? malloc((size_t)8 * n * sz32) : NULL;
     int32_t *refp = parts ? malloc((size_t)4 * n * sz32) : NULL;
+    int32_t *i4m = i4 ? malloc((size_t)16 * n * sz32) : NULL;
     long ret = -1;
     if (!ldc || !lac || !cdc || !cac || !cls || !mvd || !i16m || !chm
         || !cbpl || !cbpc || !qp || !t8 || !ref
         || (is_b && (!bmode || !mvd1))
-        || (parts && (!shape || !mvdp || !refp)))
+        || (parts && (!shape || !mvdp || !refp))
+        || (i4 && !i4m))
         goto done;
 
     for (int mb = 0; mb < n; mb++) {
@@ -1078,6 +1080,15 @@ long encode_slice_cabac_packed(
             refp[4 * mb + 2] = fields[21];
             refp[4 * mb + 3] = fields[22];
         }
+        if (i4) {
+            /* I_NxN pred-mode nibbles ride the LAST two row words */
+            uint32_t lo = (uint32_t)row[stride - 2];
+            uint32_t hi = (uint32_t)row[stride - 1];
+            for (int k = 0; k < 8; k++) {
+                i4m[16 * mb + k] = (int32_t)((lo >> (4 * k)) & 15);
+                i4m[16 * mb + 8 + k] = (int32_t)((hi >> (4 * k)) & 15);
+            }
+        }
         int16_t *dst[4] = {ldc + 16 * mb, lac + 256 * mb,
                            cdc + 8 * mb, cac + 128 * mb};
         int lim[4] = {16, 256, 8, 128};
@@ -1096,13 +1107,13 @@ long encode_slice_cabac_packed(
     ret = encode_slice_cabac(mbw, mbh, slice_kind, slice_qp, init_idc,
                              cls, i16m, chm, mvd, cbpl, cbpc, qp,
                              ldc, lac, cdc, cac, bmode, mvd1,
-                             t8_mode ? t8 : NULL, NULL,
+                             t8_mode ? t8 : NULL, i4m,
                              ref, num_ref, shape, mvdp, refp,
                              out, out_cap, state_out);
 done:
     free(ldc); free(lac); free(cdc); free(cac); free(cls); free(mvd);
     free(i16m); free(chm); free(cbpl); free(cbpc); free(qp); free(ref);
     free(bmode); free(mvd1); free(t8);
-    free(shape); free(mvdp); free(refp);
+    free(shape); free(mvdp); free(refp); free(i4m);
     return ret;
 }

@@ -41,17 +41,20 @@ FIELDS_P = 13
 FIELDS_B = 16
 FIELDS_PARTS = 10     # appended when P partitions are active: shape,
                       # mvd slots 1-3 (x,y), ref slots 1-3
+FIELDS_I4 = 2         # appended when I_NxN is active: 16 pred modes as
+                      # 4-bit nibbles (lo = blocks 0-7, hi = 8-15, raster)
 
 
-def blob_stride(b: bool = False, parts: bool = False) -> int:
+def blob_stride(b: bool = False, parts: bool = False,
+                i4: bool = False) -> int:
     return N_BITMAP + 1 + (FIELDS_B if b else FIELDS_P) \
-        + (FIELDS_PARTS if parts else 0)
+        + (FIELDS_PARTS if parts else 0) + (FIELDS_I4 if i4 else 0)
 
 
 def cabac_blob(luma_dc, luma_ac, chroma_dc, chroma_ac, mb_class, mvd,
                i16_mode, chroma_mode, cbp_luma, cbp_chroma, qp, mb_cost,
                icost, K: int, bmode=None, mvd1=None, t8=None, ref=None,
-               shape=None, mvd_part=None, ref_part=None):
+               shape=None, mvd_part=None, ref_part=None, i4_modes=None):
     """All inputs per-MB int32 tensors (see p_frame_pipeline); K even.
     Returns a flat int32 array: n*stride row words + n*K/2 stream words."""
     n = mb_class.shape[0]
@@ -115,6 +118,13 @@ def cabac_blob(luma_dc, luma_ac, chroma_dc, chroma_ac, mb_class, mvd,
                    mvd_part[:, 2, 0], mvd_part[:, 2, 1],
                    mvd_part[:, 3, 0], mvd_part[:, 3, 1],
                    ref_part[:, 1], ref_part[:, 2], ref_part[:, 3]]
+    if i4_modes is not None:
+        # I_NxN pred modes, 16 raster blocks as 4-bit nibbles in 2 words
+        # (modes 0-8; garbage for non-I4 MBs — the coder keys off cls)
+        nib = jnp.clip(i4_modes.astype(jnp.int32), 0, 15)
+        sh4 = (4 * jnp.arange(8, dtype=jnp.int32))[None, :]
+        fields += [(nib[:, :8] << sh4).sum(axis=1),
+                   (nib[:, 8:] << sh4).sum(axis=1)]
     rows = jnp.concatenate(
         [bitmap] + [f.astype(jnp.int32)[:, None] for f in fields], axis=1)
     return jnp.concatenate([rows.reshape(-1), stream])

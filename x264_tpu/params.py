@@ -174,10 +174,11 @@ class EncoderParams:
                 raise NotImplementedError("p8x8: device pipeline only")
             if p.slices > 1 or p.threads > 1:
                 raise NotImplementedError("p8x8 + slices/threads: pending")
-            if p.i4x4:
+            if p.i4x4 and not p.cabac:
                 raise NotImplementedError(
-                    "p8x8 + i4x4: pending (i4x4 rides the host-entropy "
-                    "syntax path, which has no partition writer yet)")
+                    "p8x8 + i4x4 + CAVLC: pending (CAVLC i4x4 rides the "
+                    "host-entropy syntax path, which has no partition "
+                    "writer; use --cabac)")
         if not (p.i16x16 and p.p16x16):
             raise NotImplementedError("i16x16/p16x16 cannot be disabled")
         if (p.deadzone_intra, p.deadzone_inter) != (11, 21):
@@ -196,9 +197,10 @@ class EncoderParams:
             assert p.slices == 1, "B+slices: round 2"
         if p.i4x4 and p.slices > 1:
             raise NotImplementedError("i4x4 + slices: pending")
-        if p.i4x4 and p.transform_8x8:
+        if p.i4x4 and p.transform_8x8 and not p.cabac:
             raise NotImplementedError(
-                "i4x4 + 8x8dct: pending packed-blob I4 support")
+                "i4x4 + 8x8dct + CAVLC: pending (the CAVLC i4x4 syntax "
+                "path has no transform_size flag writer; use --cabac)")
         if p.transform_8x8:
             if p.backend == "reference":
                 raise NotImplementedError(
@@ -228,8 +230,11 @@ class EncoderParams:
                 raise NotImplementedError("weightp: device pipeline only")
             if p.slices > 1:
                 raise NotImplementedError("weightp + slices: pending")
-            if p.i4x4:
-                raise NotImplementedError("weightp + i4x4: pending")
+            if p.i4x4 and not p.cabac:
+                raise NotImplementedError(
+                    "weightp + i4x4 + CAVLC: pending (CAVLC i4x4 rides "
+                    "the host-entropy syntax path, which has no "
+                    "pred_weight_table writer; use --cabac)")
         return p
 
 
