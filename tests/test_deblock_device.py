@@ -138,3 +138,30 @@ def test_pallas_kernel_bit_exact(rng):
                                       mbw=mbw, mbh=mbh, interpret=True)
             for x1, x2 in zip(a, b):
                 assert np.array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_deblock_core_impls_agree_small_mbh(rng):
+    """Regression: the Mosaic deblock kernel embedded in an outer jit
+    produced wrong second-band content at mbh=2 (32-lane skewed
+    planes); deblock_core must give impl-independent results at every
+    geometry (the mbh<3 XLA fallback)."""
+    for (mbw, mbh) in [(3, 2), (8, 2), (2, 2), (3, 3)]:
+        h, w = mbh * 16, mbw * 16
+        n = mbw * mbh
+        y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        u = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+        v = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+        import jax.numpy as jnp
+        intra = jnp.ones(n, bool)
+        nnz = jnp.asarray(rng.integers(0, 3, (n, 16)).astype(np.int32))
+        mv = jnp.zeros((n, 2), jnp.int32)
+        ref = jnp.zeros(n, jnp.int32)
+        qp = jnp.full(n, 30, jnp.int32)
+        outs = [deblock_core(jnp.asarray(y), jnp.asarray(u),
+                             jnp.asarray(v), intra, nnz, mv, ref, qp, qp,
+                             np.int32(0), np.int32(0), mbw=mbw, mbh=mbh,
+                             impl=impl)
+                for impl in ("xla", "pallas")]
+        for a, b in zip(*outs):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"{mbw}x{mbh}")

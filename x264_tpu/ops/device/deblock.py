@@ -285,6 +285,12 @@ def deblock_impl() -> str:
 
 def _filter_by_impl(impl, y, u, v, bs_v, bs_h, qp_mb, qpc_mb,
                     off_a, off_b, mbw, mbh):
+    # mbh=2 (32-lane skewed planes) miscompiles the Mosaic kernel when
+    # it is embedded in an outer jit (wrong content in the second MB
+    # band; standalone eager execution is fine — observed on v5e).
+    # Frames this small are perf-irrelevant: use the XLA twin.
+    if mbh < 3:
+        impl = "xla"
     if impl == "pallas":
         from x264_tpu.ops.device.deblock_pallas import deblock_filter_pallas
         return deblock_filter_pallas(y, u, v, bs_v, bs_h, qp_mb, qpc_mb,
