@@ -219,3 +219,25 @@ def test_lowres(rng):
     lr = mc.lowres_downsample(p)
     assert lr.shape == (8, 8)
     assert lr[0, 0] == (p[0, 0] + p[0, 1] + p[1, 0] + p[1, 1] + 2) >> 2
+
+
+def test_predict_8x8_device_parity(rng):
+    """Device I8x8 prediction (filter + 9 modes) vs the NumPy tier on
+    random edges across every availability pattern."""
+    import jax.numpy as jnp
+    from x264_tpu.ops.device import predict as DP
+    from x264_tpu.ops.reference import predict as RP
+    n = 64
+    t = rng.integers(0, 256, (n, 16))
+    l = rng.integers(0, 256, (n, 8))
+    tl = rng.integers(0, 256, n)
+    at = rng.random(n) < 0.8
+    al = rng.random(n) < 0.8
+    atl = at & al & (rng.random(n) < 0.8)
+    atr = at & (rng.random(n) < 0.7)
+    ref = RP.predict_8x8_all(t, l, tl, at, al, atl, atr)
+    dev = DP.predict_8x8_all(jnp.asarray(t), jnp.asarray(l),
+                             jnp.asarray(tl), jnp.asarray(at),
+                             jnp.asarray(al), jnp.asarray(atl),
+                             jnp.asarray(atr))
+    np.testing.assert_array_equal(ref, np.asarray(dev))

@@ -145,7 +145,8 @@ class Encoder:
                         np.int32(me_lambda(qp)), mbw=mbw, mbh=mbh,
                         me_range=p.me_range, cqp_off=p.chroma_qp_offset,
                         subpel=p.subpel, t8_mode=p.transform_8x8,
-                        trellis_tbl=self._trellis_tbl(qp, "B"), **ekw)
+                        trellis_tbl=self._trellis_tbl(qp, "B"),
+                        decimate=self.p.dct_decimate, **ekw)
                     last = ob["host_blob"]
                 if p.deblock:
                     self._deblock_device(out2, qp, mbw, mbh)
@@ -356,6 +357,7 @@ class Encoder:
                            t8=self.p.transform_8x8, wts=wts,
                            trellis_tbl=self._trellis_tbl(base_qp, "P"),
                            parts=self.p.p8x8,
+                           decimate=self.p.dct_decimate,
                            **ekw)
         return out, SLICE_P
 
@@ -1165,7 +1167,8 @@ class Encoder:
             mbw=mbw, mbh=mbh, me_range=self.p.me_range,
             cqp_off=self.p.chroma_qp_offset,
             subpel=self.p.subpel, t8_mode=self.p.transform_8x8,
-            trellis_tbl=self._trellis_tbl(qp, "B"), **ekw)
+            trellis_tbl=self._trellis_tbl(qp, "B"),
+            decimate=self.p.dct_decimate, **ekw)
         try:
             out["host_blob"].copy_to_host_async()
         except Exception:
@@ -1215,7 +1218,8 @@ class Encoder:
                     cqp_off=self.p.chroma_qp_offset,
                     subpel=self.p.subpel,
                     t8_mode=self.p.transform_8x8,
-                    trellis_tbl=self._trellis_tbl(qp, "B"), **ekw)
+                    trellis_tbl=self._trellis_tbl(qp, "B"),
+                    decimate=self.p.dct_decimate, **ekw)
                 blob = np.asarray(out["host_blob"])
                 if not _over(blob, n_words):
                     break

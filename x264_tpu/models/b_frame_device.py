@@ -54,14 +54,15 @@ def _pad_edge(p, pad):
 @functools.partial(jax.jit,
                    static_argnames=("mbw", "mbh", "me_range", "cqp_off",
                                     "n_words", "subpel", "entropy",
-                                    "lv_cap", "t8_mode"))
+                                    "lv_cap", "t8_mode", "decimate"))
 def b_frame_core(y, u, v,
                  l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
                  col_mv, col_intra, dist_scale, qp, lam,
                  mbw: int, mbh: int, me_range: int, cqp_off: int,
                  n_words: int = 24, subpel: int = 2,
                  entropy: str = "cavlc", lv_cap: int = 64,
-                 t8_mode: bool = False, trellis_tbl=None):
+                 t8_mode: bool = False, trellis_tbl=None,
+                 decimate: bool = True):
     """Encode one B frame.  col_mv (N,4,2): the L1 anchor's QUADRANT-
     grain motion field (uniform quads when the anchor is 16x16-only;
     distinct when the anchor used partitions — 8.4.1.2.2's
@@ -141,6 +142,7 @@ def b_frame_core(y, u, v,
     tr4 = (None if trellis_tbl is None
            else (trellis_tbl[0], trellis_tbl[2]))
     recon_y_mbs, ac_zz, nnz, cbp_l = encode_p_luma(src_mbs, pred, qp,
+                                                   decimate=decimate,
                                                    trellis=tr4)
 
     # chroma: per-list MC at the final mvs, averaged per mode
@@ -158,7 +160,8 @@ def b_frame_core(y, u, v,
     src_u = T.plane_to_mbs(u.astype(jnp.int32), mbh, mbw, 8)
     src_v = T.plane_to_mbs(v.astype(jnp.int32), mbh, mbw, 8)
     ru_mbs, rv_mbs, cdc, cac, cnnz, cbp_c = encode_chroma(
-        src_u, src_v, cpred_u, cpred_v, qpc, intra=False)
+        src_u, src_v, cpred_u, cpred_v, qpc, intra=False,
+        decimate=decimate)
 
     # ---- mvd vs per-list median MVP; skip = direct + no residual ----
     # (quad-grain fmv: the MVP picks the normative neighbouring 4x4

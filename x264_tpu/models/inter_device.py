@@ -70,13 +70,15 @@ def _cavlc_bits_proxy(ac):
 
 
 def select_transform_8x8(src_mbs, pred, qp, lam,
-                         recon4, ac4, nnz4, cbp4, trellis8=None):
+                         recon4, ac4, nnz4, cbp4, trellis8=None,
+                         decimate: bool = True):
     """Per-MB adaptive transform size: encode the 8x8 alternative and pick
     by SSD + lambda2*rate (both encodings are batched device work, so the
     true-cost decision is free vs x264's satd/sa8d proxy).  Returns
     (t8 (N,) bool, recon, ac_zz, nnz, nnz_deblock, cbp_luma)."""
     rec8, ac8, nnz8, nnzdb8, cbp8 = encode_p_luma_t8(src_mbs, pred, qp,
-                                                     trellis=trellis8)
+                                                     trellis=trellis8,
+                                                     decimate=decimate)
     lam2 = jnp.maximum((lam * lam * 9) // 10, jnp.int32(1))
     cost4 = P.ssd(src_mbs, recon4) + lam2 * _cavlc_bits_proxy(ac4)
     cost8 = P.ssd(src_mbs, rec8) + lam2 * _cavlc_bits_proxy(ac8)
@@ -98,7 +100,7 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                      n_words: int = 24, subpel: int = 0,
                      entropy: str = "cavlc", lv_cap: int = 64,
                      t8: bool = False, wts=None, trellis_tbl=None,
-                     parts: bool = False):
+                     parts: bool = False, decimate: bool = True):
     """All-device P-frame pixel pipeline on *pre-padded* reference planes
     (so the sharded band path can hand in halo slices — parallel/sliced.py).
     y/u/v: source planes (uint8, H=16*mbh x W=16*mbw); ref_*_pad: STACKED
@@ -208,14 +210,15 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
         tr4 = (tbl4, lam2f)
         tr8 = (tbl8, lam2f) if tbl8 is not None else None
     recon_y_mbs, ac_zz, nnz, cbp_l = encode_p_luma(src_mbs, pred, qp,
-                                                   trellis=tr4)
+                                                   trellis=tr4,
+                                                   decimate=decimate)
     nnz_deblock = nnz
     t8_flag = jnp.zeros(n, bool)
     if t8:
         (t8_flag, recon_y_mbs, ac_zz, nnz, nnz_deblock,
          cbp_l) = select_transform_8x8(src_mbs, pred, qp, lam,
                                        recon_y_mbs, ac_zz, nnz, cbp_l,
-                                       trellis8=tr8)
+                                       trellis8=tr8, decimate=decimate)
 
     if parts:
         from x264_tpu.ops.device.mc import mc_chroma_uv_quad
@@ -232,7 +235,7 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
     src_u = T.plane_to_mbs(u.astype(jnp.int32), mbh, mbw, 8)
     src_v = T.plane_to_mbs(v.astype(jnp.int32), mbh, mbw, 8)
     ru_mbs, rv_mbs, cdc, cac, cnnz, cbp_c = encode_chroma(
-        src_u, src_v, pred_u, pred_v, qpc, intra=False)
+        src_u, src_v, pred_u, pred_v, qpc, intra=False, decimate=decimate)
 
     # source-edge intra cost estimate (scenecut + the intra-in-P decision;
     # x264 slicetype's lowres intra analog — source pixels as neighbours,
@@ -437,19 +440,20 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
 p_band_core = functools.partial(
     jax.jit, static_argnames=("mbw", "mbh", "me_range", "cqp_off",
                               "n_words", "subpel", "entropy",
-                              "lv_cap", "t8", "parts"))(p_frame_pipeline)
+                              "lv_cap", "t8", "parts",
+                              "decimate"))(p_frame_pipeline)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("mbw", "mbh", "me_range", "cqp_off",
                                     "n_words", "subpel", "entropy",
-                                    "lv_cap", "t8", "parts"))
+                                    "lv_cap", "t8", "parts", "decimate"))
 def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
                  mbw: int, mbh: int, me_range: int, cqp_off: int,
                  n_words: int = 24, subpel: int = 0,
                  entropy: str = "cavlc", lv_cap: int = 64,
                  t8: bool = False, wts=None, trellis_tbl=None,
-                 parts: bool = False):
+                 parts: bool = False, decimate: bool = True):
     """Single-chip entry: edge-pad the references on device, run the
     pipeline (see p_frame_pipeline for the contract).  ref_* may be
     (H, W) single-ref or stacked (K, H, W) in list0 order."""
@@ -466,7 +470,7 @@ def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
                             n_words=n_words, subpel=subpel,
                             entropy=entropy, lv_cap=lv_cap, t8=t8,
                             wts=wts, trellis_tbl=trellis_tbl,
-                            parts=parts)
+                            parts=parts, decimate=decimate)
 
 
 def classify_pframe_vec(syn, mv: np.ndarray, cbp_l: np.ndarray,
@@ -570,7 +574,8 @@ def encode_pframe_device(y, u, v, ref, qp, params, lam=None):
                        np.asarray(qp, np.int32), np.int32(lam),
                        mbw=mbw, mbh=mbh, me_range=params.me_range,
                        cqp_off=params.chroma_qp_offset,
-                       subpel=params.subpel)
+                       subpel=params.subpel,
+                       decimate=params.dct_decimate)
     out = {k: np.asarray(val) for k, val in out.items()}
 
     syn = empty_syntax(mbw, mbh)

@@ -158,13 +158,43 @@ def mc_luma_16x16(ref_pad: np.ndarray, mv: np.ndarray, mbw: int, mbh: int):
     return preds
 
 
+_DS4 = np.array([3, 2, 2, 1, 1, 1] + [0] * 10, np.int64)
+
+
+def decimate_score_np(zz: np.ndarray) -> int:
+    """Scalar JVT-B118 decimation score (reference common/quant.c:326):
+    walk the zigzag levels from the top; |level|>1 scores 9, each
+    |level|==1 adds _DS4[zero-run below it]."""
+    idx = len(zz) - 1
+    while idx >= 0 and zz[idx] == 0:
+        idx -= 1
+    score = 0
+    while idx >= 0:
+        if abs(int(zz[idx])) > 1:
+            return 9
+        idx -= 1
+        run = 0
+        while idx >= 0 and zz[idx] == 0:
+            idx -= 1
+            run += 1
+        score += int(_DS4[min(run, 15)])
+    return score
+
+
 def encode_p_luma_mb(src: np.ndarray, pred: np.ndarray, qp: int):
-    """Inter luma residual path: 4x4 DCT/quant, quadrant cbp.
+    """Inter luma residual path: 4x4 DCT/quant, quadrant cbp, JVT-B118
+    decimation (quadrant score < 4 or MB total < 6 zeroes the levels —
+    reference encoder/macroblock.c:900-918).
     Returns (recon, ac_zz(16,16), nnz(16,), cbp_luma)."""
     res = src.astype(np.int64) - pred.astype(np.int64)
     blocks = transform.mb_luma_to_blocks(res)
     coefs = transform.dct4x4(blocks)
     lv = quant.quant4x4(coefs, qp, intra=False)
+    quad_r = (np.arange(16) // 4 // 2) * 2 + (np.arange(16) % 4) // 2
+    sc = np.array([decimate_score_np(z) for z in zigzag(lv)], np.int64)
+    sc8 = np.array([sc[quad_r == q].sum() for q in range(4)])
+    keep8 = (sc8 >= 4) & (sc8.sum() >= 6)
+    lv = lv * keep8[quad_r][:, None, None]
     nnz = np.count_nonzero(lv.reshape(16, 16), axis=1).astype(np.int32)
     # quadrant of raster block r: (y4>=2)*2 + (x4>=2)
     quad = (np.arange(16) // 4 // 2) * 2 + (np.arange(16) % 4) // 2

@@ -86,6 +86,17 @@ def encode_chroma_mb(srcs, preds, qp_c: int, intra: bool):
         acs[pl] = zigzag(ac_lv)
         deqs.append((coefs, dc_lv, ac_lv))
 
+    if not intra:
+        # chroma AC decimation, threshold 7 (reference
+        # encoder/macroblock.c:347-431): zero all chroma AC when the
+        # total decimate_score15 over the 8 AC blocks is small
+        from x264_tpu.models.inter_frame import decimate_score_np
+        sc = sum(decimate_score_np(acs[pl, k, 1:])
+                 for pl in range(2) for k in range(4))
+        if sc < 7:
+            acs[:] = 0
+            for pl in range(2):
+                deqs[pl][2][:] = 0      # ac_lv
     any_ac = acs.any()
     any_dc = dcs.any()
     cbp_chroma = 2 if any_ac else (1 if any_dc else 0)

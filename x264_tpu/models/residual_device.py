@@ -9,6 +9,7 @@ path of x264_macroblock_encode).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -17,6 +18,35 @@ from x264_tpu.ops.device import transform as T
 # one-hot map raster-4x4-block -> 8x8 quadrant ((y4>=2)*2 + (x4>=2))
 _QUAD_1HOT = jnp.asarray(np.eye(4, dtype=np.int32)[
     (np.arange(16) // 4 // 2) * 2 + (np.arange(16) % 4) // 2])  # (16,4)
+
+# JVT-B118 decimation run tables (reference common/tables.c
+# x264_decimate_table4/8): the per-run score of an isolated |level|==1
+_DS4 = jnp.asarray(np.array(
+    [3, 2, 2, 1, 1, 1] + [0] * 10, np.int32))
+_DS8 = jnp.asarray(np.array(
+    [3, 3, 3, 3] + [2] * 8 + [1] * 12 + [0] * 40, np.int32))
+
+
+def decimate_score(zz, nc: int):
+    """Batched JVT-B118 decimation score (reference common/quant.c:326
+    decimate_score_internal): zz (..., nc) zigzag levels -> (...,) int32.
+    Any |level| > 1 scores 9 (keep); each |level|==1 adds table[run]
+    where run = zero gap below it in scan order.  Low score = the block
+    is cheap noise worth zeroing."""
+    tbl = _DS8 if nc == 64 else _DS4
+    a = jnp.abs(zz.astype(jnp.int32))
+    nz = a > 0
+    big = (a > 1).any(axis=-1)
+    j = jnp.arange(zz.shape[-1], dtype=jnp.int32)
+    idxs = jnp.where(nz, j, -1)
+    # previous nonzero index below each position (exclusive cummax)
+    prev = jax.lax.associative_scan(jnp.maximum, idxs, axis=-1)
+    prev = jnp.concatenate(
+        [jnp.full(prev.shape[:-1] + (1,), -1, jnp.int32), prev[..., :-1]],
+        axis=-1)
+    run = jnp.clip(j - prev - 1, 0, tbl.shape[0] - 1)
+    sc = jnp.where(nz, tbl[run], 0).sum(axis=-1)
+    return jnp.where(big, 9, sc)
 
 
 def _qp_mb(qp, extra_dims: int):
@@ -58,10 +88,14 @@ def encode_i16_luma(src, pred, qp):
     return recon, dc_zz, ac_zz, nnz, cbp_luma
 
 
-def encode_p_luma(src, pred, qp, trellis=None):
+def encode_p_luma(src, pred, qp, trellis=None, decimate: bool = True):
     """Inter luma residual: (N,16,16) -> (recon, ac_zz, nnz, cbp_luma) with
     per-8x8-quadrant cbp bits.  trellis: None (deadzone quant) or
-    (tbl4, lam2f) for RD-optimal levels (ops/device/trellis.py)."""
+    (tbl4, lam2f) for RD-optimal levels (ops/device/trellis.py).
+    decimate: JVT-B118 coefficient decimation (reference
+    encoder/macroblock.c:900-918): per 8x8 quadrant, zero it when its
+    score < 4; zero the whole MB when the total score < 6 — quant noise
+    becomes skippable MBs instead of coded dust."""
     n = src.shape[0]
     res = src.astype(jnp.int32) - pred.astype(jnp.int32)
     blocks = T.mb_luma_to_blocks(res)
@@ -78,6 +112,13 @@ def encode_p_luma(src, pred, qp, trellis=None):
         lv = T.unzigzag(lzz.reshape(n, 16, 16))
     else:
         lv = T.quant4x4(coefs, qp1, intra=False)
+    if decimate:
+        sc = decimate_score(T.zigzag(lv), 16)             # (N,16)
+        sc8 = sc @ _QUAD_1HOT                             # (N,4) quadrant
+        keep8 = (sc8 >= 4) & (sc8.sum(axis=1, keepdims=True) >= 6)
+        keep = (keep8[:, (jnp.arange(16) // 4 // 2) * 2
+                      + (jnp.arange(16) % 4) // 2])       # (N,16)
+        lv = lv * keep[:, :, None, None].astype(lv.dtype)
     nnz = jnp.count_nonzero(lv.reshape(-1, 16, 16), axis=2).astype(jnp.int32)
     quad_counts = (nnz > 0).astype(jnp.int32) @ _QUAD_1HOT        # (N,4)
     cbp = ((quad_counts > 0).astype(jnp.int32)
@@ -96,7 +137,7 @@ _R2C = jnp.asarray(np.argsort(np.array(
     [0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15])).astype(np.int32))
 
 
-def encode_p_luma_t8(src, pred, qp, trellis=None):
+def encode_p_luma_t8(src, pred, qp, trellis=None, decimate: bool = True):
     """Inter luma residual with the High-profile 8x8 transform
     (transform_size_8x8_flag=1; parity anchor: reference common/dct.c
     sub8x8_dct8 + encoder/macroblock.c's 8x8 branch).
@@ -126,6 +167,16 @@ def encode_p_luma_t8(src, pred, qp, trellis=None):
     else:
         lv8 = T.quant8x8(coefs, qp1, intra=False)      # (N,4,8,8)
         lv64 = T.zigzag8(lv8)                          # (N,4,64)
+
+    # JVT-B118 decimation on the 8x8 quadrants (reference
+    # encoder/macroblock.c:821-836).  x264 skips it when trellis+CABAC
+    # ("8x8 trellis is inherently optimal decimation", :804) — trellis
+    # here implies the CABAC cost model, so mirror that.
+    if decimate and trellis is None:
+        sc8 = decimate_score(lv64, 64)                 # (N,4)
+        keep8 = (sc8 >= 4) & (sc8.sum(axis=1, keepdims=True) >= 6)
+        lv64 = lv64 * keep8[:, :, None].astype(lv64.dtype)
+        lv8 = lv8 * keep8[:, :, None, None].astype(lv8.dtype)
 
     # CAVLC interleave: (N,4,64) -> (N, q8, k, i4) -> coded (N,16,16)
     inter = lv64.reshape(n, 4, 16, 4).transpose(0, 1, 3, 2)   # (N,q8,i4,16)
@@ -157,7 +208,8 @@ def _chroma_plane(blocks):
     return blocks.reshape(n, 2, 2, 4, 4).transpose(0, 1, 3, 2, 4).reshape(n, 8, 8)
 
 
-def encode_chroma(src_u, src_v, pred_u, pred_v, qp_c, intra: bool):
+def encode_chroma(src_u, src_v, pred_u, pred_v, qp_c, intra: bool,
+                  decimate: bool = True):
     """(N,8,8) x4 -> (recon_u, recon_v, dc (N,2,4), ac (N,2,4,16),
     nnz (N,2,4), cbp_chroma (N,)).  Joint U+V cbp per MB (normative)."""
     n = src_u.shape[0]
@@ -177,6 +229,14 @@ def encode_chroma(src_u, src_v, pred_u, pred_v, qp_c, intra: bool):
     ac_lv = T.quant4x4(coefs, qp2, intra)
     ac_lv = ac_lv.at[:, :, :, 0, 0].set(0)
     acs = T.zigzag(ac_lv)                                          # (N,2,4,16)
+    if not intra and decimate:
+        # chroma AC decimation (reference encoder/macroblock.c:347-431):
+        # total decimate_score15 of the 8 AC blocks < 7 -> zero all
+        # chroma AC for the MB (DC survives)
+        sc = decimate_score(acs[..., 1:], 16).sum(axis=(1, 2))    # (N,)
+        keep = (sc >= 7)[:, None, None, None]
+        acs = acs * keep.astype(acs.dtype)
+        ac_lv = ac_lv * keep[..., None].astype(ac_lv.dtype)
     nnz = jnp.count_nonzero(acs, axis=3).astype(jnp.int32)
 
     any_ac = (acs != 0).any(axis=(1, 2, 3))

@@ -221,3 +221,121 @@ def i16x16_mode_avail(at, al, atl):
 def chroma_mode_avail(at, al, atl):
     always = jnp.ones_like(at, dtype=bool)
     return jnp.stack([always, al, at, at & al & atl], axis=-1)
+
+
+# -----------------------------------------------------------------------------
+# I8x8 (8.3.2) — reference-sample filtering + all 9 modes (device twin of
+# ops/reference/predict.py; static index matrices -> plain XLA gathers)
+# -----------------------------------------------------------------------------
+
+def predict_8x8_all(top16, left8, topleft, avail_top, avail_left,
+                    avail_tl, avail_tr):
+    """All 9 Intra_8x8 modes from RAW edges; the 8.3.2.2.1 low-pass
+    filter is applied internally.  top16 (N,16) p[0..15,-1] (top-right
+    half garbage when !avail_tr — substituted here), left8 (N,8),
+    topleft (N,).  -> (N, 9, 8, 8) int32, order [V,H,DC,DDL,DDR,VR,HD,
+    VL,HU]."""
+    import numpy as _np
+    n = top16.shape[0]
+    t = top16.astype(jnp.int32)
+    l8 = left8.astype(jnp.int32)
+    tl = topleft.astype(jnp.int32)
+    at = avail_top
+    al = avail_left
+    atl = avail_tl
+    atr = avail_tr
+
+    t = jnp.where(atr[:, None], t,
+                  jnp.concatenate([t[:, :8],
+                                   jnp.broadcast_to(t[:, 7:8], (n, 8))], 1))
+
+    ft0 = jnp.where(atl, (tl + 2 * t[:, 0] + t[:, 1] + 2) >> 2,
+                    (3 * t[:, 0] + t[:, 1] + 2) >> 2)
+    ftm = (t[:, 0:14] + 2 * t[:, 1:15] + t[:, 2:16] + 2) >> 2
+    ft15 = (t[:, 14] + 3 * t[:, 15] + 2) >> 2
+    fl0 = jnp.where(atl, (tl + 2 * l8[:, 0] + l8[:, 1] + 2) >> 2,
+                    (3 * l8[:, 0] + l8[:, 1] + 2) >> 2)
+    flm = (l8[:, 0:6] + 2 * l8[:, 1:7] + l8[:, 2:8] + 2) >> 2
+    fl7 = (l8[:, 6] + 3 * l8[:, 7] + 2) >> 2
+    ftl = jnp.where(at & al, (t[:, 0] + 2 * tl + l8[:, 0] + 2) >> 2,
+          jnp.where(at, (3 * tl + t[:, 0] + 2) >> 2,
+          jnp.where(al, (3 * tl + l8[:, 0] + 2) >> 2, tl)))
+    t = jnp.concatenate([ft0[:, None], ftm, ft15[:, None]], axis=1)
+    l8 = jnp.concatenate([fl0[:, None], flm, fl7[:, None]], axis=1)
+    tl = ftl
+
+    yg, xg = _np.mgrid[0:8, 0:8]
+    tt = jnp.concatenate([tl[:, None], t], axis=1)      # (N,17)
+    ll = jnp.concatenate([tl[:, None], l8], axis=1)     # (N,9)
+
+    def T(idx):
+        return tt[:, _np.asarray(idx) + 1]
+
+    def L(idx):
+        return ll[:, _np.asarray(idx) + 1]
+
+    v = jnp.broadcast_to(t[:, None, :8], (n, 8, 8))
+    hm = jnp.broadcast_to(l8[:, :, None], (n, 8, 8))
+
+    st, sl = t[:, :8].sum(1), l8.sum(1)
+    dc = jnp.where(at & al, (st + sl + 8) >> 4,
+         jnp.where(at, (st + 4) >> 3,
+         jnp.where(al, (sl + 4) >> 3, 128)))
+    dc = jnp.broadcast_to(dc[:, None, None], (n, 8, 8))
+
+    s = xg + yg
+    ddl = (T(s) + 2 * T((s + 1).clip(max=15)) + T((s + 2).clip(max=15)) + 2) >> 2
+    corner = (t[:, 14] + 3 * t[:, 15] + 2) >> 2
+    ddl = jnp.where(jnp.asarray((xg == 7) & (yg == 7)),
+                    corner[:, None, None], ddl)
+
+    z = xg - yg
+    ddr_t = (T((z - 2).clip(-1)) + 2 * T((z - 1).clip(-1)) + T(z.clip(-1)) + 2) >> 2
+    w = yg - xg
+    ddr_l = (L((w - 2).clip(-1)) + 2 * L((w - 1).clip(-1)) + L(w.clip(-1)) + 2) >> 2
+    diag = (t[:, 0] + 2 * tl + l8[:, 0] + 2) >> 2
+    ddr = jnp.where(jnp.asarray(z > 0), ddr_t,
+          jnp.where(jnp.asarray(z < 0), ddr_l, diag[:, None, None]))
+
+    zvr = 2 * xg - yg
+    i = xg - (yg >> 1)
+    vr_even = (T((i - 1).clip(-1)) + T(i.clip(-1)) + 1) >> 1
+    vr_odd = (T((i - 2).clip(-1)) + 2 * T((i - 1).clip(-1)) + T(i.clip(-1)) + 2) >> 2
+    vr_m1 = ((l8[:, 0] + 2 * tl + t[:, 0] + 2) >> 2)[:, None, None]
+    q = yg - 2 * xg
+    vr_lo = (L((q - 1).clip(-1)) + 2 * L((q - 2).clip(-1)) + L((q - 3).clip(-1)) + 2) >> 2
+    vr = jnp.where(jnp.asarray(zvr >= 0),
+                   jnp.where(jnp.asarray(zvr % 2 == 0), vr_even, vr_odd),
+                   jnp.where(jnp.asarray(zvr == -1), vr_m1, vr_lo))
+
+    zhd = 2 * yg - xg
+    j = yg - (xg >> 1)
+    hd_even = (L((j - 1).clip(-1)) + L(j.clip(-1)) + 1) >> 1
+    hd_odd = (L((j - 2).clip(-1)) + 2 * L((j - 1).clip(-1)) + L(j.clip(-1)) + 2) >> 2
+    r = xg - 2 * yg
+    hd_lo = (T((r - 1).clip(-1)) + 2 * T((r - 2).clip(-1)) + T((r - 3).clip(-1)) + 2) >> 2
+    hd = jnp.where(jnp.asarray(zhd >= 0),
+                   jnp.where(jnp.asarray(zhd % 2 == 0), hd_even, hd_odd),
+                   jnp.where(jnp.asarray(zhd == -1), vr_m1, hd_lo))
+
+    k = xg + (yg >> 1)
+    vl_even = (T(k) + T((k + 1).clip(max=15)) + 1) >> 1
+    vl_odd = (T(k) + 2 * T((k + 1).clip(max=15)) + T((k + 2).clip(max=15)) + 2) >> 2
+    vl = jnp.where(jnp.asarray(yg % 2 == 0), vl_even, vl_odd)
+
+    zhu = xg + 2 * yg
+    m = yg + (xg >> 1)
+    hu_even = (L(m.clip(max=7)) + L((m + 1).clip(max=7)) + 1) >> 1
+    hu_odd = (L(m.clip(max=7)) + 2 * L((m + 1).clip(max=7)) + L((m + 2).clip(max=7)) + 2) >> 2
+    hu_13 = ((l8[:, 6] + 3 * l8[:, 7] + 2) >> 2)[:, None, None]
+    hu_hi = jnp.broadcast_to(l8[:, 7][:, None, None], (n, 8, 8))
+    hu = jnp.where(jnp.asarray(zhu > 13), hu_hi,
+         jnp.where(jnp.asarray(zhu == 13), hu_13,
+         jnp.where(jnp.asarray(zhu % 2 == 0), hu_even, hu_odd)))
+
+    return jnp.stack([v, hm, dc, ddl, ddr, vr, hd, vl, hu], axis=1)
+
+
+def i8x8_mode_avail(at, al, atl):
+    """Same lattice as I4x4 (edge filtering covers substitution)."""
+    return i4x4_mode_avail(at, al, atl)

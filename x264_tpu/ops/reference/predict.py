@@ -245,3 +245,148 @@ def chroma_mode_avail(avail_top, avail_left, avail_topleft):
     atl = np.asarray(avail_topleft, dtype=bool)
     always = np.ones_like(at)
     return np.stack([always, al, at, at & al & atl], axis=-1)
+
+
+# -----------------------------------------------------------------------------
+# I8x8 (8.3.2) — reference-sample filtering + all 9 modes
+# -----------------------------------------------------------------------------
+
+def filter_8x8_edges(top16, left8, topleft, avail_top, avail_left,
+                     avail_tl, avail_tr):
+    """8.3.2.2.1 reference sample filtering for Intra_8x8.
+
+    top16 (N,16) = p[0..15,-1] raw (the top-right half may be garbage
+    when !avail_tr — the normative substitution with p[7,-1] is applied
+    here BEFORE filtering); left8 (N,8) = p[-1,0..7]; topleft (N,).
+    Returns (ft (N,16), fl (N,8), ftl (N,)) filtered samples.
+    Capability anchor: reference common/predict.c:585 predict_8x8_filter."""
+    t = top16.astype(np.int64).copy()
+    l8 = left8.astype(np.int64)
+    tl = topleft.astype(np.int64)
+    at = np.asarray(avail_top, bool)
+    al = np.asarray(avail_left, bool)
+    atl = np.asarray(avail_tl, bool)
+    atr = np.asarray(avail_tr, bool)
+
+    t[:, 8:] = np.where(atr[:, None], t[:, 8:], t[:, 7:8])
+
+    ft = np.empty_like(t)
+    ft[:, 0] = np.where(atl, (tl + 2 * t[:, 0] + t[:, 1] + 2) >> 2,
+                        (3 * t[:, 0] + t[:, 1] + 2) >> 2)
+    ft[:, 1:15] = (t[:, 0:14] + 2 * t[:, 1:15] + t[:, 2:16] + 2) >> 2
+    ft[:, 15] = (t[:, 14] + 3 * t[:, 15] + 2) >> 2
+
+    fl = np.empty_like(l8)
+    fl[:, 0] = np.where(atl, (tl + 2 * l8[:, 0] + l8[:, 1] + 2) >> 2,
+                        (3 * l8[:, 0] + l8[:, 1] + 2) >> 2)
+    fl[:, 1:7] = (l8[:, 0:6] + 2 * l8[:, 1:7] + l8[:, 2:8] + 2) >> 2
+    fl[:, 7] = (l8[:, 6] + 3 * l8[:, 7] + 2) >> 2
+
+    ftl = np.where(at & al, (t[:, 0] + 2 * tl + l8[:, 0] + 2) >> 2,
+          np.where(at, (3 * tl + t[:, 0] + 2) >> 2,
+          np.where(al, (3 * tl + l8[:, 0] + 2) >> 2, tl)))
+    return ft, fl, ftl
+
+
+def predict_8x8_all(top16, left8, topleft, avail_top, avail_left,
+                    avail_tl, avail_tr):
+    """All 9 Intra_8x8 modes (8.3.2.2.2-.10) from RAW edges — filtering
+    (8.3.2.2.1) is applied internally.  -> (N, 9, 8, 8) int32.
+    Mode order matches I4x4: [V,H,DC,DDL,DDR,VR,HD,VL,HU]."""
+    n = top16.shape[0]
+    t, l8, tl = filter_8x8_edges(top16, left8, topleft, avail_top,
+                                 avail_left, avail_tl, avail_tr)
+    at = np.asarray(avail_top, bool)
+    al = np.asarray(avail_left, bool)
+
+    y, x = np.mgrid[0:8, 0:8]
+    y = y[None]
+    x = x[None]
+
+    tt = np.concatenate([tl[:, None], t], axis=1)          # (N,17) idx -1..15
+    ll = np.concatenate([tl[:, None], l8], axis=1)         # (N,9)  idx -1..7
+
+    def T(idx):  # values in -1..15
+        return np.take_along_axis(
+            tt[:, :, None], (idx + 1).reshape(1, 64, 1).repeat(n, 0), axis=1
+        ).reshape(n, 8, 8)
+
+    def L(idx):  # values in -1..7
+        return np.take_along_axis(
+            ll[:, :, None], (idx + 1).reshape(1, 64, 1).repeat(n, 0), axis=1
+        ).reshape(n, 8, 8)
+
+    out = np.zeros((n, 9, 8, 8), dtype=np.int64)
+
+    # 0: V, 1: H
+    out[:, 0] = np.broadcast_to(t[:, None, :8], (n, 8, 8))
+    out[:, 1] = np.broadcast_to(l8[:, :, None], (n, 8, 8))
+
+    # 2: DC (8.3.2.2.5)
+    st, sl = t[:, :8].sum(1), l8.sum(1)
+    dc = np.where(at & al, (st + sl + 8) >> 4,
+         np.where(at, (st + 4) >> 3,
+         np.where(al, (sl + 4) >> 3, 128)))
+    out[:, 2] = dc[:, None, None]
+
+    # 3: DDL (8.3.2.2.4)
+    s = x + y
+    ddl = (T(s) + 2 * T((s + 1).clip(max=15)) + T((s + 2).clip(max=15)) + 2) >> 2
+    corner = (t[:, 14] + 3 * t[:, 15] + 2) >> 2
+    out[:, 3] = np.where((x == 7) & (y == 7), corner[:, None, None], ddl)
+
+    # 4: DDR (8.3.2.2.6... spec 8.3.2.2.6 is VR; DDR is 8.3.2.2.5's sibling)
+    z = x - y
+    ddr_t = (T((z - 2).clip(-1)) + 2 * T((z - 1).clip(-1)) + T(z.clip(-1)) + 2) >> 2
+    w = y - x
+    ddr_l = (L((w - 2).clip(-1)) + 2 * L((w - 1).clip(-1)) + L(w.clip(-1)) + 2) >> 2
+    diag = (t[:, 0] + 2 * tl + l8[:, 0] + 2) >> 2
+    out[:, 4] = np.where(z > 0, ddr_t, np.where(z < 0, ddr_l, diag[:, None, None]))
+
+    # 5: VR
+    zvr = 2 * x - y
+    i = x - (y >> 1)
+    vr_even = (T((i - 1).clip(-1)) + T(i.clip(-1)) + 1) >> 1
+    vr_odd = (T((i - 2).clip(-1)) + 2 * T((i - 1).clip(-1)) + T(i.clip(-1)) + 2) >> 2
+    vr_m1 = ((l8[:, 0] + 2 * tl + t[:, 0] + 2) >> 2)[:, None, None]
+    # zVR < -1: p[-1, y-2x-1..-3] (general form; x can exceed 0 at 8x8)
+    q = y - 2 * x
+    vr_lo = (L((q - 1).clip(-1)) + 2 * L((q - 2).clip(-1)) + L((q - 3).clip(-1)) + 2) >> 2
+    out[:, 5] = np.where(zvr >= 0, np.where(zvr % 2 == 0, vr_even, vr_odd),
+                         np.where(zvr == -1, vr_m1, vr_lo))
+
+    # 6: HD
+    zhd = 2 * y - x
+    j = y - (x >> 1)
+    hd_even = (L((j - 1).clip(-1)) + L(j.clip(-1)) + 1) >> 1
+    hd_odd = (L((j - 2).clip(-1)) + 2 * L((j - 1).clip(-1)) + L(j.clip(-1)) + 2) >> 2
+    hd_m1 = vr_m1
+    r = x - 2 * y
+    hd_lo = (T((r - 1).clip(-1)) + 2 * T((r - 2).clip(-1)) + T((r - 3).clip(-1)) + 2) >> 2
+    out[:, 6] = np.where(zhd >= 0, np.where(zhd % 2 == 0, hd_even, hd_odd),
+                         np.where(zhd == -1, hd_m1, hd_lo))
+
+    # 7: VL
+    k = x + (y >> 1)
+    vl_even = (T(k) + T((k + 1).clip(max=15)) + 1) >> 1
+    vl_odd = (T(k) + 2 * T((k + 1).clip(max=15)) + T((k + 2).clip(max=15)) + 2) >> 2
+    out[:, 7] = np.where(y % 2 == 0, vl_even, vl_odd)
+
+    # 8: HU
+    zhu = x + 2 * y
+    m = y + (x >> 1)
+    hu_even = (L(m.clip(max=7)) + L((m + 1).clip(max=7)) + 1) >> 1
+    hu_odd = (L(m.clip(max=7)) + 2 * L((m + 1).clip(max=7)) + L((m + 2).clip(max=7)) + 2) >> 2
+    hu_13 = ((l8[:, 6] + 3 * l8[:, 7] + 2) >> 2)[:, None, None]
+    hu_hi = l8[:, 7][:, None, None] * np.ones_like(x)
+    out[:, 8] = np.where(zhu > 13, hu_hi,
+                np.where(zhu == 13, hu_13,
+                np.where(zhu % 2 == 0, hu_even, hu_odd)))
+
+    return out.astype(np.int32)
+
+
+def i8x8_mode_avail(avail_top, avail_left, avail_topleft):
+    """Same availability lattice as I4x4 (the 8x8 edge filter handles
+    substitution; mode gating matches predict.c's i8x8 dispatch)."""
+    return i4x4_mode_avail(avail_top, avail_left, avail_topleft)

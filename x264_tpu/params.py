@@ -81,6 +81,9 @@ class EncoderParams:
     # DP here (x264's 2 re-runs it inside RD mode decision, which has no
     # analog yet).  CABAC-cost model, so requires cabac=1 like x264.
     trellis: int = 0
+    # JVT-B118 coefficient decimation of inter blocks (x264
+    # --no-dct-decimate to disable; encoder/macroblock.c b_dct_decimate)
+    dct_decimate: bool = True
     # JM/x264-default quant rounding (intra 1/3, inter 1/6) is what the
     # quant kernels implement; custom deadzones are rejected loudly at
     # validate() until they are plumbed through (x264 set.c:179).
