@@ -68,6 +68,7 @@ def bench_ours(frames):
                       backend="device", deblock=True, keyint_max=250,
                       bframes=2, full_recon=False, cabac=True,
                       transform_8x8=True, weightp=1, trellis=1,
+                      i4x4=True, p8x8=True,
                       scenecut_threshold=0)
     enc = Encoder(p)
     stream = b""

@@ -186,15 +186,19 @@ class TestFramePipelines:
 
 
 def test_me_pallas_bit_exact(rng):
-    """The Mosaic exhaustive-search kernel (interpret mode on CPU) must
-    match the XLA fori_loop search exactly, mv and cost."""
+    """The Mosaic exhaustive-search kernel must match the XLA fori_loop
+    search exactly, mv and cost — in COMPILED mode (a cross-call buffer
+    donation miscompile once corrupted every SAD on hardware while
+    interpret mode stayed clean; geometries with mbw >= 7 triggered
+    it)."""
     import jax.numpy as jnp
 
     from x264_tpu.models.inter_frame import PAD
     from x264_tpu.ops.device.me import _full_search_xla
     from x264_tpu.ops.device.me_pallas import full_search_pallas
 
-    for (mbw, mbh, mer) in [(6, 4, 8), (7, 5, 16)]:
+    for (mbw, mbh, mer) in [(6, 4, 8), (7, 5, 16), (10, 6, 8),
+                            (16, 9, 8)]:
         h, w = mbh * 16, mbw * 16
         src = rng.integers(0, 256, (h, w)).astype(np.uint8)
         big = rng.integers(0, 256, (h + 2 * PAD, w + 2 * PAD)
@@ -205,11 +209,17 @@ def test_me_pallas_bit_exact(rng):
         lam = np.int32(14)
         mv_a, c_a = _full_search_xla(jnp.asarray(src), jnp.asarray(ref),
                                      lam, me_range=mer, mbw=mbw, mbh=mbh)
-        mv_b, c_b = full_search_pallas(jnp.asarray(src), jnp.asarray(ref),
-                                       lam, me_range=mer, mbw=mbw,
-                                       mbh=mbh, interpret=True)
-        assert np.array_equal(np.asarray(mv_a), np.asarray(mv_b))
-        assert np.array_equal(np.asarray(c_a), np.asarray(c_b))
+        import jax
+        interp_modes = ([True, False] if jax.default_backend() == "tpu"
+                        else [True])
+        for interp in interp_modes:
+            mv_b, c_b = full_search_pallas(
+                jnp.asarray(src), jnp.asarray(ref), lam, me_range=mer,
+                mbw=mbw, mbh=mbh, interpret=interp)
+            assert np.array_equal(np.asarray(mv_a), np.asarray(mv_b)), \
+                (mbw, mbh, mer, interp)
+            assert np.array_equal(np.asarray(c_a), np.asarray(c_b)), \
+                (mbw, mbh, mer, interp)
 
 
 def test_subpel_window_hpel_bit_exact(rng):

@@ -65,7 +65,7 @@ def _encode_cli(tmp_path, ext, extra=()):
     return out, raw, W, H, N
 
 
-@pytest.mark.parametrize("ext", [".flv", ".mp4"])
+@pytest.mark.parametrize("ext", [".flv", ".mp4", ".mkv"])
 def test_mux_matches_raw(tmp_path, ext):
     out, raw, W, H, N = _encode_cli(tmp_path, ext)
     got = demux_frames(str(out), W, H)
@@ -76,7 +76,7 @@ def test_mux_matches_raw(tmp_path, ext):
             assert np.array_equal(got[i][pl], ref[i][pl]), (i, pl)
 
 
-@pytest.mark.parametrize("ext", [".flv", ".mp4"])
+@pytest.mark.parametrize("ext", [".flv", ".mp4", ".mkv"])
 def test_mux_bframes(tmp_path, ext):
     """Reordered streams: pts/cts bookkeeping must keep display order."""
     out, raw, W, H, N = _encode_cli(tmp_path, ext,

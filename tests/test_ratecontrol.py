@@ -117,3 +117,24 @@ def test_vbv_unit_sim():
             assert bits <= fill * 1.05, (i, bits, fill)
         fill -= min(bits, fill)
         rc.update("P", int(bits), cost)
+
+
+def test_zones_parse_and_apply():
+    """--zones: q= forces the QP inside the range, b= shifts it by
+    -6*log2(factor) (ratecontrol.c:1219 parse_zone analog)."""
+    import pytest
+    from x264_tpu.api import Encoder
+    from x264_tpu.params import EncoderParams, parse_zones
+    assert parse_zones("0,3,q=38/4,7,b=2.0") == [
+        (0, 3, ("q", 38)), (4, 7, ("b", 2.0))]
+    with pytest.raises(ValueError):
+        parse_zones("5,1,q=20")
+    with pytest.raises(ValueError):
+        parse_zones("1,2,x=3")
+    enc = Encoder(EncoderParams(width=32, height=32, qp=30,
+                                zones="0,3,q=38/4,7,b=2.0",
+                                backend="reference"))
+    assert enc._zone_qp(0, 30) == 38
+    assert enc._zone_qp(3, 30) == 38
+    assert enc._zone_qp(4, 30) == 24      # -6*log2(2)
+    assert enc._zone_qp(9, 30) == 30

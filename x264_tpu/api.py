@@ -77,6 +77,15 @@ class Encoder:
                 self.p.fps_num / max(1, self.p.fps_den),
                 qp_min=self.p.qp_min, qp_max=self.p.qp_max)
         self._init_qp = self.p.qp      # PPS pic_init_qp base (frozen)
+        # display-order recon callback (disp_idx, ReconFrame) — fires as
+        # each frame's reconstruction is final (B frames out of encode
+        # order); the CLI's PSNR/--dump-recon use it (x264's b_full_recon
+        # + x264_picture_t recon out-fields analog)
+        self.recon_hook = None
+        self._zones = []
+        if self.p.zones:
+            from x264_tpu.params import parse_zones
+            self._zones = parse_zones(self.p.zones)
         self._warm_thread = None
         self._warm_done = None
         # only worth a background thread when compiles are expensive
@@ -135,14 +144,14 @@ class Encoder:
                 last = out2["host_blob"]
                 if p.bframes:
                     from x264_tpu.models.b_frame_device import b_frame_core
-                    from x264_tpu.models.inter_frame import me_lambda
+                    from x264_tpu.models.inter_frame import me_lambda, sad_lambda
                     ekw = (dict(entropy="cabac", lv_cap=n_words)
                            if self._cabac_fast() else dict(n_words=n_words))
                     ob = b_frame_core(
                         yd, ud, vd, yd, ud, vd, yd, ud, vd,
                         jnp.zeros((n, 4, 2), jnp.int32), jnp.ones(n, bool),
                         np.int32(128), np.int32(qp),
-                        np.int32(me_lambda(qp)), mbw=mbw, mbh=mbh,
+                        np.int32(sad_lambda(qp)), mbw=mbw, mbh=mbh,
                         me_range=p.me_range, cqp_off=p.chroma_qp_offset,
                         subpel=p.subpel, t8_mode=p.transform_8x8,
                         trellis_tbl=self._trellis_tbl(qp, "B"),
@@ -321,7 +330,7 @@ class Encoder:
 
     def _run_core(self, yd, ud, vd, ref, idr: bool, base_qp: int, qp_arr,
                   n_words: int, mbw: int, mbh: int, wts=None):
-        from x264_tpu.models.inter_frame import me_lambda
+        from x264_tpu.models.inter_frame import me_lambda, sad_lambda
         ent = "cabac" if self._cabac_fast() else "cavlc"
         ekw = (dict(entropy="cabac", lv_cap=n_words) if ent == "cabac"
                else dict(n_words=n_words))
@@ -329,10 +338,11 @@ class Encoder:
             if self.p.i4x4 and ent == "cabac":
                 from x264_tpu.models.intra_device import i4_frame_core
                 out = i4_frame_core(yd, ud, vd, qp_arr,
-                                    np.int32(me_lambda(base_qp)),
+                                    np.int32(sad_lambda(base_qp)),
                                     mbw=mbw, mbh=mbh,
                                     cqp_off=self.p.chroma_qp_offset,
-                                    entropy="cabac", lv_cap=n_words)
+                                    entropy="cabac", lv_cap=n_words,
+                                    t8_mode=self.p.transform_8x8)
                 return out, SLICE_I
             from x264_tpu.models.intra_device import i_frame_core
             out = i_frame_core(yd, ud, vd, qp_arr,
@@ -350,7 +360,7 @@ class Encoder:
             ru = jnp.stack([r.u for r in refs])
             rv = jnp.stack([r.v for r in refs])
         out = p_frame_core(yd, ud, vd, ry, ru, rv,
-                           qp_arr, np.int32(me_lambda(base_qp)),
+                           qp_arr, np.int32(sad_lambda(base_qp)),
                            mbw=mbw, mbh=mbh, me_range=self.p.me_range,
                            cqp_off=self.p.chroma_qp_offset,
                            subpel=self.p.subpel,
@@ -372,11 +382,29 @@ class Encoder:
         bits on busy content and over-raises levels."""
         if not (self.p.trellis and self.p.cabac):
             return None
-        from x264_tpu.models.inter_frame import me_lambda
+        from x264_tpu.models.inter_frame import me_lambda, sad_lambda
         from x264_tpu.ops.device.trellis import frame_trellis
         states = (self._cab_states or {}).get(slice_type)
-        return frame_trellis(qp, slice_type, me_lambda(qp),
+        return frame_trellis(qp, slice_type, me_lambda(qp),  # λ2: RD slope
                              self.p.transform_8x8, states=states)
+
+    def _note_recon(self, disp, rec) -> None:
+        if self.recon_hook is not None and disp is not None:
+            self.recon_hook(disp, rec)
+
+    def _zone_qp(self, disp, qp: int) -> int:
+        """Per-range RC override (x264 --zones, ratecontrol.c:1346
+        zone_for_frame + rate_estimate_qscale's zone application):
+        q= forces the QP, b= scales bits (qp -= 6*log2(factor))."""
+        if not self._zones or disp is None:
+            return qp
+        for (s, e, (k, v)) in self._zones:
+            if s <= disp <= e:
+                if k == "q":
+                    return int(np.clip(v, 0, 51))
+                return int(np.clip(round(qp - 6.0 * np.log2(v)),
+                                   self.p.qp_min, self.p.qp_max))
+        return qp
 
     def _requantize_idr(self, qp: int) -> int:
         """Re-derive the frame QP when a P frame is promoted to IDR."""
@@ -418,7 +446,7 @@ class Encoder:
         import jax.numpy as jnp
 
         from x264_tpu.models.inter_device import p_band_core
-        from x264_tpu.models.inter_frame import PAD, me_lambda
+        from x264_tpu.models.inter_frame import PAD, me_lambda, sad_lambda
         from x264_tpu.models.intra_device import i_frame_core
 
         h, w = y.shape
@@ -460,12 +488,12 @@ class Encoder:
         if (self.p.threads > 1 and ref is not None and rem == 0
                 and nsl > 1 and not self.p.cabac
                 and len(jax.devices()) >= nsl):
-            from x264_tpu.models.inter_frame import me_lambda
+            from x264_tpu.models.inter_frame import me_lambda, sad_lambda
             step = self._sliced_mesh_step(nsl, mbw, base, n_words)
             out = step(yd, ud, vd, ry_pad, ru_pad, rv_pad,
                        np.broadcast_to(np.atleast_1d(qp_arr),
                                        (mbw * mbh,)).astype(np.int32),
-                       me_lambda(qp))
+                       sad_lambda(qp))
             nmb_b = base * mbw
             blob_h = np.asarray(out["host_blob"])
             outs = [dict(host_blob=blob_h[b * nmb_b:(b + 1) * nmb_b])
@@ -511,7 +539,7 @@ class Encoder:
                         ru_pad, (8 * y0, 0), (8 * bh + PAD, w // 2 + PAD)),
                     jax.lax.dynamic_slice(
                         rv_pad, (8 * y0, 0), (8 * bh + PAD, w // 2 + PAD)),
-                    qpb, np.int32(me_lambda(qp)),
+                    qpb, np.int32(sad_lambda(qp)),
                     mbw=mbw, mbh=bh, me_range=self.p.me_range,
                     cqp_off=self.p.chroma_qp_offset,
                     subpel=self.p.subpel, **ekw)
@@ -579,7 +607,7 @@ class Encoder:
         is budget-independent; only the packed blob changes)."""
         import jax
         from x264_tpu.models.inter_device import p_band_core
-        from x264_tpu.models.inter_frame import PAD, me_lambda
+        from x264_tpu.models.inter_frame import PAD, me_lambda, sad_lambda
         from x264_tpu.models.intra_device import i_frame_core
 
         yd, ud, vd = job["planes"]
@@ -603,7 +631,7 @@ class Encoder:
                 ru_pad, (8 * y0, 0), (8 * bh + PAD, w // 2 + PAD)),
             jax.lax.dynamic_slice(
                 rv_pad, (8 * y0, 0), (8 * bh + PAD, w // 2 + PAD)),
-            qpb, np.int32(me_lambda(job["qp"])),
+            qpb, np.int32(sad_lambda(job["qp"])),
             mbw=mbw, mbh=bh, me_range=self.p.me_range,
             cqp_off=self.p.chroma_qp_offset,
             subpel=self.p.subpel, **ekw)
@@ -1000,7 +1028,7 @@ class Encoder:
             return False
         import jax.numpy as jnp
         from x264_tpu.models.inter_frame import intra_cost_estimate, \
-            me_lambda
+            sad_lambda
         from x264_tpu.models.lookahead import lowres_plane
         from x264_tpu.ops.device.me import full_search_16x16
         y, _, _ = self._pad(fr)
@@ -1016,7 +1044,7 @@ class Encoder:
         if d - self._idr_disp < max(1, self.p.keyint_min):
             return False
         _, pc = full_search_16x16(lr, jnp.pad(prev, 32, mode="edge"),
-                                  np.int32(me_lambda(24)), me_range=8,
+                                  np.int32(sad_lambda(24)), me_range=8,
                                   mbw=mbw_lr, mbh=mbh_lr)
         p_cost = float(np.asarray(pc).astype(np.int64).sum())
         i_cost = float(intra_cost_estimate(lrn, mbw_lr, mbh_lr)
@@ -1083,6 +1111,7 @@ class Encoder:
                 y, u, v, ftype, qp, poc_lsb=self._poc_lsb(disp))
             rec = self.dpb[0]
             rec.poc = self._poc_lsb(disp)
+            self._note_recon(disp, rec)
             syn = self._last_syn
             rec.col_mv = jnp.broadcast_to(
                 jnp.asarray(syn.mv.astype(np.int32))[:, None],
@@ -1101,7 +1130,7 @@ class Encoder:
         y, u, v = self._pad(fr)
         if ftype == "IDR":
             self.frame_num = 0
-        qp = self._qp_for_frame(ftype)
+        qp = self._zone_qp(disp, self._qp_for_frame(ftype))
         f_qp = self._forced_for(disp)[1]
         if f_qp is not None:
             qp = int(np.clip(f_qp, self.p.qp_min, self.p.qp_max))
@@ -1109,6 +1138,7 @@ class Encoder:
         job["poc_lsb"] = self._poc_lsb(disp)
         out = job["out"]
         rec = self.dpb[0]
+        self._note_recon(disp, rec)
         rec.poc = self._poc_lsb(disp)
         if "mv8" in out:
             # quadrant-grain anchor motion (partitions): temporal direct
@@ -1130,13 +1160,13 @@ class Encoder:
         import jax
 
         from x264_tpu.models.b_frame_device import b_frame_core
-        from x264_tpu.models.inter_frame import me_lambda
+        from x264_tpu.models.inter_frame import me_lambda, sad_lambda
 
         y, u, v = self._pad(fr)
         h, w = y.shape
         mbw, mbh = w // 16, h // 16
         n = mbw * mbh
-        qp = self._qp_for_frame("B")
+        qp = self._zone_qp(disp, self._qp_for_frame("B"))
         f_qp = self._forced_for(disp)[1]
         if f_qp is not None:
             qp = int(np.clip(f_qp, self.p.qp_min, self.p.qp_max))
@@ -1163,7 +1193,7 @@ class Encoder:
         out = b_frame_core(
             yd, ud, vd, prev.y, prev.u, prev.v, nxt.y, nxt.u, nxt.v,
             nxt.col_mv, nxt.col_intra, np.int32(dsf),
-            np.int32(qp), np.int32(me_lambda(qp)),
+            np.int32(qp), np.int32(sad_lambda(qp)),
             mbw=mbw, mbh=mbh, me_range=self.p.me_range,
             cqp_off=self.p.chroma_qp_offset,
             subpel=self.p.subpel, t8_mode=self.p.transform_8x8,
@@ -1186,7 +1216,7 @@ class Encoder:
         )
         from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
         from x264_tpu.models.b_frame_device import b_frame_core
-        from x264_tpu.models.inter_frame import me_lambda
+        from x264_tpu.models.inter_frame import me_lambda, sad_lambda
 
         from x264_tpu.ops.device.deblock import deblock_core_b
 
@@ -1213,7 +1243,7 @@ class Encoder:
                     yd, ud, vd, prev.y, prev.u, prev.v,
                     nxt.y, nxt.u, nxt.v,
                     nxt.col_mv, nxt.col_intra, np.int32(dsf),
-                    np.int32(qp), np.int32(me_lambda(qp)),
+                    np.int32(qp), np.int32(sad_lambda(qp)),
                     mbw=mbw, mbh=mbh, me_range=self.p.me_range,
                     cqp_off=self.p.chroma_qp_offset,
                     subpel=self.p.subpel,
@@ -1283,6 +1313,7 @@ class Encoder:
                 np.int32(self.p.deblock_beta * 2), mbw=mbw, mbh=mbh,
                 impl=deblock_impl())
         self.last_recon = ReconFrame(ry, ru, rv)
+        self._note_recon(job.get("disp"), self.last_recon)
         self.stats.append(FrameStats("B", len(data) * 8, qp))
         self.rc.update("B", len(data) * 8, cost_total)
         self._record_stats("B", qp, len(data) * 8, cost_total,
@@ -1477,7 +1508,7 @@ class Encoder:
         import jax.numpy as jnp
 
         from x264_tpu.models.inter_frame import (intra_cost_estimate,
-                                                 me_lambda)
+                                                 sad_lambda)
         from x264_tpu.models.lookahead import lowres_plane
         from x264_tpu.ops.device.me import full_search_16x16
 
@@ -1492,7 +1523,7 @@ class Encoder:
         if self._mbt_q:
             ref = jnp.pad(self._mbt_q[-1]["lr"], 32, mode="edge")
             mv, pc = full_search_16x16(lr, ref,
-                                       np.int32(me_lambda(24)),
+                                       np.int32(sad_lambda(24)),
                                        me_range=8, mbw=mbw_lr,
                                        mbh=mbh_lr)
         self._mbt_q.append(dict(fr=fr, lr=lr, ic=ic, pc=pc, mv=mv,
@@ -1535,7 +1566,7 @@ class Encoder:
                 self._last_idr_idx = self.frame_idx
         else:
             ftype = self._decide_type()
-        qp = self._qp_for_frame(ftype)
+        qp = self._zone_qp(disp, self._qp_for_frame(ftype))
         if f_qp is not None:
             qp = int(np.clip(f_qp, self.p.qp_min, self.p.qp_max))
 
@@ -1551,8 +1582,10 @@ class Encoder:
             assert self._pending is None, \
                 "mixing encode() and encode_pipelined(); flush() first"
             job = self._submit_device(y, u, v, ftype, qp)
+            self._note_recon(disp, self.dpb[0])
             return self._finalize_device(job)
         data = out + self._encode_frame_syn(y, u, v, ftype, qp)
+        self._note_recon(disp, self.dpb[0])
         self._note_au(len(data), ftype, 0)
         return data
 
@@ -1569,7 +1602,7 @@ class Encoder:
         else:
             qp_arr = qp
             slice_qp = qp
-        from x264_tpu.models.inter_frame import me_lambda
+        from x264_tpu.models.inter_frame import me_lambda, sad_lambda
         syn = None
         if not (ftype == "IDR" or not self.dpb):
             # encode as P, then possibly promote to IDR on scenecut
@@ -1578,11 +1611,11 @@ class Encoder:
             if use_device:
                 from x264_tpu.models import inter_device
                 ry, ru, rv, syn = inter_device.encode_pframe_device(
-                    y, u, v, ref, qp_arr, self.p, lam=me_lambda(qp))
+                    y, u, v, ref, qp_arr, self.p, lam=sad_lambda(qp))
             else:
                 from x264_tpu.models import inter_frame
                 ry, ru, rv, syn = inter_frame.encode_pframe(
-                    y, u, v, ref, qp_arr, self.p, lam=me_lambda(qp))
+                    y, u, v, ref, qp_arr, self.p, lam=sad_lambda(qp))
             if (self.p.scenecut_threshold > 0 and syn.icost is not None
                     and self.frame_idx - self._last_idr_idx
                     >= self.p.keyint_min):
@@ -1610,11 +1643,11 @@ class Encoder:
                 from x264_tpu.models import intra_device
                 ry, ru, rv, syn = intra_device.encode_iframe_device(
                     y, u, v, qp_arr, self.p.chroma_qp_offset,
-                    i4x4=self.p.i4x4, lam=me_lambda(qp))
+                    i4x4=self.p.i4x4, lam=sad_lambda(qp))
             else:
                 ry, ru, rv, syn = intra_frame.encode_iframe(
                     y, u, v, qp_arr, self.p.chroma_qp_offset,
-                    i4x4=self.p.i4x4, lam=me_lambda(qp))
+                    i4x4=self.p.i4x4, lam=sad_lambda(qp))
             slice_type = SLICE_I
             idr = True
 

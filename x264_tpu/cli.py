@@ -94,6 +94,14 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--psnr", action="store_true", help="report PSNR")
     ap.add_argument("--ssim", action="store_true", help="report SSIM")
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--zones", default=None,
+                    help="per-range RC overrides: start,end,q=QP or "
+                         "start,end,b=FACTOR, '/'-separated")
+    ap.add_argument("--no-dct-decimate", dest="no_dct_decimate",
+                    action="store_true",
+                    help="disable inter coefficient decimation")
+    ap.add_argument("--p8x8", dest="p8x8", action="store_true",
+                    help="inter partitions 16x8/8x16/8x8")
     ap.add_argument("--qpfile", default=None,
                     help="force frame types/QPs from a file "
                          "('frame type [qp]' per line)")
@@ -173,6 +181,12 @@ def params_from_args(args, reader) -> EncoderParams:
         p = p.clone(weightp=args.weightp)
     if args.trellis is not None:
         p = p.clone(trellis=args.trellis)
+    if args.zones is not None:
+        p = p.clone(zones=args.zones)
+    if args.no_dct_decimate:
+        p = p.clone(dct_decimate=False)
+    if args.p8x8:
+        p = p.clone(p8x8=True)
     if args.sar:
         sw, sh = args.sar.replace("/", ":").split(":")
         p = p.clone(sar_width=int(sw), sar_height=int(sh))
@@ -227,7 +241,26 @@ def main(argv=None) -> int:
     enc = Encoder(p)
 
     from x264_tpu.utils.metrics import psnr, ssim
-    recon_frames = [] if args.dump_recon else None
+    recon_frames = {} if args.dump_recon else None
+    src_hist = {}       # disp -> source luma (PSNR/SSIM, display order)
+
+    def _on_recon(disp, r):
+        ry = np.asarray(r.y)[:p.height, :p.width]
+        sy = src_hist.pop(disp, None)
+        if sy is not None:
+            if args.psnr:
+                psnr_acc.append(psnr(ry, sy))
+            if args.ssim:
+                ssim_acc.append(ssim(ry, sy))
+        if recon_frames is not None:
+            from x264_tpu.utils.yuv import Frame420
+            recon_frames[disp] = Frame420(
+                ry.copy(),
+                np.asarray(r.u)[:p.height // 2, :p.width // 2].copy(),
+                np.asarray(r.v)[:p.height // 2, :p.width // 2].copy())
+
+    if args.psnr or args.ssim or recon_frames is not None:
+        enc.recon_hook = _on_recon
     psnr_acc, ssim_acc = [], []
 
     t0 = time.time()
@@ -261,23 +294,12 @@ def main(argv=None) -> int:
                 if fr is None:
                     continue            # dropped by select_every
             ft, fqp = qpfile.get(nframes, (0, None))
+            if args.psnr or args.ssim:
+                src_hist[nframes] = fr.y.copy()
             data = enc.encode(fr, frame_type=ft, qp=fqp)
             write_aus(data)
             total_bytes += len(data)
             nframes += 1
-            if args.psnr or args.ssim or recon_frames is not None:
-                r = enc.last_recon
-                ry = np.asarray(r.y)[:p.height, :p.width]
-                if args.psnr:
-                    psnr_acc.append(psnr(ry, fr.y))
-                if args.ssim:
-                    ssim_acc.append(ssim(ry, fr.y))
-                if recon_frames is not None:
-                    from x264_tpu.utils.yuv import Frame420
-                    recon_frames.append(Frame420(
-                        ry.copy(),
-                        np.asarray(r.u)[:p.height // 2, :p.width // 2].copy(),
-                        np.asarray(r.v)[:p.height // 2, :p.width // 2].copy()))
             if not args.quiet and nframes % 10 == 0:
                 el = time.time() - t0
                 fps_now = nframes / max(el, 1e-9)
@@ -305,7 +327,8 @@ def main(argv=None) -> int:
         sys.stderr.write(f"SSIM Mean Y: {np.mean(ssim_acc):.7f}\n")
     if recon_frames is not None:
         from x264_tpu.utils.y4m import write_y4m
-        write_y4m(args.dump_recon, recon_frames,
+        write_y4m(args.dump_recon,
+                  [recon_frames[d] for d in sorted(recon_frames)],
                   (p.fps_num, p.fps_den),
                   colorspace=getattr(reader, "colorspace", "420mpeg2"),
                   aspect=getattr(reader, "aspect", "0:0"))

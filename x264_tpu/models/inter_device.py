@@ -20,7 +20,7 @@ import numpy as np
 
 from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
 from x264_tpu.models import mvpred
-from x264_tpu.models.inter_frame import PAD, me_lambda
+from x264_tpu.models.inter_frame import PAD, me_lambda, sad_lambda
 from x264_tpu.models.residual_device import (encode_chroma,
                                              encode_i16_luma,
                                              encode_p_luma,
@@ -567,7 +567,7 @@ def encode_pframe_device(y, u, v, ref, qp, params, lam=None):
     h, w = y.shape
     mbw, mbh = w // 16, h // 16
     if lam is None:
-        lam = me_lambda(int(np.atleast_1d(qp)[0]))
+        lam = sad_lambda(int(np.atleast_1d(qp)[0]))
     out = p_frame_core(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                        jnp.asarray(ref.y), jnp.asarray(ref.u),
                        jnp.asarray(ref.v),

@@ -26,7 +26,18 @@ PAD = 32  # luma search+interp padding (PADH/PADV analog, common/frame.h:32)
 
 # x264 lambda table shape: lambda = 0.85 * 2^((qp-12)/3)
 def me_lambda(qp: int) -> int:
+    """LAMBDA2 law (0.85 * 2^((qp-12)/3), reference x264_lambda2_tab):
+    the RD slope — correct for trellis / SSD+rate decisions ONLY."""
     return max(1, round(0.85 * 2.0 ** ((qp - 12) / 3.0)))
+
+
+def sad_lambda(qp: int) -> int:
+    """SATD-domain lambda (reference common/tables.c x264_lambda_tab =
+    round(2^((qp-12)/6))): the multiplier for BIT costs added to
+    SAD/SATD terms — mv bits, intra mode bits, mb_type costs.  Using
+    me_lambda (the λ² law) here overweights bits ~3-4x and biases every
+    analysis decision toward cheap-but-poor predictions."""
+    return max(1, round(2.0 ** ((qp - 12) / 6.0)))
 
 
 def mv_bits(d: int) -> int:
@@ -224,7 +235,7 @@ def encode_pframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
 
     qp_mb = np.broadcast_to(np.atleast_1d(qp).astype(np.int64), (n,))
     base_qp = int(qp_mb[0]) if lam is None else None
-    lam = me_lambda(base_qp) if lam is None else lam
+    lam = sad_lambda(base_qp) if lam is None else lam
     mv, mb_cost = full_search_16x16(y, ref_y_pad, params.me_range, lam)
 
     if params.subpel > 0:

@@ -231,10 +231,18 @@ def _z4(x4: int, y4: int) -> int:
     return 8 * (y4 >> 1) + 4 * (x4 >> 1) + 2 * (y4 & 1) + (x4 & 1)
 
 
+# raster 4x4 cell -> coded (zigzag-of-quadrant) cell for the 8x8
+# transform's CAVLC-interleave layout (same map as residual_device._R2C)
+_R2C_I8 = jnp.asarray(np.argsort(np.array(
+    [0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15])).astype(np.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh", "cqp_off",
-                                             "entropy", "lv_cap"))
+                                             "entropy", "lv_cap",
+                                             "t8_mode"))
 def i4_frame_core(y, u, v, qp, lam, mbw: int, mbh: int, cqp_off: int,
-                  entropy: str = "syntax", lv_cap: int = 96):
+                  entropy: str = "syntax", lv_cap: int = 96,
+                  t8_mode: bool = False):
     """All-device I-frame pipeline with per-MB I16x16-vs-I4x4 decision
     (reference encoder/analyse.c mb_analyse_intra + macroblock.c
     x264_mb_encode_i4x4).  The MB wavefront runs in KNIGHT order
@@ -271,6 +279,7 @@ def i4_frame_core(y, u, v, qp, lam, mbw: int, mbh: int, cqp_off: int,
         chroma_ac=jnp.zeros((n, 2, 4, 16), jnp.int32),
         chroma_nnz=jnp.zeros((n, 2, 4), jnp.int32),
         mb_cost=jnp.zeros(n, jnp.int32),
+        t8=jnp.zeros(n, bool),
     )
     ry0 = jnp.zeros_like(ysrc)
     ru0 = jnp.zeros_like(usrc)
@@ -389,17 +398,140 @@ def i4_frame_core(y, u, v, qp, lam, mbw: int, mbh: int, cqp_off: int,
         qgrid = (nnzs4.reshape(d_lanes, 2, 2, 2, 2) > 0).any((2, 4))
         cbp4 = (qgrid[:, 0, 0] * 1 + qgrid[:, 0, 1] * 2
                 + qgrid[:, 1, 0] * 4 + qgrid[:, 1, 1] * 8).astype(jnp.int32)
-        sel4 = valid & (cost4 < cost16)
+
+        # ---- I8x8 candidate (8.3.2: filtered-edge prediction + the
+        # High-profile 8x8 transform; reference encoder/analyse.c
+        # mb_analyse_intra's i8x8 arm).  The 4 blocks run sequentially
+        # batched over the diagonal; intra-MB neighbour pixels come from
+        # the candidate's own recon TILE (ry holds the I4 trial), MB-
+        # external ones from ry. ----
+        if t8_mode:
+            i8tile = jnp.zeros((d_lanes, 16, 16), jnp.int32)
+            cost8t = jnp.full(xs.shape, 24, jnp.int32) * lam
+            modes8 = jnp.zeros((d_lanes, 4), jnp.int32)
+            lv64s = jnp.zeros((d_lanes, 4, 64), jnp.int32)
+            notlast = xs < (mbw - 1)
+            for b8 in range(4):
+                x8, y8 = b8 & 1, b8 >> 1
+                by, bx = y0 + 8 * y8, x0 + 8 * x8
+                if b8 == 0:
+                    a_t, a_l, a_tl, a_tr = at, al, atl, at
+                elif b8 == 1:
+                    a_t, a_l, a_tl, a_tr = at, valid, at, at & notlast
+                elif b8 == 2:
+                    a_t, a_l, a_tl, a_tr = valid, al, al, valid
+                else:
+                    a_t, a_l, a_tl = valid, valid, valid
+                    a_tr = jnp.zeros_like(valid)
+                if y8 == 0:
+                    byt = jnp.maximum(by - 1, 0)
+                    topa = jax.vmap(
+                        lambda a, b: _gather_rowslice(ry, a, b, 8))(byt, bx)
+                    topb = jax.vmap(
+                        lambda a, b: _gather_rowslice(ry, a, b, 8))(
+                            byt, jnp.minimum(bx + 8, W16 - 8))
+                    top16 = jnp.concatenate([topa, topb], axis=1)
+                    tl8 = ry[byt, jnp.maximum(bx - 1, 0)]
+                else:
+                    rowt = i8tile[:, 7, :]
+                    if x8 == 0:
+                        top16 = rowt
+                        tl8 = ry[jnp.maximum(by - 1, 0),
+                                 jnp.maximum(x0 - 1, 0)]
+                    else:
+                        top16 = jnp.concatenate(
+                            [rowt[:, 8:16], rowt[:, 8:16]], axis=1)
+                        tl8 = i8tile[:, 7, 7]
+                if x8 == 0:
+                    left8 = jax.vmap(
+                        lambda a, b: _gather_colslice(ry, a, b, 8))(
+                            by, jnp.maximum(bx - 1, 0))
+                else:
+                    left8 = i8tile[:, 8 * y8:8 * y8 + 8, 7]
+                preds8 = PR.predict_8x8_all(top16, left8, tl8,
+                                            a_t, a_l, a_tl, a_tr)
+                av8 = PR.i8x8_mode_avail(a_t, a_l, a_tl)
+                gy8 = ys * 4 + 2 * y8
+                gx8 = xs * 4 + 2 * x8
+                if b8 == 0:
+                    lm8 = jnp.where(gx8 > 0,
+                                    grid[gy8, jnp.maximum(gx8 - 1, 0)], -1)
+                    tm8 = jnp.where(gy8 > 0,
+                                    grid[jnp.maximum(gy8 - 1, 0), gx8], -1)
+                elif b8 == 1:
+                    lm8 = modes8[:, 0]
+                    tm8 = jnp.where(gy8 > 0,
+                                    grid[jnp.maximum(gy8 - 1, 0), gx8], -1)
+                elif b8 == 2:
+                    lm8 = jnp.where(gx8 > 0,
+                                    grid[gy8, jnp.maximum(gx8 - 1, 0)], -1)
+                    tm8 = modes8[:, 0]
+                else:
+                    lm8 = modes8[:, 2]
+                    tm8 = modes8[:, 1]
+                pmode8 = jnp.where((lm8 < 0) | (tm8 < 0), 2,
+                                   jnp.minimum(lm8, tm8))
+                src8 = src[:, 8 * y8:8 * y8 + 8, 8 * x8:8 * x8 + 8]
+                mbits8 = jnp.where(
+                    jnp.arange(9)[None] == pmode8[:, None], 1, 4)
+                c8 = P.satd(src8[:, None], preds8) + lam * mbits8
+                c8 = jnp.where(av8, c8, _BIG)
+                m8 = jnp.argmin(c8, axis=1).astype(jnp.int32)
+                bc8 = jnp.min(c8, axis=1).astype(jnp.int32)
+                psel8 = jnp.take_along_axis(
+                    preds8, m8[:, None, None, None], axis=1)[:, 0]
+                lv8b = T.quant8x8(T.dct8x8(src8 - psel8), qp_l, intra=True)
+                rec8b = jnp.clip(
+                    psel8 + T.idct8x8(T.dequant8x8(lv8b, qp_l)), 0, 255)
+                i8tile = i8tile.at[:, 8 * y8:8 * y8 + 8,
+                                   8 * x8:8 * x8 + 8].set(rec8b)
+                lv64s = lv64s.at[:, b8].set(T.zigzag8(lv8b))
+                modes8 = modes8.at[:, b8].set(m8)
+                cost8t = cost8t + jnp.where(valid, bc8, 0)
+            nz8q = jnp.count_nonzero(lv64s, axis=2).astype(jnp.int32)
+            cbp8 = ((nz8q > 0).astype(jnp.int32)
+                    * (1 << jnp.arange(4, dtype=jnp.int32))[None]).sum(1)
+            # CAVLC-interleave cell layout (matches encode_p_luma_t8 /
+            # native gather_t8_levels): cell i4 of quadrant q8 holds
+            # zigzag-64 positions 4*k + i4, cells raster-block-major
+            inter8 = lv64s.reshape(d_lanes, 4, 16, 4).transpose(0, 1, 3, 2)
+            cells8 = inter8.reshape(d_lanes, 16, 16)[:, _R2C_I8]
+            nnz8c = jnp.count_nonzero(cells8, axis=2).astype(jnp.int32)
+
+        best4 = cost4 < cost16
+        cost_n = jnp.minimum(cost4, cost16)
+        if t8_mode:
+            sel8x8 = valid & (cost8t < cost_n)
+        else:
+            sel8x8 = jnp.zeros_like(valid)
+        sel4 = valid & best4 & ~sel8x8
 
         # I16 winners overwrite the I4 trial recon + mode grid
-        oobl = jnp.where(valid & ~sel4, y0, jnp.int32(H16))
+        oobl = jnp.where(valid & ~sel4 & ~sel8x8, y0, jnp.int32(H16))
         yy = oobl[:, None, None] + r16[None, :, None]
         xx = x0[:, None, None] + r16[None, None, :]
         ry = ry.at[yy, xx].set(rec16.astype(ry.dtype), mode="drop")
-        g_oob = jnp.where(valid & ~sel4, ys * 4, jnp.int32(4 * mbh))
+        g_oob = jnp.where(valid & ~sel4 & ~sel8x8, ys * 4,
+                          jnp.int32(4 * mbh))
         gyy = g_oob[:, None, None] + r4[None, :, None]
         gxx = (xs * 4)[:, None, None] + r4[None, None, :]
         grid = grid.at[gyy, gxx].set(2, mode="drop")
+        if t8_mode:
+            # I8x8 winners overwrite recon + grid (modes replicated to
+            # the quadrant's 4 cells — 8.3.2.1's Intra4x4PredMode map)
+            oob8 = jnp.where(sel8x8, y0, jnp.int32(H16))
+            yy8 = oob8[:, None, None] + r16[None, :, None]
+            ry = ry.at[yy8, xx].set(i8tile.astype(ry.dtype), mode="drop")
+            g_oob8 = jnp.where(sel8x8, ys * 4, jnp.int32(4 * mbh))
+            gyy8 = g_oob8[:, None, None] + r4[None, :, None]
+            quad_of_cell = jnp.asarray(
+                ((np.arange(16) // 4 // 2) * 2
+                 + (np.arange(16) % 4) // 2).astype(np.int32))
+            gmodes = jnp.take_along_axis(
+                modes8, jnp.broadcast_to(quad_of_cell[None],
+                                         (d_lanes, 16)), axis=1
+            ).reshape(d_lanes, 4, 4)
+            grid = grid.at[gyy8, gxx].set(gmodes, mode="drop")
 
         # ---- chroma (identical for both luma choices) ----
         cy0, cx0 = y0 // 2, x0 // 2
@@ -438,28 +570,44 @@ def i4_frame_core(y, u, v, qp, lam, mbw: int, mbh: int, cqp_off: int,
         # ---- scatter per-MB syntax ----
         mb = jnp.where(valid, ys * mbw + xs, jnp.int32(n))
         zero16 = jnp.zeros_like(dc_zz)
+        nxn = sel4 | sel8x8
+        if t8_mode:
+            modes_nxn = jnp.where(
+                sel8x8[:, None],
+                jnp.concatenate([modes8,
+                                 jnp.zeros((d_lanes, 12), jnp.int32)], 1),
+                modes4)
+            ac_nxn = jnp.where(sel8x8[:, None, None], cells8, acs4)
+            nnz_nxn = jnp.where(sel8x8[:, None], nnz8c, nnzs4)
+            cbp_nxn = jnp.where(sel8x8, cbp8, cbp4)
+            cost_nxn = jnp.where(sel8x8, cost8t, cost4)
+        else:
+            modes_nxn, ac_nxn = modes4, acs4
+            nnz_nxn, cbp_nxn, cost_nxn = nnzs4, cbp4, cost4
         acc = dict(
             mb_class=acc["mb_class"].at[mb].set(
-                jnp.where(sel4, 1, 0), mode="drop"),
+                jnp.where(nxn, 1, 0), mode="drop"),
             i16_mode=acc["i16_mode"].at[mb].set(
-                jnp.where(sel4, 0, mode16), mode="drop"),
+                jnp.where(nxn, 0, mode16), mode="drop"),
             i4_modes=acc["i4_modes"].at[mb].set(
-                jnp.where(sel4[:, None], modes4, -1), mode="drop"),
+                jnp.where(nxn[:, None], modes_nxn, -1), mode="drop"),
             chroma_mode=acc["chroma_mode"].at[mb].set(cmode, mode="drop"),
             cbp_luma=acc["cbp_luma"].at[mb].set(
-                jnp.where(sel4, cbp4, cbp16), mode="drop"),
+                jnp.where(nxn, cbp_nxn, cbp16), mode="drop"),
             cbp_chroma=acc["cbp_chroma"].at[mb].set(cbp_c, mode="drop"),
             luma_dc=acc["luma_dc"].at[mb].set(
-                jnp.where(sel4[:, None], zero16, dc_zz), mode="drop"),
+                jnp.where(nxn[:, None], zero16, dc_zz), mode="drop"),
             luma_ac=acc["luma_ac"].at[mb].set(
-                jnp.where(sel4[:, None, None], acs4, ac16_zz), mode="drop"),
+                jnp.where(nxn[:, None, None], ac_nxn, ac16_zz),
+                mode="drop"),
             luma_nnz=acc["luma_nnz"].at[mb].set(
-                jnp.where(sel4[:, None], nnzs4, nnz16), mode="drop"),
+                jnp.where(nxn[:, None], nnz_nxn, nnz16), mode="drop"),
             chroma_dc=acc["chroma_dc"].at[mb].set(cdc, mode="drop"),
             chroma_ac=acc["chroma_ac"].at[mb].set(cac, mode="drop"),
             chroma_nnz=acc["chroma_nnz"].at[mb].set(cnnz, mode="drop"),
             mb_cost=acc["mb_cost"].at[mb].set(
-                jnp.where(sel4, cost4, cost16), mode="drop"),
+                jnp.where(nxn, cost_nxn, cost16), mode="drop"),
+            t8=acc["t8"].at[mb].set(sel8x8, mode="drop"),
         )
         return (ry, ru, rv, grid, acc), None
 
@@ -482,6 +630,7 @@ def i4_frame_core(y, u, v, qp, lam, mbw: int, mbh: int, cqp_off: int,
             jnp.zeros((n, 2), jnp.int32), acc["i16_mode"],
             acc["chroma_mode"], acc["cbp_luma"], acc["cbp_chroma"],
             qp, acc["mb_cost"], jnp.zeros(n, jnp.int32), K=lv_cap,
+            t8=acc["t8"] if t8_mode else None,
             i4_modes=acc["i4_modes"])
     return out
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from x264_tpu.models.inter_frame import PAD, me_lambda
+from x264_tpu.models.inter_frame import PAD, sad_lambda
 from x264_tpu.ops.device.me import full_search_16x16
 
 _LOOKAHEAD_QP = 24          # fixed decision lambda (policy)
@@ -48,7 +48,7 @@ def _pair_costs(stack, pairs, mbw: int, mbh: int):
     indices.  Returns (len(pairs), N) int32 per-MB lowres ME costs —
     per-MB so B costs can take the per-block best direction, exactly
     like slicetype_frame_cost's per-8x8 list min."""
-    lam = np.int32(me_lambda(_LOOKAHEAD_QP))
+    lam = np.int32(sad_lambda(_LOOKAHEAD_QP))
     outs = []
     for (a, b) in pairs:
         ref = jnp.pad(stack[b], PAD, mode="edge")

@@ -428,7 +428,29 @@ static void write_mb(cab_t *c, frame_t *f, int mb, int is_p,
                       + (has_t && f->t8[mbt] ? 1 : 0);
         enc_dec(c, ctx, f->t8[mb] != 0);
     }
-    if (cls == CLS_I4) {
+    if (cls == CLS_I4 && f->t8 && f->t8[mb]) {
+        /* I8x8: 4 prev_intra8x8_pred_mode_flag + rem (same ctx 68/69 as
+         * 4x4, 7.3.5.1/9.3.2.5), blocks in raster-quadrant order; the
+         * mode chain reads the 4x4-grain grid at each quadrant's
+         * top-left cell (8.3.2.1's Intra4x4PredMode mapping) */
+        int ggw = 4 * f->mbw;
+        for (int b8 = 0; b8 < 4; b8++) {
+            int bgy = gy + (b8 >> 1) * 2, bgx = gx + (b8 & 1) * 2;
+            int ma = bgx > 0 ? f->i4grid[bgy * ggw + bgx - 1] : -1;
+            int mbv = bgy > 0 ? f->i4grid[(bgy - 1) * ggw + bgx] : -1;
+            int pm = (ma < 0 || mbv < 0) ? 2 : (ma < mbv ? ma : mbv);
+            int mode = f->i4m[16 * mb + b8];
+            if (mode == pm) {
+                enc_dec(c, 68, 1);
+            } else {
+                int v = mode < pm ? mode : mode - 1;
+                enc_dec(c, 68, 0);
+                enc_dec(c, 69, v & 1);
+                enc_dec(c, 69, (v >> 1) & 1);
+                enc_dec(c, 69, (v >> 2) & 1);
+            }
+        }
+    } else if (cls == CLS_I4) {
         /* prev_intra4x4_pred_mode_flag (ctx 68) + rem (3 FL bins, ctx 69,
          * LSB first), blocks in coded z-scan order (7.3.5.1) */
         int ggw = 4 * f->mbw;
@@ -869,9 +891,15 @@ long encode_slice_cabac(
         /* per-block chosen-mode grid for predIntra4x4PredMode: the chain
          * only looks left/up (decode-order earlier), so prefilling the
          * whole grid from the inputs is order-safe */
-        for (int r = 0; r < 16; r++)
+        int mb_t8 = t8 && t8[mb];
+        for (int r = 0; r < 16; r++) {
+            /* I8x8 MBs replicate each quadrant's 8x8 mode to its 4
+             * cells (8.3.2.1's Intra4x4PredMode mapping); modes live in
+             * i4m slots 0-3 then */
+            int src = mb_t8 ? ((r >> 3) * 2 + ((r & 3) >> 1)) : r;
             f.i4grid[(4 * mby + (r >> 2)) * gw + 4 * mbx + (r & 3)] =
-                (int8_t)(cls[mb] == CLS_I4 && i4m ? i4m[16 * mb + r] : 2);
+                (int8_t)(cls[mb] == CLS_I4 && i4m ? i4m[16 * mb + src] : 2);
+        }
         int cellcnt[16], qsum[4] = {0, 0, 0, 0};
         for (int r = 0; r < 16; r++) {
             const int16_t *l = lac + (16 * mb + r) * 16;

@@ -53,33 +53,50 @@ def _roll_fn(interpret):
 
 
 def _phase_body(bias_ref, src_ref, ref_ref, keyin_ref, ones_ref, key_ref,
-                r: int, span: int, me_range: int, w: int, w2: int,
-                interpret: bool):
-    """Phase r: candidates dy == r - me_range (mod 8).  Grid
-    (n_strips, n_q); s = 8q + r; key_ref rows [8i, 8i+8) accumulate
-    min(cost<<ks | cand) for strip i."""
-    del keyin_ref  # aliased with key_ref
+                r: int, n_q: int, span: int, me_range: int, w: int,
+                w2: int, interpret: bool):
+    """Phase r: candidates dy == r - me_range (mod 8), all q offsets in
+    one body.  Grid (n_strips,); key_ref rows [8i, 8i+8) get
+    min(keyin, min over this phase's candidates) for strip i.
+
+    keyin_ref is a SEPARATE input (NOT aliased with key_ref): reading
+    the output ref as the accumulator under input_output_aliases
+    miscompiled on v5e — keys came back with wrong SADs at every
+    geometry; the copy per phase is noise next to the SAD work."""
     i = pl.program_id(0)
-    q = pl.program_id(1)
-    s = 8 * q + r
     rl = _roll_fn(interpret)
     ks = _key_shift(span)
     sh = 16 * _STRIP_MB
 
-    # lane rotates are 32-bit only -> widen once per grid step
-    band = ref_ref[pl.ds(8 * q + sh * i, sh), :].astype(_I32)   # (sh, w2)
     src = src_ref[:].astype(_I32)                               # (sh, w)
     ones = ones_ref[:]                                  # (w, mbw_pad) f32
-    best = key_ref[pl.ds(_STRIP_MB * i, _STRIP_MB), :]
-    for d in range(span):
-        col = PAD - me_range + d
-        rolled = rl(band, (w2 - col) % w2)
-        diff = jnp.abs(src - rolled[:, :w])
-        rows = diff.reshape(_STRIP_MB, 16, w).sum(axis=1)
-        sad = jnp.dot(rows.astype(jnp.float32), ones,
-                      preferred_element_type=jnp.float32)
-        key = ((sad.astype(_I32) + bias_ref[s, d]) << ks) + (s * span + d)
-        best = jnp.minimum(best, key)
+    best = keyin_ref[pl.ds(_STRIP_MB * i, _STRIP_MB), :]
+    for q in range(n_q):
+        s = 8 * q + r
+        if s >= span:
+            continue
+        # lane rotates are 32-bit only -> widen once per q
+        band = ref_ref[pl.ds(8 * q + sh * i, sh), :].astype(_I32)
+        for d in range(span):
+            col = PAD - me_range + d
+            rolled = rl(band, (w2 - col) % w2)
+            diff = jnp.abs(src - rolled[:, :w])
+            rows = diff.reshape(_STRIP_MB, 16, w).sum(axis=1)
+            # EXACT MXU sum: the default f32 matmul runs bf16 passes on
+            # v5e, rounding row sums > 2^8 — SADs came back off by up to
+            # ~20 (Precision.HIGHEST would be exact but blows the 16MB
+            # scoped-vmem limit at 1080p).  Split rows (< 2^12) into
+            # hi/lo bytes: both operands are bf16-exact, accumulation is
+            # f32, so hi*256 + lo is exact.
+            rf = rows.astype(jnp.float32)
+            hi = jnp.floor(rf * (1.0 / 256.0))
+            lo = rf - hi * 256.0
+            sad = (jnp.dot(hi, ones, preferred_element_type=jnp.float32)
+                   * 256.0
+                   + jnp.dot(lo, ones, preferred_element_type=jnp.float32))
+            key = ((sad.astype(_I32) + bias_ref[s, d]) << ks) \
+                + (s * span + d)
+            best = jnp.minimum(best, key)
     key_ref[pl.ds(_STRIP_MB * i, _STRIP_MB), :] = best
 
 
@@ -91,7 +108,10 @@ def full_search_pallas(src_y, ref_pad, lam, me_range: int, mbw: int,
     r_ = me_range
     span = 2 * r_ + 1
     h, w = mbh * 16, mbw * 16
-    w2 = w + 2 * PAD
+    # lane dims padded to 128 multiples: Mosaic miscompiles this kernel
+    # at odd register-padded widths (w2=176 gave wrong SADs on v5e; the
+    # candidate window never wraps, so extra dead lanes are harmless)
+    w2 = ((w + 2 * PAD + 127) // 128) * 128
     mbw_pad = max(128, ((mbw + 127) // 128) * 128)
     mbh_pad = ((mbh + _STRIP_MB - 1) // _STRIP_MB) * _STRIP_MB
     n_strips = mbh_pad // _STRIP_MB
@@ -101,7 +121,8 @@ def full_search_pallas(src_y, ref_pad, lam, me_range: int, mbw: int,
     # pad to a whole number of strips (edge content; cropped afterwards)
     src = jnp.pad(src_y.astype(jnp.int16), ((0, hp - h), (0, 0)),
                   mode="edge")
-    ref = jnp.pad(ref_pad.astype(jnp.int16), ((0, hp - h), (0, 0)),
+    ref = jnp.pad(ref_pad.astype(jnp.int16),
+                  ((0, hp - h), (0, w2 - (w + 2 * PAD))),
                   mode="edge")
     bits = jnp.asarray(mv_bits_arr(4 * r_).astype(np.int32))
     d = jnp.arange(span, dtype=_I32) - r_
@@ -119,18 +140,18 @@ def full_search_pallas(src_y, ref_pad, lam, me_range: int, mbw: int,
         ref_r = jax.lax.slice_in_dim(ref, start,
                                      start + hp + 8 * (n_q - 1), axis=0)
         key = pl.pallas_call(
-            functools.partial(_phase_body, r=r, span=span, me_range=r_,
-                              w=w, w2=w2, interpret=interpret),
-            grid=(n_strips, n_q),
+            functools.partial(_phase_body, r=r, n_q=n_q, span=span,
+                              me_range=r_, w=w, w2=w2,
+                              interpret=interpret),
+            grid=(n_strips,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec((16 * _STRIP_MB, w),
-                                   lambda i, q: (i, 0)),
+                                   lambda i: (i, 0)),
                       pl.BlockSpec(memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((mbh_pad, mbw_pad), _I32),
-            input_output_aliases={3: 0},
             interpret=interpret,
         )(bias, src, ref_r, key, ones)
 

@@ -231,4 +231,99 @@ def open_muxer(path: str, params):
         return FlvMuxer(path, params)
     if low.endswith((".mp4", ".m4v", ".mov")):
         return Mp4Muxer(path, params)
+    if low.endswith((".mkv", ".webm")):
+        return MkvMuxer(path, params)
     return RawMuxer(path, params)
+
+
+# ---- Matroska (reference output/matroska.c: a standalone EBML writer) ----
+
+def _vint(v: int) -> bytes:
+    """EBML variable-length size coding."""
+    for n in range(1, 9):
+        if v < (1 << (7 * n)) - 1:
+            b = v | (1 << (7 * n))
+            return b.to_bytes(n, "big")
+    raise ValueError("vint overflow")
+
+
+def _ebml(eid: int, payload: bytes) -> bytes:
+    nid = (eid.bit_length() + 7) // 8
+    return eid.to_bytes(nid, "big") + _vint(len(payload)) + payload
+
+
+def _ebml_uint(eid: int, v: int) -> bytes:
+    n = max(1, (v.bit_length() + 7) // 8)
+    return _ebml(eid, v.to_bytes(n, "big"))
+
+
+def _ebml_float(eid: int, v: float) -> bytes:
+    return _ebml(eid, struct.pack(">d", v))
+
+
+def _ebml_str(eid: int, s: str) -> bytes:
+    return _ebml(eid, s.encode())
+
+
+class MkvMuxer:
+    """Matroska with one Cluster per frame (SimpleBlocks, ms timestamps,
+    frames in decode order with pts timecodes — the reference
+    output/matroska.c layout).  The Segment is buffered and written
+    sized at close (the reference instead back-patches a seekable
+    file)."""
+
+    def __init__(self, path: str, params):
+        self.f = open(path, "wb")
+        self.p = params
+        self.ms = 1000.0 * params.fps_den / max(1, params.fps_num)
+        self._body = []
+        self._cfg = None
+        self._maxpts = 0
+
+    def write_headers(self, headers: bytes):
+        sps, pps, _ = extract_parameter_sets(headers)
+        self._cfg = avcc_record(sps[0], pps[0])
+
+    def write_frame(self, au: bytes, pts: int, dts: int, keyframe: bool):
+        if self._cfg is None:
+            self.write_headers(au)
+        data = annexb_to_avcc(au)
+        if not data:
+            return
+        ts = int(round(pts * self.ms))
+        self._maxpts = max(self._maxpts, ts)
+        sb = _ebml(0xA3, b"\x81" + struct.pack(">h", 0)
+                   + bytes([0x80 if keyframe else 0x00]) + data)
+        self._body.append(_ebml(0x1F43B675,                  # Cluster
+                                _ebml_uint(0xE7, ts) + sb))
+
+    def close(self):
+        p = self.p
+        ebml_hdr = _ebml(0x1A45DFA3,
+                         _ebml_uint(0x4286, 1)               # EBMLVersion
+                         + _ebml_uint(0x42F7, 1)
+                         + _ebml_uint(0x42F2, 4)
+                         + _ebml_uint(0x42F3, 8)
+                         + _ebml_str(0x4282, "matroska")     # DocType
+                         + _ebml_uint(0x4287, 2)
+                         + _ebml_uint(0x4285, 2))
+        info = _ebml(0x1549A966,
+                     _ebml_uint(0x2AD7B1, 1000000)           # 1 ms scale
+                     + _ebml_float(0x4489, float(self._maxpts + self.ms))
+                     + _ebml_str(0x4D80, "x264_tpu")
+                     + _ebml_str(0x5741, "x264_tpu"))
+        video = _ebml(0xE0, _ebml_uint(0xB0, p.width)
+                      + _ebml_uint(0xBA, p.height))
+        track = _ebml(0xAE,
+                      _ebml_uint(0xD7, 1)                    # TrackNumber
+                      + _ebml_uint(0x73C5, 1)                # TrackUID
+                      + _ebml_uint(0x83, 1)                  # video
+                      + _ebml_uint(0x23E383, int(round(
+                          1e9 * p.fps_den / max(1, p.fps_num))))
+                      + _ebml_str(0x86, "V_MPEG4/ISO/AVC")
+                      + _ebml(0x63A2, self._cfg or b"")      # CodecPrivate
+                      + video)
+        tracks = _ebml(0x1654AE6B, track)
+        seg = info + tracks + b"".join(self._body)
+        self.f.write(ebml_hdr + _ebml(0x18538067, seg))
+        self.f.close()

@@ -126,6 +126,11 @@ class EncoderParams:
     full_recon: bool = True
     log_level: int = 2              # 0 quiet .. 3 debug (cli verbosity)
 
+    # zones: "start,end,q=QP/start,end,b=FACTOR" per-range RC override
+    # (x264 --zones; encoder/ratecontrol.c:1219 parse_zone — the param-
+    # override form is rejected at validate, like the q=/b= subset docs)
+    zones: str = ""
+
     # 2-pass rate control (x264 --pass/--stats analog)
     stats_write: str = ""
     stats_read: str = ""
@@ -216,6 +221,8 @@ class EncoderParams:
                 "like the reference (encoder.c validate_parameters)")
         if p.chroma_loc not in range(6):
             raise ValueError("chroma_loc must be 0..5 (E-2)")
+        if p.zones:
+            parse_zones(p.zones)      # raises on malformed input
         if p.trellis:
             if not p.cabac:
                 raise NotImplementedError(
@@ -246,12 +253,49 @@ class EncoderParams:
 # matter on TPU are batch-shape ones (search range, subpel taps, partitions),
 # not the CPU ones (trellis threads etc.).
 _PRESETS = {
+    # Speed ladder re-expressed in the knobs that matter on TPU
+    # (batch shapes: search range, subpel taps, partitions, transforms),
+    # tracking the reference ladder's capability steps
+    # (common/base.c:489-609)
     "ultrafast": dict(me_range=8, subpel=0, i4x4=False, deblock=False,
-                      scenecut_threshold=0, ref_frames=1),
-    "veryfast": dict(me_range=16, subpel=1, i4x4=False, ref_frames=1),
-    "fast": dict(me_range=16, subpel=1, i4x4=True, ref_frames=1),
-    "medium": dict(me_range=16, subpel=2, i4x4=True, ref_frames=1),
-    "slow": dict(me_range=24, subpel=2, i4x4=True, ref_frames=2),
+                      scenecut_threshold=0, ref_frames=1, cabac=False),
+    "superfast": dict(me_range=8, subpel=1, i4x4=False, ref_frames=1,
+                      cabac=True),
+    "veryfast": dict(me_range=16, subpel=1, i4x4=False, ref_frames=1,
+                     cabac=True, transform_8x8=True),
+    "faster": dict(me_range=16, subpel=1, i4x4=True, ref_frames=1,
+                   cabac=True, transform_8x8=True),
+    "fast": dict(me_range=16, subpel=1, i4x4=True, ref_frames=1,
+                 cabac=True, transform_8x8=True, weightp=1, trellis=1),
+    "medium": dict(me_range=16, subpel=2, i4x4=True, ref_frames=1,
+                   cabac=True, transform_8x8=True, weightp=1, trellis=1,
+                   p8x8=True, bframes=2),
+    "slow": dict(me_range=24, subpel=2, i4x4=True, ref_frames=2,
+                 cabac=True, transform_8x8=True, weightp=1, trellis=1,
+                 p8x8=True),
+    "slower": dict(me_range=24, subpel=2, i4x4=True, ref_frames=3,
+                   cabac=True, transform_8x8=True, weightp=1, trellis=1,
+                   p8x8=True, aq_mode=1),
+    "veryslow": dict(me_range=32, subpel=2, i4x4=True, ref_frames=4,
+                     cabac=True, transform_8x8=True, weightp=1, trellis=1,
+                     p8x8=True, aq_mode=1),
+    "placebo": dict(me_range=32, subpel=2, i4x4=True, ref_frames=4,
+                    cabac=True, transform_8x8=True, weightp=1, trellis=1,
+                    p8x8=True, aq_mode=1, scenecut_threshold=40),
+}
+
+# tunes (common/base.c:611-704) restricted to the supported knobs;
+# tunes needing custom deadzones (grain) or psy-RD stay rejected
+_TUNES = {
+    "psnr": dict(aq_mode=AQ_NONE),
+    "ssim": dict(aq_mode=AQ_VARIANCE),
+    "zerolatency": dict(bframes=0, rc_lookahead=0, mbtree=False),
+    "fastdecode": dict(cabac=False, deblock=False, weightp=0,
+                   # CAVLC path: no partitions / 8x8dct-with-i4 yet
+                   p8x8=False, transform_8x8=False, trellis=0),
+    "stillimage": dict(scenecut_threshold=0, bframes=0),
+    "animation": dict(deblock_alpha=1, deblock_beta=1, aq_strength=0.6),
+    "film": dict(deblock_alpha=-1, deblock_beta=-1),
 }
 
 
@@ -260,13 +304,38 @@ def param_default_preset(preset: str = "medium", tune: str | None = None) -> Enc
     if preset not in _PRESETS:
         raise ValueError(f"unknown preset {preset!r}")
     p = p.clone(**_PRESETS[preset])
-    if tune == "psnr":
-        p = p.clone(aq_mode=AQ_NONE)
-    elif tune == "zerolatency":
-        p = p.clone(bframes=0)
-    elif tune is not None:
-        raise ValueError(f"unknown tune {tune!r}")
+    if tune is not None:
+        if tune not in _TUNES:
+            raise ValueError(f"unknown tune {tune!r} (grain/psy tunes "
+                             "need custom deadzones: pending)")
+        p = p.clone(**_TUNES[tune])
     return p
+
+
+def parse_zones(spec: str) -> list:
+    """Parse --zones "start,end,q=QP/start,end,b=F" (x264
+    encoder/ratecontrol.c:1219 parse_zone; the per-zone param-override
+    form is not supported).  Returns [(start, end, ('q', qp) |
+    ('b', factor))]."""
+    out = []
+    for z in spec.split("/"):
+        parts = z.split(",")
+        if len(parts) != 3:
+            raise ValueError(f"invalid zone {z!r} (start,end,q=|b=)")
+        start, end = int(parts[0]), int(parts[1])
+        if start > end or start < 0:
+            raise ValueError(f"invalid zone range {z!r}")
+        k, _, v = parts[2].partition("=")
+        if k == "q":
+            out.append((start, end, ("q", int(v))))
+        elif k == "b":
+            f = float(v)
+            if f <= 0:
+                raise ValueError(f"zone bitrate factor must be > 0: {z!r}")
+            out.append((start, end, ("b", f)))
+        else:
+            raise ValueError(f"unknown zone key {k!r} in {z!r}")
+    return out
 
 
 def param_parse(p: EncoderParams, name: str, value: str) -> EncoderParams:
