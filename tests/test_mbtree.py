@@ -51,6 +51,18 @@ def test_splat_bilinear_weights():
     assert g[1, 1] == g[1, 2] == g[2, 1] == g[2, 2] == 64.0
 
 
+def test_mbtree_bframes_e2e(rng):
+    """Unified lookahead window: CRF + MB-tree + B frames (the
+    slicetype.c macroblock_tree-with-B analog).  The queue feeds the
+    B-GOP machinery in display order; the stream decodes bit-exact and
+    anchors carry per-MB offsets (8x8 lowres grain = one per MB)."""
+    from tests.test_bframes import _run
+    from x264_tpu.params import RC_CRF
+    types = _run(rng, 12, 2, 250, 30, rc_method=RC_CRF, crf=30.0,
+                 mbtree=True, rc_lookahead=3)
+    assert "B" in types
+
+
 def test_mbtree_e2e(rng):
     """CRF + MB-tree: lookahead delay drains at flush, stream decodes
     bit-exact, and offsets leave persistent content at lower QP."""

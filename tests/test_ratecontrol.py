@@ -119,6 +119,25 @@ def test_vbv_unit_sim():
         rc.update("P", int(bits), cost)
 
 
+def test_vbv_lookahead_tightens_head_qp():
+    """vbv_lookahead (ratecontrol.c:1225 analog): a complexity spike
+    later in the window must raise the HEAD frame's qscale so the
+    window's cumulative bits still fit the cumulative refill."""
+    p = EncoderParams(width=640, height=480, rc_method=RC_ABR,
+                      bitrate=1000, vbv_maxrate=1000, vbv_bufsize=400,
+                      fps_num=25, fps_den=1)
+    rc = RateControl(p)
+    for _ in range(8):                       # settle the EMAs
+        qp = rc.frame_qp("P")
+        from x264_tpu.rc.ratecontrol import qp2qscale
+        rc.update("P", int(3.0 * 2e5 / qp2qscale(qp)), 2e5)
+    qp_flat = rc.frame_qp("P")
+    rc.lookahead_costs = [2e5, 2e5, 20e5, 20e5, 20e5]    # spike ahead
+    qp_spike = rc.frame_qp("P")
+    rc.lookahead_costs = None
+    assert qp_spike > qp_flat, (qp_spike, qp_flat)
+
+
 def test_zones_parse_and_apply():
     """--zones: q= forces the QP inside the range, b= shifts it by
     -6*log2(factor) (ratecontrol.c:1219 parse_zone analog)."""

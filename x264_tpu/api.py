@@ -994,7 +994,9 @@ class Encoder:
             f_type = "IDR"
         if d == 0 or f_type == "IDR" or (self.p.keyint_max > 0
                       and d % self.p.keyint_max == 0):
-            out += self.flush()           # close the open mini-GOP
+            out += self._flush_rest()     # close the open mini-GOP
+            # (NOT self.flush(): when fed from the MB-tree lookahead
+            # queue, flush() would pull FUTURE display frames ahead)
             self._idr_disp = d
             out += self._encode_anchor(fr, d, "IDR")
             if self.p.b_adapt:
@@ -1134,7 +1136,11 @@ class Encoder:
         f_qp = self._forced_for(disp)[1]
         if f_qp is not None:
             qp = int(np.clip(f_qp, self.p.qp_min, self.p.qp_max))
-        job = self._submit_device(y, u, v, ftype, qp)
+        self._mbt_off = (self._mbt_off_by_disp or {}).pop(disp, None)
+        try:
+            job = self._submit_device(y, u, v, ftype, qp)
+        finally:
+            self._mbt_off = None
         job["poc_lsb"] = self._poc_lsb(disp)
         out = job["out"]
         rec = self.dpb[0]
@@ -1170,6 +1176,11 @@ class Encoder:
         f_qp = self._forced_for(disp)[1]
         if f_qp is not None:
             qp = int(np.clip(f_qp, self.p.qp_min, self.p.qp_max))
+        # MB-tree offsets apply to anchors only (policy: non-ref B MBs
+        # are never propagated into; their window gain rides PB_OFFSET).
+        # Pop the stale entry so the per-disp map can't grow unbounded.
+        if self._mbt_off_by_disp:
+            self._mbt_off_by_disp.pop(disp, None)
         ladder = self._ladder(qp)
 
         poc_cur = self._poc_lsb(disp)
@@ -1487,45 +1498,38 @@ class Encoder:
                 self._force = {}
             self._force[self._in_disp] = (tmap.get(frame_type), qp)
         self._in_disp += 1
-        if self.p.bframes > 0:
-            return self._encode_bgop(fr)
         if self._mbtree_on():
             return self._encode_mbtree(fr)
+        if self.p.bframes > 0:
+            return self._encode_bgop(fr)
         return self._encode_now(fr, disp=self._in_disp - 1)
 
-    # ---- MB-tree lookahead window (bframes=0 path this round) ----------
+    # ---- MB-tree lookahead window (unified: bframes >= 0) --------------
     _mbt_q = None
+    _mbt_off_by_disp = None
 
     def _mbtree_on(self) -> bool:
         from x264_tpu.params import RC_CQP
-        return (self.p.mbtree and self.p.bframes == 0
+        return (self.p.mbtree
                 and self.p.rc_method != RC_CQP and self.p.slices <= 1
                 and self._use_device())
 
     def _encode_mbtree(self, fr: Frame420) -> bytes:
-        """Queue rc_lookahead frames; encode the head with QP offsets
-        from backward cost propagation (models/mbtree.py)."""
+        """Queue rc_lookahead frames; pop the head with QP offsets from
+        backward cost propagation (models/mbtree.py) at 8x8 lowres grain
+        (= one offset per source MB, x264's slicetype.c grain), then
+        route it into the normal B-GOP / P machinery."""
         import jax.numpy as jnp
 
-        from x264_tpu.models.inter_frame import (intra_cost_estimate,
-                                                 sad_lambda)
-        from x264_tpu.models.lookahead import lowres_plane
-        from x264_tpu.ops.device.me import full_search_16x16
+        from x264_tpu.models.lookahead import lowres_plane, lowres_stats8
 
         if self._mbt_q is None:
             self._mbt_q = []
         y, _, _ = self._pad(fr)
         lr = lowres_plane(jnp.asarray(y))
-        lrn = np.asarray(lr)
-        mbw_lr, mbh_lr = lrn.shape[1] // 16, lrn.shape[0] // 16
-        ic = intra_cost_estimate(lrn, mbw_lr, mbh_lr)
-        pc = mv = None
-        if self._mbt_q:
-            ref = jnp.pad(self._mbt_q[-1]["lr"], 32, mode="edge")
-            mv, pc = full_search_16x16(lr, ref,
-                                       np.int32(sad_lambda(24)),
-                                       me_range=8, mbw=mbw_lr,
-                                       mbh=mbh_lr)
+        mbw_lr, mbh_lr = lr.shape[1] // 16, lr.shape[0] // 16
+        prev = self._mbt_q[-1]["lr"] if self._mbt_q else None
+        ic, pc, mv = lowres_stats8(lr, prev, mbw_lr, mbh_lr)
         self._mbt_q.append(dict(fr=fr, lr=lr, ic=ic, pc=pc, mv=mv,
                                 disp=self._in_disp - 1))
         if len(self._mbt_q) <= max(1, self.p.rc_lookahead):
@@ -1533,22 +1537,43 @@ class Encoder:
         return self._pop_mbtree()
 
     def _pop_mbtree(self) -> bytes:
+        """Propagate over the remaining window (display-order chain:
+        each frame predicted from its display predecessor — with B
+        frames this is the transitive approximation of the anchor
+        reference graph; amounts passing through a B flow on to the
+        frames that actually get referenced) and stash the head's
+        offsets keyed by display index so the deferred B-GOP submit
+        picks them up when the anchor is actually encoded."""
         from x264_tpu.models import mbtree as MT
 
         q = self._mbt_q
         head = q.pop(0)
         lrn = np.asarray(head["lr"])
-        mbw_lr, mbh_lr = lrn.shape[1] // 16, lrn.shape[0] // 16
-        ics = [head["ic"]] + [e["ic"] for e in q]
-        pcs = [None] + [np.asarray(e["pc"]) for e in q]
-        mvs = [None] + [np.asarray(e["mv"]) for e in q]
+        nbw, nbh = 2 * (lrn.shape[1] // 16), 2 * (lrn.shape[0] // 16)
         if q:
-            prop = MT.propagate(ics, pcs, mvs, mbw_lr, mbh_lr)
-            off = MT.finish(head["ic"], prop)
-            self._mbt_off = MT.expand_offsets(
-                off, mbw_lr, mbh_lr, self.p.mb_width, self.p.mb_height)
-        else:
-            self._mbt_off = None
+            ics = [np.asarray(head["ic"])] + [np.asarray(e["ic"])
+                                              for e in q]
+            pcs = [None] + [np.asarray(e["pc"]) for e in q]
+            mvs = [None] + [np.asarray(e["mv"]) for e in q]
+            prop = MT.propagate(ics, pcs, mvs, nbw, nbh, bs=8)
+            off = MT.finish(np.asarray(head["ic"]), prop)
+            if self._mbt_off_by_disp is None:
+                self._mbt_off_by_disp = {}
+            self._mbt_off_by_disp[head["disp"]] = MT.expand_offsets8(
+                off, nbw, nbh, self.p.mb_width, self.p.mb_height)
+        # vbv_lookahead: post the window's per-frame lowres costs
+        # (min(inter, intra), head first) to the rate controller
+        win = []
+        for e in [head] + q:
+            icn = np.asarray(e["ic"], np.float64)
+            c = icn if e["pc"] is None else np.minimum(
+                np.asarray(e["pc"], np.float64), icn)
+            win.append(float(c.sum()))
+        self.rc.lookahead_costs = win
+        if self.p.bframes > 0:
+            return self._encode_bgop(head["fr"])
+        self._mbt_off = (self._mbt_off_by_disp or {}).pop(
+            head["disp"], None)
         try:
             return self._encode_now(head["fr"], disp=head.get("disp"))
         finally:

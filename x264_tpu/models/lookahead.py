@@ -58,6 +58,59 @@ def _pair_costs(stack, pairs, mbw: int, mbh: int):
     return jnp.stack(outs)
 
 
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh"))
+def _intra8(lr, mbw: int, mbh: int):
+    """Per-8x8-block lowres intra SAD estimate (DC/H/V from decoded-order
+    edges of the SOURCE lowres plane) — the slicetype_frame_cost lowres
+    intra analog at x264's grain (8x8 on half-res).  SAD (not SATD) so
+    the scale matches the lowres inter costs from the SAD ME kernel."""
+    nbh, nbw = 2 * mbh, 2 * mbw
+    q = lr.astype(jnp.int32)[:mbh * 16, :mbw * 16]
+    blocks = q.reshape(nbh, 8, nbw, 8).transpose(0, 2, 1, 3)
+    pad = jnp.pad(q, ((1, 0), (1, 0)), mode="edge")
+    tops = pad[0:nbh * 8:8, 1:1 + nbw * 8].reshape(nbh, nbw, 8)
+    lefts = pad[1:1 + nbh * 8, 0:nbw * 8:8].reshape(nbh, 8, nbw
+                                                    ).transpose(0, 2, 1)
+    at = (jnp.arange(nbh) > 0)[:, None]
+    al = (jnp.arange(nbw) > 0)[None, :]
+    st, sl = tops.sum(-1), lefts.sum(-1)
+    dc = jnp.where(at & al, (st + sl + 8) >> 4,
+         jnp.where(at, (st + 4) >> 3,
+         jnp.where(al, (sl + 4) >> 3, 128)))
+    big = jnp.int32(1 << 28)
+    sad_dc = jnp.abs(blocks - dc[..., None, None]).sum((-1, -2))
+    sad_v = jnp.abs(blocks - tops[:, :, None, :]).sum((-1, -2))
+    sad_h = jnp.abs(blocks - lefts[:, :, :, None]).sum((-1, -2))
+    cost = jnp.minimum(sad_dc, jnp.minimum(
+        jnp.where(at, sad_v, big), jnp.where(al, sad_h, big)))
+    return cost.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh"))
+def _inter8(lr, prev_lr, mbw: int, mbh: int):
+    """Per-8x8-block lowres inter cost + mv vs the previous lowres frame
+    (quadrant outputs of the partition ME kernel = 8x8 lowres blocks)."""
+    from x264_tpu.ops.device.me_parts import full_search_parts_xla
+    lam = np.int32(sad_lambda(_LOOKAHEAD_QP))
+    ref = jnp.pad(prev_lr, PAD, mode="edge")
+    r = full_search_parts_xla(lr, ref, lam, me_range=8, mbw=mbw, mbh=mbh)
+    # quadrant order (TL, TR, BL, BR) -> (2*mbh, 2*mbw) 8-block grid
+    cq = r["cost_q"].reshape(mbh, mbw, 2, 2).transpose(0, 2, 1, 3)
+    mq = r["mv_q"].reshape(mbh, mbw, 2, 2, 2).transpose(0, 2, 1, 3, 4)
+    n8 = 4 * mbh * mbw
+    return cq.reshape(n8), mq.reshape(n8, 2)
+
+
+def lowres_stats8(lr, prev_lr, mbw: int, mbh: int):
+    """(intra_cost, inter_cost, mv) at 8x8 lowres grain; inter parts are
+    None for the first frame of a chain."""
+    ic = _intra8(lr, mbw=mbw, mbh=mbh)
+    if prev_lr is None:
+        return ic, None, None
+    pc, mv = _inter8(lr, prev_lr, mbw=mbw, mbh=mbh)
+    return ic, pc, mv
+
+
 class Lookahead:
     """Holds the last anchor's lowres plane and plans mini-GOP cuts."""
 

@@ -62,6 +62,11 @@ class RateControl:
         self.vbv_on = (self.vbv_max > 0 and self.vbv_size > 0
                        and params.rc_method != RC_CQP)
         self.vbv_fill = self.vbv_size * params.vbv_init
+        # vbv_lookahead (ratecontrol.c:1225 analog): the encoder's
+        # lookahead window posts per-frame lowres costs here (head
+        # first); the VBV clip then bounds the WHOLE window's predicted
+        # bits by the cumulative refill, not just the head frame's.
+        self.lookahead_costs = None
 
     def _predict_bits(self, qscale: float) -> float:
         """bits ~ coeff * cplx / qscale (predict_size analog)."""
@@ -85,6 +90,19 @@ class RateControl:
         space = self.vbv_size - (fill - self._predict_bits(q))
         if space < 0.1 * self.vbv_size:
             q *= max(0.5, space / (0.1 * self.vbv_size) + 1e-9)
+        # vbv_lookahead: scale future frames' bits off the head
+        # prediction by their lowres-cost ratio and require the running
+        # total to fit the cumulative refill at every window position
+        if self.lookahead_costs:
+            head = max(self.lookahead_costs[0], 1.0)
+            pred0 = self._predict_bits(q)
+            cum, factor = 0.0, 1.0
+            for j, wc in enumerate(self.lookahead_costs):
+                cum += pred0 * max(wc, 1.0) / head
+                avail = fill + j * bufrate
+                if avail > 0 and cum > avail:
+                    factor = max(factor, cum / avail)
+            q *= factor
         return q
 
     def _clip_qp(self, qp: float, frame_type: str) -> int:
