@@ -60,6 +60,73 @@ def test_bframes_conformance(rng, bf, keyint):
     assert "B" in types
 
 
+def _run_flash(rng, w=96, h=64, **kw):
+    """Moving content with a one-frame NOISE FLASH at a B position:
+    unpredictable from both anchors, so the B core's I16x16 escape
+    (intra-in-B, analyse.c:3180 role) must fire.  Returns the per-frame
+    mb_class maps captured from the B finalizer."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(8):
+        y = (120 + 70 * np.sin((xx + 5 * t) / 13.0)
+             * np.cos((yy - 3 * t) / 19.0)).astype(np.uint8)
+        y += rng.integers(0, 5, (h, w)).astype(np.uint8)
+        if t == 4:          # flash: B slot for bframes=2 (I P bb P ...)
+            y[16:48, 16:80] = rng.integers(0, 256, (32, 64))
+        u = (128 + 40 * np.sin((xx[::2, ::2] + 5 * t) / 23.0)).astype(np.uint8)
+        v = (128 + 40 * np.cos((yy[::2, ::2] + 7 * t) / 29.0)).astype(np.uint8)
+        frames.append(Frame420(y, u, v))
+    enc = Encoder(EncoderParams(width=w, height=h, qp=26, me_range=8,
+                                backend="device", bframes=2,
+                                keyint_max=250, full_recon=True,
+                                deblock=True, **kw))
+    classes = {}
+    recs = {}
+    _b, _a = enc._finalize_b, enc._submit_anchor
+
+    def spyb(job):
+        data = _b(job)
+        classes[job["disp"]] = np.asarray(job["out"]["mb_class"])
+        r = enc.last_recon
+        recs[job["disp"]] = (np.asarray(r.y), np.asarray(r.u),
+                             np.asarray(r.v))
+        return data
+
+    def spya(fr, d, ftype):
+        job = _a(fr, d, ftype)
+        r = enc.dpb[0]
+        recs[d] = (np.asarray(r.y), np.asarray(r.u), np.asarray(r.v))
+        return job
+
+    enc._finalize_b, enc._submit_anchor = spyb, spya
+    stream = b"".join(enc.encode(f) for f in frames) + enc.flush()
+    dec = decode_annexb(stream, w, h)
+    assert len(dec) == len(frames)
+    for d in range(len(frames)):
+        ry, ru, rv = recs[d]
+        assert np.array_equal(dec[d][0], ry[:h, :w]), f"display {d} luma"
+        assert np.array_equal(dec[d][1], ru[:h // 2, :w // 2]), d
+        assert np.array_equal(dec[d][2], rv[:h // 2, :w // 2]), d
+    return classes
+
+
+def test_intra_in_b_cavlc(rng):
+    classes = _run_flash(rng, cabac=False)
+    assert any((c == 0).any() for c in classes.values()), \
+        "flash B frame coded no intra MBs"
+
+
+def test_intra_in_b_cabac(rng):
+    classes = _run_flash(rng, cabac=True)
+    assert any((c == 0).any() for c in classes.values())
+
+
+def test_intra_in_b_cabac_t8(rng):
+    """8x8dct PPS on: I16-in-B must not emit the transform flag."""
+    classes = _run_flash(rng, cabac=True, transform_8x8=True)
+    assert any((c == 0).any() for c in classes.values())
+
+
 def test_bframes_qp_extremes(rng):
     _run(rng, 6, 2, 250, 4)
     _run(rng, 6, 2, 250, 51)

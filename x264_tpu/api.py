@@ -1322,13 +1322,14 @@ class Encoder:
                 jnp.full(n, qp, jnp.int32), jnp.full(n, qpc, jnp.int32),
                 np.int32(self.p.deblock_alpha * 2),
                 np.int32(self.p.deblock_beta * 2), mbw=mbw, mbh=mbh,
-                impl=deblock_impl())
+                impl=deblock_impl(), intra=out["mb_class"] == 0)
         self.last_recon = ReconFrame(ry, ru, rv)
         self._note_recon(job.get("disp"), self.last_recon)
         self.stats.append(FrameStats("B", len(data) * 8, qp))
         self.rc.update("B", len(data) * 8, cost_total)
         self._record_stats("B", qp, len(data) * 8, cost_total,
-                           np.where(mb_class == 3, 3, 2))
+                           np.where(mb_class == 3, 3,
+                                    np.where(mb_class == 0, 0, 2)))
         self._note_au(len(data), "B", poc_cur)
         return data
 

@@ -26,9 +26,12 @@ import numpy as np
 
 from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
 from x264_tpu.models.inter_frame import PAD
-from x264_tpu.models.residual_device import encode_chroma, encode_p_luma
+from x264_tpu.models.residual_device import (encode_chroma,
+                                             encode_i16_luma,
+                                             encode_p_luma)
 from x264_tpu.ops.device import header as dheader
 from x264_tpu.ops.device import pixel as P
+from x264_tpu.ops.device import predict as PR
 from x264_tpu.ops.device import transform as T
 from x264_tpu.ops.device.bitpack import pack_tokens
 from x264_tpu.ops.device.cavlc import residual_slots
@@ -163,6 +166,117 @@ def b_frame_core(y, u, v,
         src_u, src_v, cpred_u, cpred_v, qpc, intra=False,
         decimate=decimate)
 
+    # ---- intra-in-B (I16x16 escape for occlusions/scene-ish Bs; the
+    # encoder/analyse.c:3180-3259 intra probe in B role).  Same TPU-first
+    # shape as the P core: a source-edge cost estimate picks candidates,
+    # a parallel isolation lattice drops any whose prediction would read
+    # another intra MB's recon, and the survivors re-predict from the
+    # pure-inter recon plane in ONE batched lax.cond pass. ----
+    ysrc = y.astype(jnp.int32)
+    mby = jnp.arange(n, dtype=jnp.int32) // mbw
+    mbx = jnp.arange(n, dtype=jnp.int32) % mbw
+    yp_ = jnp.pad(ysrc, ((1, 0), (1, 0)), mode="edge")
+    r16 = jnp.arange(16, dtype=jnp.int32)
+    stop = yp_[(mby * 16)[:, None], (mbx * 16 + 1)[:, None] + r16[None, :]]
+    sleft = yp_[(mby * 16 + 1)[:, None] + r16[None, :], (mbx * 16)[:, None]]
+    stl = yp_[mby * 16, mbx * 16]
+    at = mby > 0
+    al = mbx > 0
+    ipreds = PR.predict_16x16_all(stop, sleft, stl, at, al)
+    iavail = PR.i16x16_mode_avail(at, al, at & al)
+    icost_src = jnp.min(jnp.where(iavail, P.satd(src_mbs[:, None], ipreds),
+                                  jnp.int32(1 << 30)), axis=1)
+    bcost = jnp.min(costs, axis=0)
+    cand = (icost_src + 8 * lam) < bcost
+    cg = cand.reshape(mbh, mbw)
+
+    def _sh(g, dy, dx):
+        out2 = jnp.zeros_like(g)
+        ys = slice(max(dy, 0), mbh + min(dy, 0))
+        xs = slice(max(dx, 0), mbw + min(dx, 0))
+        yd = slice(max(-dy, 0), mbh + min(-dy, 0))
+        xd = slice(max(-dx, 0), mbw + min(-dx, 0))
+        return out2.at[yd, xd].set(g[ys, xs])
+
+    iso = (cg & ~_sh(cg, 0, -1) & ~_sh(cg, 0, 1) & ~_sh(cg, -1, 0)
+           & ~_sh(cg, 1, 0) & ~_sh(cg, -1, -1) & ~_sh(cg, 1, 1))
+    xxg = jnp.arange(mbw, dtype=jnp.int32)[None, :]
+    yyg = jnp.arange(mbh, dtype=jnp.int32)[:, None]
+    latt = ((xxg + 2 * yyg) % 4) == 0
+    intra_mask = (iso | (cg & latt)).reshape(n)
+
+    ry_pl = T.mbs_to_plane(recon_y_mbs, mbh, mbw, 16)
+    ru_pl = T.mbs_to_plane(ru_mbs, mbh, mbw, 8)
+    rv_pl = T.mbs_to_plane(rv_mbs, mbh, mbw, 8)
+
+    def _neigh(plane, s):
+        tp = jnp.pad(plane, ((1, 0), (0, 0)))[0::s][:mbh]
+        topv = tp.reshape(mbh, mbw, s)
+        lp = jnp.pad(plane, ((0, 0), (1, 0)))[:, 0::s][:, :mbw]
+        leftv = lp.reshape(mbh, s, mbw).transpose(0, 2, 1)
+        tlv = jnp.pad(plane, ((1, 0), (1, 0)))[0::s, 0::s][:mbh, :mbw]
+        return (topv.reshape(n, s), leftv.reshape(n, s), tlv.reshape(n))
+
+    def _intra_fixup(_):
+        itop, ileft, itl = _neigh(ry_pl, 16)
+        preds = PR.predict_16x16_all(itop, ileft, itl, at, al)
+        icosts = jnp.where(PR.i16x16_mode_avail(at, al, at & al),
+                           P.satd(src_mbs[:, None], preds),
+                           jnp.int32(1 << 30))
+        mode = jnp.argmin(icosts, axis=1).astype(jnp.int32)
+        ipred = jnp.take_along_axis(preds, mode[:, None, None, None],
+                                    axis=1)[:, 0]
+        irec, idc, iac, innz, icbp_l = encode_i16_luma(src_mbs, ipred, qp)
+
+        ctu, clu, ctlu = _neigh(ru_pl, 8)
+        ctv, clv, ctlv = _neigh(rv_pl, 8)
+        cpreds_u = PR.predict_chroma_all(ctu, clu, ctlu, at, al)
+        cpreds_v = PR.predict_chroma_all(ctv, clv, ctlv, at, al)
+        ccosts = jnp.where(PR.chroma_mode_avail(at, al, at & al),
+                           P.satd(src_u[:, None], cpreds_u)
+                           + P.satd(src_v[:, None], cpreds_v),
+                           jnp.int32(1 << 30))
+        cmode = jnp.argmin(ccosts, axis=1).astype(jnp.int32)
+        cpu = jnp.take_along_axis(cpreds_u, cmode[:, None, None, None],
+                                  axis=1)[:, 0]
+        cpv = jnp.take_along_axis(cpreds_v, cmode[:, None, None, None],
+                                  axis=1)[:, 0]
+        icr_u, icr_v, icdc, icac, icnnz, icbp_c = encode_chroma(
+            src_u, src_v, cpu, cpv, qpc, intra=True)
+
+        mk1 = intra_mask[:, None]
+        mk2 = intra_mask[:, None, None]
+        mk3 = intra_mask[:, None, None, None]
+        return (jnp.where(mk1, idc, 0),
+                jnp.where(mk2, iac, ac_zz),
+                jnp.where(mk1, innz, nnz),
+                jnp.where(intra_mask, icbp_l, cbp_l),
+                jnp.where(mk2, icdc, cdc),
+                jnp.where(mk3, icac, cac),
+                jnp.where(mk2, icnnz, cnnz),
+                jnp.where(intra_mask, icbp_c, cbp_c),
+                jnp.where(intra_mask, mode, 0),
+                jnp.where(intra_mask, cmode, 0),
+                jnp.where(mk2, irec, recon_y_mbs),
+                jnp.where(mk2, icr_u, ru_mbs),
+                jnp.where(mk2, icr_v, rv_mbs))
+
+    def _no_intra(_):
+        return (jnp.zeros((n, 16), jnp.int32), ac_zz, nnz, cbp_l,
+                cdc, cac, cnnz, cbp_c,
+                jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+                recon_y_mbs, ru_mbs, rv_mbs)
+
+    (luma_dc, ac_zz, nnz, cbp_l, cdc, cac, cnnz, cbp_c, i16_mode,
+     chroma_mode, recon_y_mbs, ru_mbs, rv_mbs) = jax.lax.cond(
+        intra_mask.any(), _intra_fixup, _no_intra, None)
+
+    # intra MBs leave the inter signalling path entirely
+    use0 = use0 & ~intra_mask
+    use1 = use1 & ~intra_mask
+    any0 = any0 & ~intra_mask
+    any1 = any1 & ~intra_mask
+
     # ---- mvd vs per-list median MVP; skip = direct + no residual ----
     # (quad-grain fmv: the MVP picks the normative neighbouring 4x4
     # block's quadrant, so direct neighbours contribute their own quad)
@@ -170,13 +284,17 @@ def b_frame_core(y, u, v,
     mvp1 = dheader.mvp_for_list(fmv1, any1, mbw, mbh)
     mvd0 = jnp.where(use0[:, None], mv0 - mvp0, 0)
     mvd1 = jnp.where(use1[:, None], mv1 - mvp1, 0)
-    is_skip = (bmode == dheader.B_DIRECT) & (cbp_l == 0) & (cbp_c == 0)
-    mb_class = jnp.where(is_skip, 3, 2).astype(jnp.int32)  # skip / coded
+    is_skip = ((bmode == dheader.B_DIRECT) & (cbp_l == 0) & (cbp_c == 0)
+               & ~intra_mask)
+    # 0 = intra (CLS_I16), 2 = coded inter, 3 = skip
+    mb_class = jnp.where(intra_mask, 0,
+                         jnp.where(is_skip, 3, 2)).astype(jnp.int32)
 
     outs = dict(
         mb_class=mb_class,
         bmode=bmode, mv0=fmv0, mv1=fmv1, any0=any0, any1=any1,
-        mvd0=mvd0, mvd1=mvd1,
+        mvd0=mvd0, mvd1=mvd1, i16_mode=i16_mode, chroma_mode=chroma_mode,
+        luma_dc=luma_dc,
         luma_ac=ac_zz, chroma_dc=cdc, chroma_ac=cac, chroma_nnz=cnnz,
         luma_nnz=nnz, cbp_luma=cbp_l, cbp_chroma=cbp_c, qp_mb=qp,
         mb_cost=jnp.minimum(cost0, cost1),
@@ -189,16 +307,19 @@ def b_frame_core(y, u, v,
         from x264_tpu.ops.device.entropy_pack import cabac_blob
         z = jnp.zeros(n, jnp.int32)
         outs["host_blob"] = cabac_blob(
-            jnp.zeros((n, 16), jnp.int32), ac_zz, cdc, cac, mb_class,
-            mvd0, z, z, cbp_l, cbp_c, qp, jnp.minimum(cost0, cost1), z,
+            luma_dc, ac_zz, cdc, cac, mb_class,
+            mvd0, i16_mode, chroma_mode, cbp_l, cbp_c, qp,
+            jnp.minimum(cost0, cost1), z,
             K=lv_cap, bmode=bmode, mvd1=mvd1)
         return outs
 
     res_vals, res_lens = residual_slots(
-        jnp.zeros((n, 16), jnp.int32), ac_zz, nnz, cdc, cac, cnnz,
-        cbp_l, cbp_c, jnp.zeros(n, bool), mbw, mbh)
+        luma_dc, ac_zz, nnz, cdc, cac, cnnz,
+        cbp_l, cbp_c, intra_mask, mbw, mbh)
     hv, hl = dheader.header_slots_b(bmode, is_skip, mvd0, mvd1,
-                                    cbp_l, cbp_c, qp, t8_mode=t8_mode)
+                                    cbp_l, cbp_c, qp, t8_mode=t8_mode,
+                                    intra=intra_mask, i16_mode=i16_mode,
+                                    chroma_mode=chroma_mode)
     words, nbits = pack_tokens(jnp.concatenate([hv, res_vals], axis=1),
                                jnp.concatenate([hl, res_lens], axis=1),
                                n_words)

@@ -699,17 +699,57 @@ static void write_mb_b(cab_t *c, frame_t *f, int mb,
     int has_l = mbx > 0, has_t = mby > 0;
     int mbl = mb - 1, mbt = mb - f->mbw;
     int mode = f->bmode[mb];
+    int intra = f->cls[mb] == CLS_I16;
+    int i16 = intra;
     int cbp_l = f->cbpl[mb], cbp_c = f->cbpc[mb];
     int gx = 4 * mbx, gy = 4 * mby, gw = 4 * f->mbw;
     int cgx = 2 * mbx, cgy = 2 * mby, cgw = 2 * f->mbw;
 
-    /* mb_type: bin0 ctx from neighbours not direct/skip */
+    /* mb_type: bin0 ctx from neighbours not direct/skip (9.3.3.1.1.3;
+     * intra neighbours count as coded-non-direct) */
     int ctx = 0;
-    if (has_l && !(f->cls[mbl] == CLS_SKIP || f->bmode[mbl] == BM_DIRECT))
+    if (has_l && !(f->cls[mbl] == CLS_SKIP
+                   || (f->cls[mbl] != CLS_I16 && f->bmode[mbl] == BM_DIRECT)))
         ctx++;
-    if (has_t && !(f->cls[mbt] == CLS_SKIP || f->bmode[mbt] == BM_DIRECT))
+    if (has_t && !(f->cls[mbt] == CLS_SKIP
+                   || (f->cls[mbt] != CLS_I16 && f->bmode[mbt] == BM_DIRECT)))
         ctx++;
-    if (mode == BM_DIRECT) {
+    if (i16) {
+        /* intra escape (Table 9-37 rows 23+): prefix '111101' — binIdx1
+         * ctx 30, binIdx2 ctx = 31 when b1==1 (the 5 - b1 rule the inter
+         * paths below also use), binIdx3+ ctx 32 — then the I-slice
+         * I_16x16 suffix at the B suffix contexts 32..35 (x264
+         * encoder/cabac.c cabac_mb_type intra-in-B path) */
+        enc_dec(c, 27 + ctx, 1);
+        enc_dec(c, 27 + 3, 1);
+        enc_dec(c, 27 + 4, 1);
+        enc_dec(c, 27 + 5, 1);
+        enc_dec(c, 27 + 5, 0);
+        enc_dec(c, 27 + 5, 1);
+        enc_dec(c, 32, 1);           /* I_16x16, not I_NxN */
+        enc_terminate(c, 0);         /* not I_PCM */
+        enc_dec(c, 33, cbp_l != 0);
+        if (cbp_c == 0) {
+            enc_dec(c, 34, 0);
+        } else {
+            enc_dec(c, 34, 1);
+            enc_dec(c, 34, cbp_c >> 1);
+        }
+        int pm = f->i16m[mb];
+        enc_dec(c, 35, pm >> 1);
+        enc_dec(c, 35, pm & 1);
+        /* intra_chroma_pred_mode: TU cMax 3, ctx 64+inc / 67 */
+        int cctx = 0;
+        if (has_l && mb_intra(f, mbl) && f->chm[mbl] != 0) cctx++;
+        if (has_t && mb_intra(f, mbt) && f->chm[mbt] != 0) cctx++;
+        int m = f->chm[mb];
+        enc_dec(c, 64 + cctx, m > 0);
+        if (m > 0) {
+            enc_dec(c, 67, m > 1);
+            if (m > 1)
+                enc_dec(c, 67, m > 2);
+        }
+    } else if (mode == BM_DIRECT) {
         enc_dec(c, 27 + ctx, 0);
     } else {
         enc_dec(c, 27 + ctx, 1);
@@ -747,8 +787,8 @@ static void write_mb_b(cab_t *c, frame_t *f, int mb,
         }
     }
 
-    /* cbp */
-    {
+    /* cbp (not coded for I16: it lives in mb_type) */
+    if (!i16) {
         int cl = has_l ? f->cbpl[mbl] : -1;
         int ct = has_t ? f->cbpl[mbt] : -1;
         enc_dec(c, 76 - ((cl >> 1) & 1) - ((ct >> 1) & 2), (cbp_l >> 0) & 1);
@@ -771,21 +811,22 @@ static void write_mb_b(cab_t *c, frame_t *f, int mb,
     }
 
     /* transform_size_8x8_flag: the PPS advertises 8x8 mode, so every
-     * coded-luma MB carries the bin (B still codes 4x4 only -> 0;
-     * B_Direct included, direct_8x8_inference_flag=1) */
-    if (f->t8 && cbp_l) {
+     * coded-luma INTER MB carries the bin (B still codes 4x4 only -> 0;
+     * B_Direct included, direct_8x8_inference_flag=1; I16 has none) */
+    if (f->t8 && cbp_l && !i16) {
         int tctx = 399 + (has_l && f->t8[mbl] ? 1 : 0)
                        + (has_t && f->t8[mbt] ? 1 : 0);
         enc_dec(c, tctx, f->t8[mb] != 0);
     }
 
     /* mb_qp_delta */
-    if (cbp_l || cbp_c) {
+    if (cbp_l || cbp_c || i16) {
         int dqp = f->qp[mb] - *last_qp;
         if (dqp > 25) dqp -= 52;
         else if (dqp < -26) dqp += 52;
         int prev_res = mb > 0 && f->cls[mb - 1] != CLS_SKIP
-                       && (f->cbpl[mb - 1] || f->cbpc[mb - 1]);
+                       && (f->cls[mb - 1] == CLS_I16
+                           || f->cbpl[mb - 1] || f->cbpc[mb - 1]);
         int ctx2 = (*last_dqp != 0) && prev_res;
         int val = dqp > 0 ? 2 * dqp - 1 : -2 * dqp;
         for (int i = 0; i < val; i++) {
@@ -799,11 +840,23 @@ static void write_mb_b(cab_t *c, frame_t *f, int mb,
         *last_dqp = 0;
     }
 
-    /* residuals (all inter: cats 2/3/4, b_intra = 0) */
+    /* residuals (inter cats 2/3/4; I16 escapes add cats 0/1 with the
+     * intra cbf inference, same as the P writer) */
 #define NNZ_L(ggx, ggy, grid, ggw) \
-    ((ggx) > 0 ? grid[(ggy) * (ggw) + (ggx) - 1] != 0 : 0)
+    ((ggx) > 0 ? grid[(ggy) * (ggw) + (ggx) - 1] != 0 : (uint8_t)intra)
 #define NNZ_T(ggx, ggy, grid, ggw) \
-    ((ggy) > 0 ? grid[((ggy) - 1) * (ggw) + (ggx)] != 0 : 0)
+    ((ggy) > 0 ? grid[((ggy) - 1) * (ggw) + (ggx)] != 0 : (uint8_t)intra)
+
+    if (i16) {
+        int nza = has_l ? f->dccbf[3 * mbl] : 1;
+        int nzb = has_t ? f->dccbf[3 * mbt] : 1;
+        if (has_l && f->cls[mbl] != CLS_I16) nza = 0;
+        if (has_t && f->cls[mbt] != CLS_I16) nzb = 0;
+        int cbf = f->dccbf[3 * mb];
+        enc_dec(c, CBF_OFF[0] + nza + 2 * nzb, cbf);
+        if (cbf)
+            block_residual(c, 0, f->ldc + 16 * mb);
+    }
     if (cbp_l) {
         for (int b8 = 0; b8 < 4; b8++) {
             if (!((cbp_l >> b8) & 1))
@@ -814,16 +867,19 @@ static void write_mb_b(cab_t *c, frame_t *f, int mb,
                 int nza = NNZ_L(bx, by, f->nnz, gw);
                 int nzb = NNZ_T(bx, by, f->nnz, gw);
                 int cbf = f->nnz[by * gw + bx] != 0;
-                enc_dec(c, CBF_OFF[2] + nza + 2 * nzb, cbf);
-                if (cbf)
-                    block_residual(c, 2, f->lac + (16 * mb + r) * 16);
+                int cat = i16 ? 1 : 2;
+                enc_dec(c, CBF_OFF[cat] + nza + 2 * nzb, cbf);
+                if (cbf) {
+                    const int16_t *l = f->lac + (16 * mb + r) * 16;
+                    block_residual(c, cat, i16 ? l + 1 : l);
+                }
             }
         }
     }
     if (cbp_c) {
         for (int pl = 0; pl < 2; pl++) {
-            int nza = has_l ? f->dccbf[3 * mbl + 1 + pl] : 0;
-            int nzb = has_t ? f->dccbf[3 * mbt + 1 + pl] : 0;
+            int nza = has_l ? f->dccbf[3 * mbl + 1 + pl] : intra;
+            int nzb = has_t ? f->dccbf[3 * mbt + 1 + pl] : intra;
             int cbf = f->dccbf[3 * mb + 1 + pl];
             enc_dec(c, CBF_OFF[3] + nza + 2 * nzb, cbf);
             if (cbf)

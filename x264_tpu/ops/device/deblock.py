@@ -89,11 +89,13 @@ def bs_grids(mb_intra, luma_nnz, mv, ref, mbw: int, mbh: int, t8=None):
     return one_dir(1), one_dir(0)
 
 
-def bs_grids_b(luma_nnz, mv0, mv1, any0, any1, mbw: int, mbh: int):
-    """Boundary strengths for an all-inter B frame (8.7.2.1 B rules):
-    our B MBs use one ref per list and L0pic != L1pic, so the reference
-    SETS are characterised by the (uses L0, uses L1) flag pair and the
-    swapped-assignment case cannot occur."""
+def bs_grids_b(luma_nnz, mv0, mv1, any0, any1, mbw: int, mbh: int,
+               intra=None):
+    """Boundary strengths for a B frame (8.7.2.1 B rules): our B MBs use
+    one ref per list and L0pic != L1pic, so the reference SETS are
+    characterised by the (uses L0, uses L1) flag pair and the
+    swapped-assignment case cannot occur.  intra (N,) bool or None:
+    I16x16 escape MBs — bS 4 on their MB edges, 3 inside."""
     gh, gw = 4 * mbh, 4 * mbw
     nnz = (luma_nnz.reshape(mbh, mbw, 4, 4).transpose(0, 2, 1, 3)
            .reshape(gh, gw))
@@ -114,6 +116,7 @@ def bs_grids_b(luma_nnz, mv0, mv1, any0, any1, mbw: int, mbh: int):
     m1 = rep_mv(mv1)
     a0 = rep(any0.astype(jnp.int32))
     a1 = rep(any1.astype(jnp.int32))
+    ig = (rep(intra.astype(jnp.int32)) if intra is not None else None)
     col = jnp.arange(gw)[None, :]
     row = jnp.arange(gh)[:, None]
 
@@ -124,18 +127,23 @@ def bs_grids_b(luma_nnz, mv0, mv1, any0, any1, mbw: int, mbh: int):
                 pad[1] = (1, 0)
                 return jnp.pad(x[:, :-1], pad)
             exists = col > 0
+            mb_edge = (col % 4) == 0
         else:
             def sh(x):
                 pad = [(0, 0)] * x.ndim
                 pad[0] = (1, 0)
                 return jnp.pad(x[:-1], pad)
             exists = row > 0
+            mb_edge = (row % 4) == 0
         nz = (nnz > 0) | (sh(nnz) > 0)
         set_diff = (a0 != sh(a0)) | (a1 != sh(a1))
         d0 = (jnp.abs(m0 - sh(m0)) >= 4).any(-1) & (a0 > 0)
         d1 = (jnp.abs(m1 - sh(m1)) >= 4).any(-1) & (a1 > 0)
         bs = jnp.where(nz, 2,
                        jnp.where(set_diff | d0 | d1, 1, 0))
+        if ig is not None:
+            bs = jnp.where(mb_edge & ((ig > 0) | (sh(ig) > 0)), 4,
+                           jnp.where(ig > 0, 3, bs))
         return jnp.where(exists, bs, 0).astype(jnp.int32)
 
     return one_dir(1), one_dir(0)
@@ -319,9 +327,12 @@ def deblock_core(y, u, v, mb_intra, luma_nnz, mv, ref, qp_mb, qpc_mb,
 
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh", "impl"))
 def deblock_core_b(y, u, v, luma_nnz, mv0, mv1, any0, any1, qp_mb, qpc_mb,
-                   off_a, off_b, mbw: int, mbh: int, impl: str = "xla"):
-    """B-frame variant: strengths from the two-list rules."""
-    bs_v, bs_h = bs_grids_b(luma_nnz, mv0, mv1, any0, any1, mbw, mbh)
+                   off_a, off_b, mbw: int, mbh: int, impl: str = "xla",
+                   intra=None):
+    """B-frame variant: strengths from the two-list rules (+ I16
+    escapes when intra is given)."""
+    bs_v, bs_h = bs_grids_b(luma_nnz, mv0, mv1, any0, any1, mbw, mbh,
+                            intra=intra)
     return _filter_by_impl(impl, y, u, v, bs_v, bs_h, qp_mb, qpc_mb,
                            off_a, off_b, mbw, mbh)
 

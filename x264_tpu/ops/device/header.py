@@ -486,25 +486,32 @@ B_DIRECT, B_L0, B_L1, B_BI = 0, 1, 2, 3
 
 
 def header_slots_b(bmode, is_skip, mvd0, mvd1, cbp_luma, cbp_chroma, qp_mb,
-                   t8_mode: bool = False):
+                   t8_mode: bool = False, intra=None, i16_mode=None,
+                   chroma_mode=None):
     """Per-MB B-slice header codes (one ref per list, 16x16 partitions):
-    [skip_run, mb_type, mvd0x, mvd0y, mvd1x, mvd1y, cbp,
+    [skip_run, mb_type, chroma_mode, mvd0x, mvd0y, mvd1x, mvd1y, cbp,
     transform_size_8x8_flag, qp_delta].
     bmode (N,) in {B_DIRECT,B_L0,B_L1,B_BI}; is_skip (N,) bool (direct +
-    no residual).  Returns (hvals, hlens) (N,9) int32.  t8_mode: the PPS
-    advertises transform_8x8_mode — every coded-luma MB must then carry
-    the flag bit (7.3.5; B uses 4x4 only for now, so the bit is 0;
-    B_Direct included since SPS direct_8x8_inference_flag=1)."""
+    no residual).  intra (N,) bool or None: I_16x16 escapes — mb_type
+    23 + I-slice code (Table 7-14), intra_chroma_pred_mode follows, no
+    cbp element (it lives in mb_type), no mvds.  Returns (hvals, hlens)
+    (N,10) int32.  t8_mode: the PPS advertises transform_8x8_mode —
+    every coded-luma INTER MB must then carry the flag bit (7.3.5; B
+    uses 4x4 only for now, so the bit is 0; B_Direct included since SPS
+    direct_8x8_inference_flag=1)."""
     n = bmode.shape[0]
     coded = ~is_skip
+    if intra is None:
+        intra = jnp.zeros(n, bool)
+    inter = coded & ~intra
     cbp_l = cbp_luma.astype(jnp.int32)
     cbp_c = cbp_chroma.astype(jnp.int32)
     idx = jnp.arange(n, dtype=jnp.int32)
 
-    hv = [jnp.zeros(n, jnp.int32) for _ in range(9)]
-    hl = [jnp.zeros(n, jnp.int32) for _ in range(9)]
+    hv = [jnp.zeros(n, jnp.int32) for _ in range(10)]
+    hl = [jnp.zeros(n, jnp.int32) for _ in range(10)]
     if t8_mode:
-        hl[7] = (coded & (cbp_l > 0)).astype(jnp.int32)  # flag bit = 0
+        hl[8] = (inter & (cbp_l > 0)).astype(jnp.int32)  # flag bit = 0
 
     marker = jnp.where(coded, idx, -1)
     run_max = jax.lax.cummax(marker)
@@ -513,25 +520,35 @@ def header_slots_b(bmode, is_skip, mvd0, mvd1, cbp_luma, cbp_chroma, qp_mb,
     hv[0] = v
     hl[0] = jnp.where(coded, ln, 0)
 
-    v, ln = ue_codes(bmode.astype(jnp.int32))
+    mb_type = bmode.astype(jnp.int32)
+    if i16_mode is not None:
+        mb_type = jnp.where(
+            intra, 23 + 1 + i16_mode.astype(jnp.int32) + 4 * cbp_c
+            + 12 * (cbp_l != 0), mb_type)
+    v, ln = ue_codes(mb_type)
     hv[1] = v
     hl[1] = jnp.where(coded, ln, 0)
 
-    use0 = coded & ((bmode == B_L0) | (bmode == B_BI))
-    use1 = coded & ((bmode == B_L1) | (bmode == B_BI))
+    if chroma_mode is not None:
+        v, ln = ue_codes(chroma_mode.astype(jnp.int32))
+        hv[2] = jnp.where(intra, v, 0)
+        hl[2] = jnp.where(intra, ln, 0)
+
+    use0 = inter & ((bmode == B_L0) | (bmode == B_BI))
+    use1 = inter & ((bmode == B_L1) | (bmode == B_BI))
     for c in range(2):
         v, ln = se_codes(mvd0[:, c])
-        hv[2 + c] = jnp.where(use0, v, 0)
-        hl[2 + c] = jnp.where(use0, ln, 0)
+        hv[3 + c] = jnp.where(use0, v, 0)
+        hl[3 + c] = jnp.where(use0, ln, 0)
         v, ln = se_codes(mvd1[:, c])
-        hv[4 + c] = jnp.where(use1, v, 0)
-        hl[4 + c] = jnp.where(use1, ln, 0)
+        hv[5 + c] = jnp.where(use1, v, 0)
+        hl[5 + c] = jnp.where(use1, ln, 0)
 
     v, ln = ue_codes(_CBP2G[0, (cbp_c << 4) | cbp_l])
-    hv[6] = v
-    hl[6] = jnp.where(coded, ln, 0)
+    hv[7] = v
+    hl[7] = jnp.where(inter, ln, 0)
 
-    emits = coded & ((cbp_l != 0) | (cbp_c != 0))
+    emits = coded & ((cbp_l != 0) | (cbp_c != 0) | intra)
     qp = qp_mb.astype(jnp.int32)
     ordn = jnp.cumsum(emits.astype(jnp.int32)) - 1
     qp_compact = jnp.zeros(n, jnp.int32).at[
@@ -541,8 +558,8 @@ def header_slots_b(bmode, is_skip, mvd0, mvd1, cbp_luma, cbp_chroma, qp_mb,
     delta = jnp.where(delta > 25, delta - 52,
                       jnp.where(delta < -26, delta + 52, delta))
     v, ln = se_codes(delta)
-    hv[8] = jnp.where(emits, v, 0)
-    hl[8] = jnp.where(emits, ln, 0)
+    hv[9] = jnp.where(emits, v, 0)
+    hl[9] = jnp.where(emits, ln, 0)
 
     return jnp.stack(hv, axis=1), jnp.stack(hl, axis=1)
 
