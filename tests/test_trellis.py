@@ -87,7 +87,7 @@ def test_trellis_quant_unit():
     import jax.numpy as jnp
     from x264_tpu.ops.device.trellis import (K4_ZZ, dq1_4x4, frame_trellis,
                                              trellis_quant)
-    tbl4, _, lam2f = frame_trellis(30, "P", 54, False)
+    tbl4, _, lam2f = frame_trellis(30, "P", 54, False)[:3]
     rng = np.random.default_rng(7)
     c = (rng.normal(0, 2500, (64, 16))
          * (rng.random((64, 16)) < 0.5)).astype(np.int32)

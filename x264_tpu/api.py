@@ -201,10 +201,11 @@ class Encoder:
         self.rc.p = newp               # RC reads params dynamically
 
     def delayed_frames(self) -> int:
-        """Frames buffered inside the encoder (B queue + lookahead) —
-        x264_encoder_delayed_frames."""
+        """Frames buffered inside the encoder (B queue + lookahead +
+        deferred mini-GOP finalize) — x264_encoder_delayed_frames."""
         n = len(self._bq or [])
         n += len(self._mbt_q or [])
+        n += len(self._gop_q or [])
         n += 1 if getattr(self, "_pending", None) is not None else 0
         return n
 
@@ -342,12 +343,16 @@ class Encoder:
                                     mbw=mbw, mbh=mbh,
                                     cqp_off=self.p.chroma_qp_offset,
                                     entropy="cabac", lv_cap=n_words,
-                                    t8_mode=self.p.transform_8x8)
+                                    t8_mode=self.p.transform_8x8,
+                                    trellis_tbl=self._trellis_tbl(
+                                        base_qp, "I"))
                 return out, SLICE_I
             from x264_tpu.models.intra_device import i_frame_core
             out = i_frame_core(yd, ud, vd, qp_arr,
                                mbw=mbw, mbh=mbh,
-                               cqp_off=self.p.chroma_qp_offset, **ekw)
+                               cqp_off=self.p.chroma_qp_offset,
+                               trellis_tbl=self._trellis_tbl(base_qp, "I")
+                               if ent == "cabac" else None, **ekw)
             return out, SLICE_I
         import jax.numpy as jnp
 
@@ -823,6 +828,7 @@ class Encoder:
         # advance encoder state now so the next submit can chain on device
         # (dpb is list0 order: most recent first; sliding window)
         new = ReconFrame(*recon, frame_num=self.frame_num)
+        job["rec"] = new
         self.dpb = ([new] + ([] if idr else self.dpb))[:self.p.ref_frames]
         if self.p.weightp:
             self._src_hist = ([y] + ([] if idr else self._src_hist)
@@ -833,6 +839,57 @@ class Encoder:
         self.frame_num = (self.frame_num + 1) % (
             1 << self.sps.log2_max_frame_num)
         self.frame_idx += 1
+        return job
+
+    def _vbv_retry_qp(self, job: dict, nbytes: int):
+        """Frame-grain VBV hard guarantee: if the coded frame would
+        underflow the decoder buffer, return a bumped QP to re-encode at
+        (the batched analog of x264's row-VBV rollback + re-encode,
+        ratecontrol.c:1590 x264_ratecontrol_mb + encoder.c:2770 bs_bak;
+        our rollback unit is the frame, the mechanism is the same
+        re-encode ladder the entropy overflow path uses)."""
+        rc = self.rc
+        if not rc.vbv_on or job.get("vbv_tries", 0) >= 8:
+            return None
+        budget = min(rc.vbv_fill + rc.vbv_max / rc.fps, rc.vbv_size)
+        if nbytes * 8 <= max(budget, 1.0):
+            return None
+        d = max(1, int(np.ceil(6.0 * np.log2(
+            nbytes * 8.0 / max(budget, 1.0)))))
+        nq = int(np.clip(job["qp"] + d, self.p.qp_min, self.p.qp_max))
+        return nq if nq > job["qp"] else None
+
+    def _vbv_reencode(self, job: dict, nq: int) -> dict:
+        """Re-run the frame core at the bumped QP and rewrite the DPB
+        recon IN PLACE (the job's ReconFrame is the same object the DPB
+        holds; no later frame has been submitted against it yet — the
+        GOP queue drains before new submits when VBV is on)."""
+        import jax.numpy as jnp
+        dq = nq - job["qp"]
+        qp_arr = np.clip(np.asarray(job["qp_arr"]) + dq,
+                         self.p.qp_min, self.p.qp_max).astype(np.int32)
+        if np.ndim(qp_arr) == 0:
+            qp_arr = np.int32(qp_arr)
+        yd, ud, vd = job["planes"]
+        out, _ = self._run_core(yd, ud, vd, job["ref"], job["idr"], nq,
+                                qp_arr, job["n_words"], job["mbw"],
+                                job["mbh"], wts=job.get("wts"))
+        job = dict(job, qp=nq, slice_qp=int(np.atleast_1d(qp_arr)[0]),
+                   qp_arr=qp_arr, out=out, blob=None,
+                   vbv_tries=job.get("vbv_tries", 0) + 1)
+        recon = self._deblock_device(out, nq, job["mbw"], job["mbh"])
+        rec = job.get("rec")
+        if rec is not None:
+            rec.y, rec.u, rec.v = recon
+            n = job["mbw"] * job["mbh"]
+            if "mv8" in out:
+                rec.col_mv = out["mv8"]
+                rec.col_intra = out["mb_class"] == 0
+            elif "mv" in out:
+                rec.col_mv = jnp.broadcast_to(
+                    out["mv"][:, None], (out["mv"].shape[0], 4, 2))
+                rec.col_intra = out["mb_class"] == 0
+        self.last_recon = rec if rec is not None else self.last_recon
         return job
 
     def _finalize_device(self, job: dict) -> bytes:
@@ -892,6 +949,9 @@ class Encoder:
             if trailing:
                 bs.ue(trailing)
         out_bytes += wrap_slice_nal(bs.to_rbsp(), job["idr"])
+        nq = self._vbv_retry_qp(job, len(out_bytes))
+        if nq is not None:
+            return self._finalize_device(self._vbv_reencode(job, nq))
         self.stats.append(FrameStats(job["ftype"], len(out_bytes) * 8,
                                      job["qp"]))
         cost = int(blob[:, n_words + 2].astype(np.int64).sum())
@@ -957,6 +1017,11 @@ class Encoder:
         self._cab_states["I" if kind == 0 else "P"] = states
         out_bytes += wrap_slice_nal(bs.to_bytes_aligned() + payload,
                                     job["idr"])
+        nq = self._vbv_retry_qp(job, len(out_bytes))
+        if nq is not None:
+            jb = self._vbv_reencode(job, nq)
+            return self._finalize_cabac(
+                jb, np.asarray(jb["out"]["host_blob"]))
         cost = int(rows[:, 14 + 9].astype(np.int64).sum())
         self.stats.append(FrameStats(job["ftype"], len(out_bytes) * 8,
                                      job["qp"]))
@@ -1062,6 +1127,21 @@ class Encoder:
             self._la = Lookahead(self.p)
         return self._la
 
+    # deferred mini-GOP finalize queue: [("a"|"b", job), ...] — the
+    # cross-GOP analog of x264's frame threads (encoder/encoder.c:3337
+    # thread-context rotation): GOP k's device compute runs while the
+    # host finalizes GOP k-1's entropy/transfers.  Bytes come out one
+    # mini-GOP late; flush()/IDR boundaries drain.
+    _gop_q: list = None
+
+    def _drain_gop_q(self) -> bytes:
+        out = b""
+        for kind, job in (self._gop_q or []):
+            out += (self._finalize_device(job) if kind == "a"
+                    else self._finalize_b(job))
+        self._gop_q = []
+        return out
+
     def _flush_bq(self, pend=None) -> bytes:
         if pend is None:
             pend, self._bq = self._bq, []
@@ -1079,18 +1159,26 @@ class Encoder:
             for j in jobs:
                 out += self._finalize_b(j)
             return out
-        # device fast path: submit the WHOLE mini-GOP (anchor + every B)
-        # before finalizing anything — the Bs' device compute runs while
-        # the host codes the anchor's entropy (x264's frame-threads
-        # overlap, encoder/encoder.c:3337, as async dispatch)
+        # device fast path: submit the WHOLE mini-GOP (anchor + every B),
+        # then finalize only the PREVIOUS mini-GOP — the new GOP's device
+        # compute overlaps this GOP's host entropy + transfers (x264's
+        # frame-threads overlap, encoder/encoder.c:3337, as async
+        # dispatch + a one-GOP finalize delay)
+        out = b""
+        if self.rc.vbv_on:
+            # VBV re-encode may rewrite the previous anchor's recon —
+            # drain before submitting against it (overlap yields to
+            # buffer correctness, like x264's threads+VBV sync)
+            out += self._drain_gop_q()
+            prev = self.dpb[0]
         ajob = self._submit_anchor(anchor, ad, "P")
         if self.p.b_adapt:
             self._lookahead().push_anchor(self._pad(anchor)[0])
         nxt = self.dpb[0]
         jobs = [self._submit_b(bf, bd, prev, nxt) for (bf, bd) in pend[:-1]]
-        out = self._finalize_device(ajob)
-        for j in jobs:
-            out += self._finalize_b(j)
+        if not self.rc.vbv_on:
+            out += self._drain_gop_q()
+        self._gop_q = [("a", ajob)] + [("b", j) for j in jobs]
         return out
 
     def _encode_bframe(self, fr, disp, prev, nxt) -> bytes:
@@ -1216,6 +1304,7 @@ class Encoder:
             pass
         return dict(out=out, mbw=mbw, mbh=mbh, n=n, qp=qp, ladder=ladder,
                     n_words=n_words, poc_cur=poc_cur, disp=disp,
+                    frame_num=self.frame_num,
                     args=(yd, ud, vd, prev, nxt, dsf))
 
     def _finalize_b(self, job: dict) -> bytes:
@@ -1282,7 +1371,8 @@ class Encoder:
         bs = BitWriter()
         write_slice_header(bs, self.p, self.sps,
                            init_qp=self._init_qp, slice_type=SLICE_B,
-                           idr=False, frame_num=self.frame_num,
+                           idr=False,
+                           frame_num=job.get("frame_num", self.frame_num),
                            qp=qp, num_ref=1, num_ref_l1=1,
                            poc_lsb=poc_cur, is_ref=False)
         if cab:
@@ -1317,12 +1407,15 @@ class Encoder:
                 qp + self.p.chroma_qp_offset, 0), 51)])
             from x264_tpu.ops.device.deblock import deblock_impl
             ry, ru, rv = deblock_core_b(
-                ry, ru, rv, out["luma_nnz"], out["mv0"], out["mv1"],
+                ry, ru, rv,
+                out.get("nnz_deblock", out["luma_nnz"]),
+                out["mv0"], out["mv1"],
                 out["any0"], out["any1"],
                 jnp.full(n, qp, jnp.int32), jnp.full(n, qpc, jnp.int32),
                 np.int32(self.p.deblock_alpha * 2),
                 np.int32(self.p.deblock_beta * 2), mbw=mbw, mbh=mbh,
-                impl=deblock_impl(), intra=out["mb_class"] == 0)
+                impl=deblock_impl(), intra=out["mb_class"] == 0,
+                t8=out.get("t8") if self.p.transform_8x8 else None)
         self.last_recon = ReconFrame(ry, ru, rv)
         self._note_recon(job.get("disp"), self.last_recon)
         self.stats.append(FrameStats("B", len(data) * 8, qp))
@@ -1356,6 +1449,7 @@ class Encoder:
         out = b""
         if self.p.bframes > 0 and self._bq:
             out += self._flush_bq()
+        out += self._drain_gop_q()
         if getattr(self, "_pending", None) is not None:
             job = self._pending
             self._pending = None
@@ -1459,7 +1553,8 @@ class Encoder:
 
     def _aq_qp(self, base: int, y, u, v, mbw: int, mbh: int):
         from x264_tpu.rc import aq_offsets
-        off = aq_offsets(y, u, v, mbw, mbh, self.p.aq_strength)
+        off = aq_offsets(y, u, v, mbw, mbh, self.p.aq_strength,
+                         mode=self.p.aq_mode)
         qp_mb = np.clip(base + np.round(off).astype(np.int64),
                         self.p.qp_min, self.p.qp_max).astype(np.int32)
         return qp_mb

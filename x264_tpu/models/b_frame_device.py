@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from x264_tpu.utils.aotcache import aot_jit
+
 from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
 from x264_tpu.models.inter_frame import PAD
 from x264_tpu.models.residual_device import (encode_chroma,
@@ -54,10 +56,9 @@ def _pad_edge(p, pad):
     return jnp.pad(p, pad, mode="edge")
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("mbw", "mbh", "me_range", "cqp_off",
-                                    "n_words", "subpel", "entropy",
-                                    "lv_cap", "t8_mode", "decimate"))
+@aot_jit(static_argnames=("mbw", "mbh", "me_range", "cqp_off",
+                          "n_words", "subpel", "entropy",
+                          "lv_cap", "t8_mode", "decimate"))
 def b_frame_core(y, u, v,
                  l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
                  col_mv, col_intra, dist_scale, qp, lam,
@@ -142,11 +143,29 @@ def b_frame_core(y, u, v,
            jnp.where((bmode == dheader.B_L1)[:, None, None], pred1,
                      pred_bi)))
 
-    tr4 = (None if trellis_tbl is None
-           else (trellis_tbl[0], trellis_tbl[2]))
+    tr4 = tr8 = tr16 = trc = None
+    if trellis_tbl is not None:
+        tr4 = (trellis_tbl[0], trellis_tbl[2])
+        if trellis_tbl[1] is not None:
+            tr8 = (trellis_tbl[1], trellis_tbl[2])
+        if len(trellis_tbl) > 3:
+            tr16 = (trellis_tbl[3], trellis_tbl[2])
+            trc = (trellis_tbl[4], trellis_tbl[2])
     recon_y_mbs, ac_zz, nnz, cbp_l = encode_p_luma(src_mbs, pred, qp,
                                                    decimate=decimate,
                                                    trellis=tr4)
+    nnz_deblock = nnz
+    t8_flag = jnp.zeros(n, bool)
+    if t8_mode and entropy == "cabac":
+        # adaptive 8x8 transform in B (the P core's true-cost selection,
+        # reference analyse.c x264_mb_analyse_transform for B slices);
+        # the CAVLC B header writer still hardcodes the flag to 0, so
+        # the selection is CABAC-path-only
+        from x264_tpu.models.inter_device import select_transform_8x8
+        (t8_flag, recon_y_mbs, ac_zz, nnz, nnz_deblock,
+         cbp_l) = select_transform_8x8(src_mbs, pred, qp, lam,
+                                       recon_y_mbs, ac_zz, nnz, cbp_l,
+                                       trellis8=tr8, decimate=decimate)
 
     # chroma: per-list MC at the final mvs, averaged per mode
     l0u = _pad_edge(l0_u, PAD // 2)
@@ -164,7 +183,7 @@ def b_frame_core(y, u, v,
     src_v = T.plane_to_mbs(v.astype(jnp.int32), mbh, mbw, 8)
     ru_mbs, rv_mbs, cdc, cac, cnnz, cbp_c = encode_chroma(
         src_u, src_v, cpred_u, cpred_v, qpc, intra=False,
-        decimate=decimate)
+        decimate=decimate, trellis=trc)
 
     # ---- intra-in-B (I16x16 escape for occlusions/scene-ish Bs; the
     # encoder/analyse.c:3180-3259 intra probe in B role).  Same TPU-first
@@ -226,7 +245,8 @@ def b_frame_core(y, u, v,
         mode = jnp.argmin(icosts, axis=1).astype(jnp.int32)
         ipred = jnp.take_along_axis(preds, mode[:, None, None, None],
                                     axis=1)[:, 0]
-        irec, idc, iac, innz, icbp_l = encode_i16_luma(src_mbs, ipred, qp)
+        irec, idc, iac, innz, icbp_l = encode_i16_luma(src_mbs, ipred, qp,
+                                                       trellis=tr16)
 
         ctu, clu, ctlu = _neigh(ru_pl, 8)
         ctv, clv, ctlv = _neigh(rv_pl, 8)
@@ -242,7 +262,7 @@ def b_frame_core(y, u, v,
         cpv = jnp.take_along_axis(cpreds_v, cmode[:, None, None, None],
                                   axis=1)[:, 0]
         icr_u, icr_v, icdc, icac, icnnz, icbp_c = encode_chroma(
-            src_u, src_v, cpu, cpv, qpc, intra=True)
+            src_u, src_v, cpu, cpv, qpc, intra=True, trellis=trc)
 
         mk1 = intra_mask[:, None]
         mk2 = intra_mask[:, None, None]
@@ -270,6 +290,8 @@ def b_frame_core(y, u, v,
     (luma_dc, ac_zz, nnz, cbp_l, cdc, cac, cnnz, cbp_c, i16_mode,
      chroma_mode, recon_y_mbs, ru_mbs, rv_mbs) = jax.lax.cond(
         intra_mask.any(), _intra_fixup, _no_intra, None)
+    nnz_deblock = jnp.where(intra_mask[:, None], nnz, nnz_deblock)
+    t8_flag = t8_flag & ~intra_mask & (cbp_l > 0)
 
     # intra MBs leave the inter signalling path entirely
     use0 = use0 & ~intra_mask
@@ -296,7 +318,8 @@ def b_frame_core(y, u, v,
         mvd0=mvd0, mvd1=mvd1, i16_mode=i16_mode, chroma_mode=chroma_mode,
         luma_dc=luma_dc,
         luma_ac=ac_zz, chroma_dc=cdc, chroma_ac=cac, chroma_nnz=cnnz,
-        luma_nnz=nnz, cbp_luma=cbp_l, cbp_chroma=cbp_c, qp_mb=qp,
+        luma_nnz=nnz, nnz_deblock=nnz_deblock, t8=t8_flag,
+        cbp_luma=cbp_l, cbp_chroma=cbp_c, qp_mb=qp,
         mb_cost=jnp.minimum(cost0, cost1),
         recon_y=T.mbs_to_plane(recon_y_mbs, mbh, mbw, 16).astype(jnp.uint8),
         recon_u=T.mbs_to_plane(ru_mbs, mbh, mbw, 8).astype(jnp.uint8),
@@ -310,7 +333,7 @@ def b_frame_core(y, u, v,
             luma_dc, ac_zz, cdc, cac, mb_class,
             mvd0, i16_mode, chroma_mode, cbp_l, cbp_c, qp,
             jnp.minimum(cost0, cost1), z,
-            K=lv_cap, bmode=bmode, mvd1=mvd1)
+            K=lv_cap, bmode=bmode, mvd1=mvd1, t8=t8_flag)
         return outs
 
     res_vals, res_lens = residual_slots(

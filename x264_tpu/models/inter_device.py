@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from x264_tpu.utils.aotcache import aot_jit
+
 from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
 from x264_tpu.models import mvpred
 from x264_tpu.models.inter_frame import PAD, me_lambda, sad_lambda
@@ -204,11 +206,14 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
         # THEN weight) — models/weightp.py; search stayed unweighted
         from x264_tpu.models.weightp import apply_weights_jnp
         pred = apply_weights_jnp(pred, wts, ref)
-    tr4 = tr8 = None
+    tr4 = tr8 = tr16 = trc = None
     if trellis_tbl is not None:
-        tbl4, tbl8, lam2f = trellis_tbl
+        tbl4, tbl8, lam2f = trellis_tbl[:3]
         tr4 = (tbl4, lam2f)
         tr8 = (tbl8, lam2f) if tbl8 is not None else None
+        if len(trellis_tbl) > 3:
+            tr16 = (trellis_tbl[3], lam2f)
+            trc = (trellis_tbl[4], lam2f)
     recon_y_mbs, ac_zz, nnz, cbp_l = encode_p_luma(src_mbs, pred, qp,
                                                    trellis=tr4,
                                                    decimate=decimate)
@@ -235,7 +240,8 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
     src_u = T.plane_to_mbs(u.astype(jnp.int32), mbh, mbw, 8)
     src_v = T.plane_to_mbs(v.astype(jnp.int32), mbh, mbw, 8)
     ru_mbs, rv_mbs, cdc, cac, cnnz, cbp_c = encode_chroma(
-        src_u, src_v, pred_u, pred_v, qpc, intra=False, decimate=decimate)
+        src_u, src_v, pred_u, pred_v, qpc, intra=False, decimate=decimate,
+        trellis=trc)
 
     # source-edge intra cost estimate (scenecut + the intra-in-P decision;
     # x264 slicetype's lowres intra analog — source pixels as neighbours,
@@ -312,7 +318,8 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
         mcost = jnp.min(costs, axis=1).astype(jnp.int32)
         ipred = jnp.take_along_axis(preds, mode[:, None, None, None],
                                     axis=1)[:, 0]
-        irec, idc, iac, innz, icbp_l = encode_i16_luma(src_mbs, ipred, qp)
+        irec, idc, iac, innz, icbp_l = encode_i16_luma(src_mbs, ipred, qp,
+                                                       trellis=tr16)
 
         ctop_u, cleft_u, ctl_u = _neigh(ru_pl, 8)
         ctop_v, cleft_v, ctl_v = _neigh(rv_pl, 8)
@@ -328,7 +335,7 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
         cpv = jnp.take_along_axis(cpreds_v, cmode[:, None, None, None],
                                   axis=1)[:, 0]
         icr_u, icr_v, icdc, icac, icnnz, icbp_c = encode_chroma(
-            src_u, src_v, cpu, cpv, qpc, intra=True)
+            src_u, src_v, cpu, cpv, qpc, intra=True, trellis=trc)
 
         mk1 = intra_mask[:, None]
         mk2 = intra_mask[:, None, None]
@@ -437,17 +444,16 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
 
 # band entry for multi-slice encoding: same pipeline, pre-sliced padded
 # refs (parallel/sliced.py uses the identical contract under shard_map)
-p_band_core = functools.partial(
-    jax.jit, static_argnames=("mbw", "mbh", "me_range", "cqp_off",
-                              "n_words", "subpel", "entropy",
-                              "lv_cap", "t8", "parts",
-                              "decimate"))(p_frame_pipeline)
+p_band_core = aot_jit(
+    p_frame_pipeline,
+    static_argnames=("mbw", "mbh", "me_range", "cqp_off",
+                     "n_words", "subpel", "entropy",
+                     "lv_cap", "t8", "parts", "decimate"))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("mbw", "mbh", "me_range", "cqp_off",
-                                    "n_words", "subpel", "entropy",
-                                    "lv_cap", "t8", "parts", "decimate"))
+@aot_jit(static_argnames=("mbw", "mbh", "me_range", "cqp_off",
+                          "n_words", "subpel", "entropy",
+                          "lv_cap", "t8", "parts", "decimate"))
 def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
                  mbw: int, mbh: int, me_range: int, cqp_off: int,
                  n_words: int = 24, subpel: int = 0,

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from x264_tpu.utils.aotcache import aot_jit
+
 from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
 from x264_tpu.models.residual_device import encode_chroma, encode_i16_luma
 from x264_tpu.ops.device import header as dheader
@@ -45,15 +47,20 @@ def _gather_block(plane, y0, x0, s):
     return jax.lax.dynamic_slice(plane, (y0, x0), (s, s))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("mbw", "mbh", "cqp_off", "n_words",
-                                    "entropy", "lv_cap"))
+@aot_jit(static_argnames=("mbw", "mbh", "cqp_off", "n_words",
+                          "entropy", "lv_cap"))
 def i_frame_core(y, u, v, qp, mbw: int, mbh: int, cqp_off: int,
                  n_words: int = 32, entropy: str = "cavlc",
-                 lv_cap: int = 64):
+                 lv_cap: int = 64, trellis_tbl=None):
     """All-device I-frame pipeline.  Returns per-MB syntax tensors (raster
-    MB order) + recon planes (pre-deblock)."""
+    MB order) + recon planes (pre-deblock).  trellis_tbl: the
+    frame_trellis bundle — RD-optimal I16-AC (cat 1) + chroma-AC (cat 4)
+    levels, x264's trellis=1 intra scope (rdo.c quant_trellis)."""
     n = mbw * mbh
+    tr16 = trc = None
+    if trellis_tbl is not None:
+        tr16 = (trellis_tbl[3], trellis_tbl[2])
+        trc = (trellis_tbl[4], trellis_tbl[2])
     d_lanes = min(mbw, mbh)
     n_diag = mbw + mbh - 1
     qp = jnp.broadcast_to(jnp.asarray(qp, jnp.int32).reshape(-1), (n,))
@@ -114,7 +121,8 @@ def i_frame_core(y, u, v, qp, mbw: int, mbh: int, cqp_off: int,
             preds, mode[:, None, None, None], axis=1)[:, 0]
 
         mb_c = jnp.where(valid, ys * mbw + xs, 0)
-        recon, dc_zz, ac_zz, nnz, cbp_l = encode_i16_luma(src, pred, qp[mb_c])
+        recon, dc_zz, ac_zz, nnz, cbp_l = encode_i16_luma(
+            src, pred, qp[mb_c], trellis=tr16)
 
         # ---- chroma ----
         cy0, cx0 = ys * 8, xs * 8
@@ -142,7 +150,8 @@ def i_frame_core(y, u, v, qp, mbw: int, mbh: int, cqp_off: int,
             cpreds_v, cmode[:, None, None, None], axis=1)[:, 0]
 
         cr_u, cr_v, cdc, cac, cnnz, cbp_c = encode_chroma(
-            csrc_u, csrc_v, cpred_u, cpred_v, qpc[mb_c], intra=True)
+            csrc_u, csrc_v, cpred_u, cpred_v, qpc[mb_c], intra=True,
+            trellis=trc)
 
         # ---- scatter recon (OOB-dropped for invalid lanes) ----
         oobl = jnp.where(valid, y0, jnp.int32(n * 16))
@@ -237,19 +246,25 @@ _R2C_I8 = jnp.asarray(np.argsort(np.array(
     [0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15])).astype(np.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "cqp_off",
-                                             "entropy", "lv_cap",
-                                             "t8_mode"))
+@aot_jit(static_argnames=("mbw", "mbh", "cqp_off",
+                          "entropy", "lv_cap", "t8_mode"))
 def i4_frame_core(y, u, v, qp, lam, mbw: int, mbh: int, cqp_off: int,
                   entropy: str = "syntax", lv_cap: int = 96,
-                  t8_mode: bool = False):
+                  t8_mode: bool = False, trellis_tbl=None):
     """All-device I-frame pipeline with per-MB I16x16-vs-I4x4 decision
     (reference encoder/analyse.c mb_analyse_intra + macroblock.c
     x264_mb_encode_i4x4).  The MB wavefront runs in KNIGHT order
     (d = mbx + 2*mby) because I4x4 consumes the above-RIGHT MB's bottom
     row — the same dependency that makes x264's threaded wavefront use
-    this order.  Returns per-MB syntax tensors (host entropy path)."""
+    this order.  Returns per-MB syntax tensors (host entropy path).
+    trellis_tbl: RD-optimal I16-AC + chroma-AC levels (the I4/I8 block
+    paths stay deadzone — their per-substep batches are too small for
+    the DP to pay)."""
     n = mbw * mbh
+    tr16 = trc = None
+    if trellis_tbl is not None:
+        tr16 = (trellis_tbl[3], trellis_tbl[2])
+        trc = (trellis_tbl[4], trellis_tbl[2])
     d_lanes = min(mbh, (mbw + 1) // 2 + 1)
     n_diag = mbw + 2 * mbh - 2
     qp = jnp.broadcast_to(jnp.asarray(qp, jnp.int32).reshape(-1), (n,))
@@ -320,7 +335,7 @@ def i4_frame_core(y, u, v, qp, lam, mbw: int, mbh: int, cqp_off: int,
         mb_c = jnp.where(valid, ys * mbw + xs, 0)
         qp_l = qp[mb_c]
         rec16, dc_zz, ac16_zz, nnz16, cbp16 = encode_i16_luma(
-            src, pred16, qp_l)
+            src, pred16, qp_l, trellis=tr16)
 
         # ---- I4x4 candidate (writes blocks into ry as it goes; the
         # I16x16 winner overwrites the whole MB afterwards) ----
@@ -559,7 +574,8 @@ def i4_frame_core(y, u, v, qp, lam, mbw: int, mbh: int, cqp_off: int,
             cpreds_v, cmode[:, None, None, None], axis=1)[:, 0]
 
         cr_u, cr_v, cdc, cac, cnnz, cbp_c = encode_chroma(
-            csrc_u, csrc_v, cpred_u, cpred_v, qpc[mb_c], intra=True)
+            csrc_u, csrc_v, cpred_u, cpred_v, qpc[mb_c], intra=True,
+            trellis=trc)
 
         oobc = jnp.where(valid, cy0, jnp.int32(8 * mbh))
         cyy = oobc[:, None, None] + r8[None, :, None]

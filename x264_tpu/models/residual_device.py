@@ -58,9 +58,12 @@ def _qp_mb(qp, extra_dims: int):
     return qp.reshape(qp.shape[0], *([1] * extra_dims))
 
 
-def encode_i16_luma(src, pred, qp):
+def encode_i16_luma(src, pred, qp, trellis=None):
     """src/pred (N,16,16); qp scalar or per-MB (N,) ->
-    (recon, dc_zz (N,16), ac_zz (N,16,16), nnz (N,16), cbp_luma (N,))."""
+    (recon, dc_zz (N,16), ac_zz (N,16,16), nnz (N,16), cbp_luma (N,)).
+    trellis: None (deadzone) or (tbl_cat1, lam2f) for RD-optimal AC
+    levels (the DC hadamard path stays deadzone)."""
+    n = src.shape[0]
     res = src.astype(jnp.int32) - pred.astype(jnp.int32)
     blocks = T.mb_luma_to_blocks(res)                  # (N,16,4,4)
     coefs = T.dct4x4(blocks)
@@ -74,8 +77,21 @@ def encode_i16_luma(src, pred, qp):
     fi = T.hadamard4x4_inv(dc_lv)
     dc_deq = T.dequant_dc4(fi, qp0).reshape(-1, 16)
 
-    ac_lv = T.quant4x4(coefs, qp1, intra=True)
-    ac_lv = ac_lv.at[:, :, 0, 0].set(0)
+    if trellis is not None:
+        from x264_tpu.ops.device.trellis import dq1_4x4, trellis_quant
+        tbl1, lam2f = trellis
+        qpb = jnp.broadcast_to(
+            jnp.asarray(qp, jnp.int32).reshape(-1)[:, None],
+            (n, 16)).reshape(-1)
+        czz = T.zigzag(coefs).reshape(n * 16, 16)
+        lz = trellis_quant(czz[:, 1:], dq1_4x4(qpb)[:, 1:], lam2f,
+                           tbl1, 15)
+        zz = jnp.concatenate(
+            [jnp.zeros((n * 16, 1), jnp.int32), lz], axis=1)
+        ac_lv = T.unzigzag(zz.reshape(n, 16, 16))
+    else:
+        ac_lv = T.quant4x4(coefs, qp1, intra=True)
+        ac_lv = ac_lv.at[:, :, 0, 0].set(0)
     nnz = jnp.count_nonzero(ac_lv.reshape(-1, 16, 16), axis=2).astype(jnp.int32)
     cbp_luma = jnp.where(nnz.any(axis=1), 15, 0).astype(jnp.int32)
     ac_zz = T.zigzag(ac_lv)
@@ -209,9 +225,11 @@ def _chroma_plane(blocks):
 
 
 def encode_chroma(src_u, src_v, pred_u, pred_v, qp_c, intra: bool,
-                  decimate: bool = True):
+                  decimate: bool = True, trellis=None):
     """(N,8,8) x4 -> (recon_u, recon_v, dc (N,2,4), ac (N,2,4,16),
-    nnz (N,2,4), cbp_chroma (N,)).  Joint U+V cbp per MB (normative)."""
+    nnz (N,2,4), cbp_chroma (N,)).  Joint U+V cbp per MB (normative).
+    trellis: None or (tbl_cat4, lam2f) for RD-optimal AC levels (DC
+    hadamard path stays deadzone)."""
     n = src_u.shape[0]
     srcs = jnp.stack([src_u, src_v], axis=1).astype(jnp.int32)    # (N,2,8,8)
     preds = jnp.stack([pred_u, pred_v], axis=1).astype(jnp.int32)
@@ -226,8 +244,21 @@ def encode_chroma(src_u, src_v, pred_u, pred_v, qp_c, intra: bool,
     dc_lv = T.quant_dc2(fdc, qp1, intra)
     dcs = dc_lv.reshape(n, 2, 4)
 
-    ac_lv = T.quant4x4(coefs, qp2, intra)
-    ac_lv = ac_lv.at[:, :, :, 0, 0].set(0)
+    if trellis is not None:
+        from x264_tpu.ops.device.trellis import dq1_4x4, trellis_quant
+        tblc, lam2f = trellis
+        qpb = jnp.broadcast_to(
+            jnp.asarray(qp_c, jnp.int32).reshape(-1)[:, None],
+            (n, 8)).reshape(-1)
+        czz = T.zigzag(coefs).reshape(n * 8, 16)
+        lz = trellis_quant(czz[:, 1:], dq1_4x4(qpb)[:, 1:], lam2f,
+                           tblc, 15)
+        zz = jnp.concatenate(
+            [jnp.zeros((n * 8, 1), jnp.int32), lz], axis=1)
+        ac_lv = T.unzigzag(zz.reshape(n, 2, 4, 16))
+    else:
+        ac_lv = T.quant4x4(coefs, qp2, intra)
+        ac_lv = ac_lv.at[:, :, :, 0, 0].set(0)
     acs = T.zigzag(ac_lv)                                          # (N,2,4,16)
     if not intra and decimate:
         # chroma AC decimation (reference encoder/macroblock.c:347-431):

@@ -811,8 +811,8 @@ static void write_mb_b(cab_t *c, frame_t *f, int mb,
     }
 
     /* transform_size_8x8_flag: the PPS advertises 8x8 mode, so every
-     * coded-luma INTER MB carries the bin (B still codes 4x4 only -> 0;
-     * B_Direct included, direct_8x8_inference_flag=1; I16 has none) */
+     * coded-luma INTER MB carries the bin (B_Direct included,
+     * direct_8x8_inference_flag=1; I16 has none) */
     if (f->t8 && cbp_l && !i16) {
         int tctx = 399 + (has_l && f->t8[mbl] ? 1 : 0)
                        + (has_t && f->t8[mbt] ? 1 : 0);
@@ -857,7 +857,16 @@ static void write_mb_b(cab_t *c, frame_t *f, int mb,
         if (cbf)
             block_residual(c, 0, f->ldc + 16 * mb);
     }
-    if (cbp_l) {
+    if (cbp_l && f->t8 && f->t8[mb] && !i16) {
+        /* 8x8 transform: no per-block coded_block_flag (the CBP bit is
+         * the coded indicator); one ctxBlockCat-5 residual per 8x8 */
+        int16_t l64[64];
+        for (int b8 = 0; b8 < 4; b8++)
+            if ((cbp_l >> b8) & 1) {
+                gather_t8_levels(f->lac + 256 * mb, b8, l64);
+                block_residual_8x8(c, l64);
+            }
+    } else if (cbp_l) {
         for (int b8 = 0; b8 < 4; b8++) {
             if (!((cbp_l >> b8) & 1))
                 continue;

@@ -90,7 +90,7 @@ def bs_grids(mb_intra, luma_nnz, mv, ref, mbw: int, mbh: int, t8=None):
 
 
 def bs_grids_b(luma_nnz, mv0, mv1, any0, any1, mbw: int, mbh: int,
-               intra=None):
+               intra=None, t8=None):
     """Boundary strengths for a B frame (8.7.2.1 B rules): our B MBs use
     one ref per list and L0pic != L1pic, so the reference SETS are
     characterised by the (uses L0, uses L1) flag pair and the
@@ -144,6 +144,10 @@ def bs_grids_b(luma_nnz, mv0, mv1, any0, any1, mbw: int, mbh: int,
         if ig is not None:
             bs = jnp.where(mb_edge & ((ig > 0) | (sh(ig) > 0)), 4,
                            jnp.where(ig > 0, 3, bs))
+        if t8 is not None:
+            t8_g = jnp.repeat(jnp.repeat(t8.reshape(mbh, mbw), 4, 0), 4, 1)
+            odd = ((col if axis == 1 else row) % 2) == 1
+            bs = jnp.where(t8_g & odd, 0, bs)
         return jnp.where(exists, bs, 0).astype(jnp.int32)
 
     return one_dir(1), one_dir(0)
@@ -328,11 +332,12 @@ def deblock_core(y, u, v, mb_intra, luma_nnz, mv, ref, qp_mb, qpc_mb,
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh", "impl"))
 def deblock_core_b(y, u, v, luma_nnz, mv0, mv1, any0, any1, qp_mb, qpc_mb,
                    off_a, off_b, mbw: int, mbh: int, impl: str = "xla",
-                   intra=None):
+                   intra=None, t8=None):
     """B-frame variant: strengths from the two-list rules (+ I16
-    escapes when intra is given)."""
+    escapes when intra is given; t8: 8x8-transform MBs skip their
+    internal 4x4 edges, 8.7's transform-block rule)."""
     bs_v, bs_h = bs_grids_b(luma_nnz, mv0, mv1, any0, any1, mbw, mbh,
-                            intra=intra)
+                            intra=intra, t8=t8)
     return _filter_by_impl(impl, y, u, v, bs_v, bs_h, qp_mb, qpc_mb,
                            off_a, off_b, mbw, mbh)
 

@@ -206,8 +206,11 @@ def tables_from_states(states: np.ndarray, cat: int) -> tuple:
 
 def frame_trellis(slice_qp: int, slice_type: str, lam: int,
                   t8: bool, states=None) -> tuple:
-    """The (tbl4, tbl8, lam2f) bundle the frame cores take.  lam2f =
-    lambda2/256 (bit costs are 1/256-bit units).
+    """The (tbl4, tbl8, lam2f, tbl_i16ac, tbl_cac) bundle the frame
+    cores take.  lam2f = lambda2/256 (bit costs are 1/256-bit units).
+    tbl_i16ac (cat 1) covers Intra16x16 AC blocks, tbl_cac (cat 4) the
+    chroma AC blocks — x264's trellis=1 quantizes these too
+    (encoder/rdo.c quant_trellis dispatch by ctxBlockCat).
 
     NOTE: me_lambda already follows the LAMBDA2 law (0.85*2^((qp-12)/3),
     the reference's x264_lambda2_tab rate-distortion slope) — the ME
@@ -215,13 +218,14 @@ def frame_trellis(slice_qp: int, slice_type: str, lam: int,
     under-weighting them, but for RD it IS lambda2; squaring it would
     over-penalize bits ~45x and zero out most residual."""
     if states is not None:
-        tbl4 = tables_from_states(states, 2)
-        tbl8 = tables_from_states(states, 5) if t8 else None
+        src = lambda cat: tables_from_states(states, cat)  # noqa: E731
     else:
-        tbl4 = tables_tuple(slice_qp, slice_type, 2)
-        tbl8 = tables_tuple(slice_qp, slice_type, 5) if t8 else None
+        src = lambda cat: tables_tuple(  # noqa: E731
+            slice_qp, slice_type, cat)
+    tbl4 = src(2)
+    tbl8 = src(5) if t8 else None
     lam2f = np.float32(max(float(lam), 1.0) / 256.0)
-    return (tbl4, tbl8, lam2f)
+    return (tbl4, tbl8, lam2f, src(1), src(4))
 
 
 def trellis_quant(coefs_zz, dq_zz, lam2f, tbl, nc: int):
@@ -234,6 +238,9 @@ def trellis_quant(coefs_zz, dq_zz, lam2f, tbl, nc: int):
     lam2f:    traced f32 scalar = lambda2 / 256 (bits are 1/256 units).
     tbl:      tuple (sig (nc-1,2), last (nc-1,2), b0 (8,2), gt1 (8,2),
               cbf (2,)) — f32 arrays from trellis_tables.
+    nc:       16 (luma 4x4, cat 0/2), 64 (8x8, cat 5), or 15 (AC-only
+              cats 1/4: zigzag positions 1..15 of a 4x4 block — pass
+              coefs_zz[..., 1:]).
     Returns (B, nc) int32 signed levels."""
     import jax.numpy as jnp
 
@@ -249,10 +256,16 @@ def trellis_quant(coefs_zz, dq_zz, lam2f, tbl, nc: int):
     byp = 256.0 * lam2f                       # one bypass bin (sign bit)
     B = coefs_zz.shape[0]
     # target in the DEQUANT domain: |c| * roundtrip gain (see K4_ZZ note)
-    k = jnp.asarray(K4_ZZ if nc == 16 else K8_ZZ)
+    if nc == 64:
+        k_np, w_np = K8_ZZ, _w_zz(64)
+    elif nc == 16:
+        k_np, w_np = K4_ZZ, _w_zz(16)
+    else:                        # 15: AC-only 4x4 (zigzag 1..15)
+        k_np, w_np = K4_ZZ[1:], _w_zz(16)[1:]
+    k = jnp.asarray(k_np)
     absc = jnp.abs(coefs_zz).astype(jnp.float32) * k
     dqf = dq_zz.astype(jnp.float32)
-    w = jnp.asarray(_w_zz(nc))
+    w = jnp.asarray(w_np)
     # nearest-rounding quant seed: Lr = round(target / dq) — identical to
     # the mf-table nearest quant up to float rounding; candidates
     # {Lr-1, Lr, 0} bracket the RD optimum either way

@@ -17,7 +17,7 @@ RC_CQP, RC_CRF, RC_ABR = 0, 1, 2
 ME_DIA, ME_HEX, ME_UMH, ME_ESA, ME_TESA = 0, 1, 2, 3, 4
 PROFILE_BASELINE, PROFILE_MAIN, PROFILE_HIGH = 66, 77, 100
 TYPE_AUTO, TYPE_IDR, TYPE_I, TYPE_P, TYPE_BREF, TYPE_B = 0, 1, 2, 3, 4, 5
-AQ_NONE, AQ_VARIANCE, AQ_AUTOVARIANCE = 0, 1, 2
+AQ_NONE, AQ_VARIANCE, AQ_AUTOVARIANCE, AQ_AUTOVARIANCE_BIASED = 0, 1, 2, 3
 CSP_I420, CSP_I422, CSP_I444 = 1, 2, 3
 
 

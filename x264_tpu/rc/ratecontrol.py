@@ -34,7 +34,9 @@ class RateControl:
     """Per-frame QP decision; update() feeds back actual bits and the
     frame's prediction cost (SATD sum) after each frame."""
 
-    IP_OFFSET = 2      # I frames a touch finer (x264 ip_factor analog)
+    IP_OFFSET = 3      # I frames finer: round(6*log2(1.4)), the x264
+                       # ip_factor=1.40 CQP mapping (ratecontrol.c:744
+                       # qp_constant[SLICE_TYPE_I])
     PB_OFFSET = 2      # B frames coarser (x264 pb_factor analog)
 
     def __init__(self, params):
@@ -179,10 +181,16 @@ class RateControl:
 
 
 def aq_offsets(y: np.ndarray, u: np.ndarray, v: np.ndarray,
-               mbw: int, mbh: int, strength: float) -> np.ndarray:
-    """AQ mode 1 (x264_adaptive_quant_frame, ratecontrol.c:304): per-MB
-    energy = sum of the four 8x8 luma variances + the two chroma 8x8
-    variances; qp offset = strength * 1.5 * (log2(max(E,1)) - 14.427).
+               mbw: int, mbh: int, strength: float,
+               mode: int = 1) -> np.ndarray:
+    """AQ modes 1-3 (x264_adaptive_quant_frame, ratecontrol.c:304-415):
+    per-MB energy = sum of the four 8x8 luma variances + the two chroma
+    8x8 variances.
+    mode 1 (variance):       qp_adj = s*1.5*(log2(max(E,1)) - 14.427)
+    mode 2 (autovariance):   per-frame normalised — a = (E+1)^0.125,
+        strength = s*avg(a), bias avg' = avg - 0.5*(avg(a^2)-14)/avg,
+        qp_adj = strength*(a - avg')
+    mode 3 (autovariance-biased): mode 2 + s*(1 - 14/a^2) dark-bias
     Returns float offsets (N,)."""
     def var_blocks(p, s):
         hh, ww = p.shape
@@ -196,4 +204,14 @@ def aq_offsets(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     e = vy.reshape(mbh, 2, mbw, 2).sum((1, 3))
     e = e + var_blocks(u, 8) + var_blocks(v, 8)
     e = e.reshape(-1).astype(np.float64)
+    if mode >= 2:
+        a = np.power(e + 1.0, 0.125)
+        avg = float(a.mean())
+        avg2 = float((a * a).mean())
+        st = strength * avg
+        avg_b = avg - 0.5 * (avg2 - 14.0) / max(avg, 1e-9)
+        off = st * (a - avg_b)
+        if mode >= 3:
+            off = off + strength * (1.0 - 14.0 / np.maximum(a * a, 1e-9))
+        return off
     return strength * 1.5 * (np.log2(np.maximum(e, 1.0)) - 14.427)
