@@ -10,6 +10,7 @@ from x264_tpu.params import EncoderParams
 from x264_tpu.utils.oracle import decode_annexb
 
 from test_e2e import synth_frames
+from x264_tpu.utils.yuv import Frame420
 
 
 def test_reconfig_qp_midstream():
@@ -84,3 +85,46 @@ def test_invalidate_reference():
     dec = decode_annexb(stream, 64, 48)
     for i in range(8):
         assert np.array_equal(dec[i][0], recs[i][:48, :64]), i
+
+
+def test_periodic_intra_refresh():
+    """--intra-refresh: one IDR at stream start, then a moving forced-
+    intra column instead of periodic IDRs (encoder.c:3626 refresh bar);
+    bit-exact vs the decoder, recovery-point SEI at sweep starts."""
+    import numpy as np
+    W, H, N = 96, 64, 12
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:H, 0:W]
+    frames = []
+    for t in range(N):
+        y = np.clip(128 + 60 * np.sin((xx + 3 * t) / 11.0)
+                    + rng.normal(0, 5, (H, W)), 0, 255).astype(np.uint8)
+        u = np.full((H // 2, W // 2), 120, np.uint8)
+        frames.append(Frame420(y, u, u))
+    enc = Encoder(EncoderParams(width=W, height=H, qp=30,
+                                backend="device", deblock=True,
+                                cabac=True, intra_refresh=True,
+                                keyint_max=4))
+    recs = {}
+    enc.recon_hook = lambda d, r: recs.__setitem__(
+        d, (np.asarray(r.y), np.asarray(r.u), np.asarray(r.v)))
+    stream = b"".join(enc.encode(f) for f in frames) + enc.flush()
+    # frame types: IDR only at 0
+    types = [s.frame_type for s in enc.stats]
+    assert types[0] == "IDR" and all(t == "P" for t in types[1:]), types
+    # NAL scan: exactly one IDR slice; recovery-point SEI present
+    import re
+    nals = [stream[m.start() + 3] & 31
+            for m in re.finditer(b"\x00\x00\x01", stream)]
+    assert nals.count(5) == 1
+    assert 6 in nals                       # SEI (recovery point)
+    # refresh bars actually coded: P frames contain intra MBs
+    assert enc._agg["P"]["imb"] >= (H // 16) * 2
+    # conformance: decoder output == our recon for every frame
+    dec = decode_annexb(stream, W, H)
+    assert len(dec) == N
+    for d in range(N):
+        ry, ru, rv = recs[d]
+        assert np.array_equal(dec[d][0], ry[:H, :W]), f"frame {d} luma"
+        assert np.array_equal(dec[d][1], ru[:H // 2, :W // 2])
+        assert np.array_equal(dec[d][2], rv[:H // 2, :W // 2])

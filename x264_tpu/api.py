@@ -209,10 +209,45 @@ class Encoder:
         n += 1 if getattr(self, "_pending", None) is not None else 0
         return n
 
+    # ---- periodic intra refresh (PIR) sweep state ----
+    _pir_col = None          # next column to refresh, or None (no sweep)
+    _pir_restart = False
+
+    def _pir_w(self) -> int:
+        """Columns refreshed per P frame: a sweep spans ~keyint frames
+        (encoder.c:3626 refresh-bar advance)."""
+        k = max(2, self.p.keyint_max or 2)
+        return max(1, -(-self.p.mb_width // (k - 1)))
+
+    def _pir_args(self, idr: bool):
+        """(pir_ncols static, pir_col traced, pir_bound traced) for this
+        frame, advancing the sweep; recovery-point SEI bytes at sweep
+        start."""
+        if not self.p.intra_refresh or idr:
+            return 0, None, None, b""
+        sei = b""
+        if self._pir_restart or (
+                self.p.keyint_max > 1
+                and self.frame_idx % self.p.keyint_max == 0):
+            self._pir_col = 0
+            self._pir_restart = False
+            from x264_tpu.bitstream.sei import recovery_point_sei
+            sei = recovery_point_sei(
+                -(-self.p.mb_width // self._pir_w()))
+        if self._pir_col is None or self._pir_col >= self.p.mb_width:
+            return 0, None, None, sei
+        col = self._pir_col
+        self._pir_col = col + self._pir_w()
+        return (self._pir_w(), np.int32(col), np.int32(16 * col), sei)
+
     def intra_refresh(self) -> None:
         """Request a refresh at the earliest opportunity
-        (x264_encoder_intra_refresh; without PIR columns this forces the
-        next frame to IDR)."""
+        (x264_encoder_intra_refresh).  With --intra-refresh this
+        restarts the PIR sweep (no IDR, encoder.c:3280); otherwise it
+        forces the next frame to IDR."""
+        if self.p.intra_refresh:
+            self._pir_restart = True
+            return
         if self._force is None:
             self._force = {}
         self._force[self._in_disp] = ("IDR", None)
@@ -330,7 +365,7 @@ class Encoder:
     # the analog of x264's frame-threads delay (encoder/encoder.c:1610).
 
     def _run_core(self, yd, ud, vd, ref, idr: bool, base_qp: int, qp_arr,
-                  n_words: int, mbw: int, mbh: int, wts=None):
+                  n_words: int, mbw: int, mbh: int, wts=None, pir=None):
         from x264_tpu.models.inter_frame import me_lambda, sad_lambda
         ent = "cabac" if self._cabac_fast() else "cavlc"
         ekw = (dict(entropy="cabac", lv_cap=n_words) if ent == "cabac"
@@ -364,6 +399,9 @@ class Encoder:
             ry = jnp.stack([r.y for r in refs])
             ru = jnp.stack([r.u for r in refs])
             rv = jnp.stack([r.v for r in refs])
+        pkw = {}
+        if pir is not None and pir[0]:
+            pkw = dict(pir_ncols=pir[0], pir_col=pir[1], pir_bound=pir[2])
         out = p_frame_core(yd, ud, vd, ry, ru, rv,
                            qp_arr, np.int32(sad_lambda(base_qp)),
                            mbw=mbw, mbh=mbh, me_range=self.p.me_range,
@@ -373,7 +411,7 @@ class Encoder:
                            trellis_tbl=self._trellis_tbl(base_qp, "P"),
                            parts=self.p.p8x8,
                            decimate=self.p.dct_decimate,
-                           **ekw)
+                           **pkw, **ekw)
         return out, SLICE_P
 
     _cab_states: dict = None     # last final CABAC states per slice type
@@ -767,6 +805,12 @@ class Encoder:
             slice_qp = int(qp_arr[0])
 
         ref = None if (idr or not self.dpb) else self.dpb
+        pir = None
+        pir_sei = b""
+        if self.p.intra_refresh:
+            ncols, col, bound, pir_sei = self._pir_args(idr or ref is None)
+            if ncols:
+                pir = (ncols, col, bound)
         wts = weights = None
         if self.p.weightp and ref is not None:
             # weight analysis from SOURCE frames (models/weightp.py) —
@@ -775,9 +819,11 @@ class Encoder:
             weights = analyse_weights(y, self._src_hist[:len(ref)])
             wts = jax.numpy.asarray(np.asarray(weights, np.int32))
         out, slice_type = self._run_core(yd, ud, vd, ref, idr, qp, qp_arr,
-                                         n_words, mbw, mbh, wts=wts)
+                                         n_words, mbw, mbh, wts=wts,
+                                         pir=pir)
         blob = None
         if (ref is not None and self.p.scenecut_threshold > 0
+                and not self.p.intra_refresh
                 and self.p.bframes == 0
                 and self.frame_idx - self._last_idr_idx
                 >= self.p.keyint_min
@@ -823,7 +869,7 @@ class Encoder:
                    mbw=mbw, mbh=mbh, n_words=n_words, ladder=ladder,
                    frame_num=self.frame_num, idr_pic_id=self.idr_pic_id,
                    ftype=ftype, planes=(yd, ud, vd), ref=ref,
-                   wts=None if idr else wts,
+                   wts=None if idr else wts, pir=pir, pir_sei=pir_sei,
                    weights=None if idr else weights)
         # advance encoder state now so the next submit can chain on device
         # (dpb is list0 order: most recent first; sliding window)
@@ -873,7 +919,8 @@ class Encoder:
         yd, ud, vd = job["planes"]
         out, _ = self._run_core(yd, ud, vd, job["ref"], job["idr"], nq,
                                 qp_arr, job["n_words"], job["mbw"],
-                                job["mbh"], wts=job.get("wts"))
+                                job["mbh"], wts=job.get("wts"),
+                                pir=job.get("pir"))
         job = dict(job, qp=nq, slice_qp=int(np.atleast_1d(qp_arr)[0]),
                    qp_arr=qp_arr, out=out, blob=None,
                    vbv_tries=job.get("vbv_tries", 0) + 1)
@@ -916,7 +963,8 @@ class Encoder:
                 out, _ = self._run_core(yd, ud, vd, job["ref"], job["idr"],
                                         job["qp"], job["qp_arr"], n_words,
                                         job["mbw"], job["mbh"],
-                                        wts=job.get("wts"))
+                                        wts=job.get("wts"),
+                                        pir=job.get("pir"))
                 blob = np.asarray(out["host_blob"])
                 nbits = blob[:, n_words]
                 if int(nbits.max(initial=0)) <= 32 * n_words:
@@ -930,6 +978,7 @@ class Encoder:
         out_bytes = b""
         if job["ftype"] == "IDR" and self.p.repeat_headers:
             out_bytes += self.headers()
+        out_bytes += job.get("pir_sei", b"")
         out_bytes += self._hrd_sei(job["idr"], job.get("poc_lsb", 0))
         bs = BitWriter()
         write_slice_header(bs, self.p, self.sps,
@@ -981,7 +1030,8 @@ class Encoder:
                 out, _ = self._run_core(yd, ud, vd, job["ref"], job["idr"],
                                         job["qp"], job["qp_arr"], K,
                                         job["mbw"], job["mbh"],
-                                        wts=job.get("wts"))
+                                        wts=job.get("wts"),
+                                        pir=job.get("pir"))
                 blob = np.asarray(out["host_blob"])
                 rows = self._cab_rows(blob, n, parts=parts, i4=i4)
                 total = int(rows[:, 14 + 8].astype(np.int64).sum())
@@ -993,6 +1043,7 @@ class Encoder:
         out_bytes = b""
         if job["ftype"] == "IDR" and self.p.repeat_headers:
             out_bytes += self.headers()
+        out_bytes += job.get("pir_sei", b"")
         out_bytes += self._hrd_sei(job["idr"], job.get("poc_lsb", 0))
         bs = BitWriter()
         write_slice_header(bs, self.p, self.sps,
@@ -1564,6 +1615,13 @@ class Encoder:
     _last_idr_idx = 0
 
     def _decide_type(self) -> str:
+        if self.p.intra_refresh:
+            # PIR: one IDR at stream start, then refresh bars forever
+            # (encoder.c:3626; keyint boundaries restart the sweep)
+            if self.frame_idx == 0:
+                self._last_idr_idx = 0
+                return "IDR"
+            return "P"
         if self.frame_idx == 0 or (self.p.keyint_max > 0
                                    and self.frame_idx % self.p.keyint_max == 0):
             self._last_idr_idx = self.frame_idx

@@ -97,12 +97,138 @@ def select_transform_8x8(src_mbs, pred, qp, lam,
             jnp.where(sel8, cbp8, cbp4))
 
 
+
+def _pir_column_pass(y, u, v, ry_pl, ru_pl, rv_pl, acc: dict,
+                     qp, qpc, pir_col, mbw: int, mbh: int,
+                     pir_ncols: int):
+    """Forced-intra refresh bar: encode the pir_ncols MB columns at
+    pir_col as I16x16, top-to-bottom (a lax.scan over MB rows — each MB
+    predicts from the live recon plane, so vertical intra chains are
+    exact; reference encoder/encoder.c:3626 refresh bar).  Returns the
+    updated (ry_pl, ru_pl, rv_pl, acc)."""
+    from x264_tpu.models.residual_device import (encode_chroma,
+                                                 encode_i16_luma)
+    from x264_tpu.ops.device import pixel as P
+    from x264_tpu.ops.device import predict as PR
+
+    n = mbw * mbh
+    ysrc = y.astype(jnp.int32)
+    usrc = u.astype(jnp.int32)
+    vsrc = v.astype(jnp.int32)
+    BIG = jnp.int32(1 << 30)
+
+    def step(carry, r):
+        ry, ru, rv, acc = carry
+        for ci in range(pir_ncols):
+            cc = pir_col + ci
+            live = cc < mbw
+            c = jnp.minimum(cc, mbw - 1)
+            y0, x0 = r * 16, c * 16
+            at = jnp.asarray([r > 0])
+            al = jnp.asarray([c > 0])
+            atl = at & al
+            top = jax.lax.dynamic_slice(
+                ry, (jnp.maximum(y0 - 1, 0), x0), (1, 16))
+            left = jax.lax.dynamic_slice(
+                ry, (y0, jnp.maximum(x0 - 1, 0)), (16, 1)).T
+            tl = jax.lax.dynamic_slice(
+                ry, (jnp.maximum(y0 - 1, 0), jnp.maximum(x0 - 1, 0)),
+                (1, 1))[0]
+            src = jax.lax.dynamic_slice(ysrc, (y0, x0), (16, 16))[None]
+            preds = PR.predict_16x16_all(top, left, tl, at, al)
+            avail = PR.i16x16_mode_avail(at, al, atl)
+            costs = jnp.where(avail, P.satd(src[:, None], preds), BIG)
+            mode = jnp.argmin(costs, axis=1).astype(jnp.int32)
+            mcost = jnp.min(costs, axis=1).astype(jnp.int32)
+            pred = jnp.take_along_axis(
+                preds, mode[:, None, None, None], axis=1)[:, 0]
+            mb = r * mbw + c
+            qp_l = qp[mb][None]
+            rec, dc_zz, ac_zz, nnz_b, cbp_b = encode_i16_luma(
+                src, pred, qp_l)
+
+            cy0, cx0 = r * 8, c * 8
+            ctu = jax.lax.dynamic_slice(
+                ru, (jnp.maximum(cy0 - 1, 0), cx0), (1, 8))
+            ctv = jax.lax.dynamic_slice(
+                rv, (jnp.maximum(cy0 - 1, 0), cx0), (1, 8))
+            clu = jax.lax.dynamic_slice(
+                ru, (cy0, jnp.maximum(cx0 - 1, 0)), (8, 1)).T
+            clv = jax.lax.dynamic_slice(
+                rv, (cy0, jnp.maximum(cx0 - 1, 0)), (8, 1)).T
+            ctlu = jax.lax.dynamic_slice(
+                ru, (jnp.maximum(cy0 - 1, 0), jnp.maximum(cx0 - 1, 0)),
+                (1, 1))[0]
+            ctlv = jax.lax.dynamic_slice(
+                rv, (jnp.maximum(cy0 - 1, 0), jnp.maximum(cx0 - 1, 0)),
+                (1, 1))[0]
+            csu = jax.lax.dynamic_slice(usrc, (cy0, cx0), (8, 8))[None]
+            csv = jax.lax.dynamic_slice(vsrc, (cy0, cx0), (8, 8))[None]
+            cpu_ = PR.predict_chroma_all(ctu, clu, ctlu, at, al)
+            cpv_ = PR.predict_chroma_all(ctv, clv, ctlv, at, al)
+            ccosts = jnp.where(PR.chroma_mode_avail(at, al, atl),
+                               P.satd(csu[:, None], cpu_)
+                               + P.satd(csv[:, None], cpv_), BIG)
+            cmode = jnp.argmin(ccosts, axis=1).astype(jnp.int32)
+            cpu = jnp.take_along_axis(
+                cpu_, cmode[:, None, None, None], axis=1)[:, 0]
+            cpv = jnp.take_along_axis(
+                cpv_, cmode[:, None, None, None], axis=1)[:, 0]
+            cr_u, cr_v, cdc_b, cac_b, cnnz_b, cbpc_b = encode_chroma(
+                csu, csv, cpu, cpv, qpc[mb][None], intra=True)
+
+            ry2 = jax.lax.dynamic_update_slice(
+                ry, rec[0].astype(ry.dtype), (y0, x0))
+            ru2 = jax.lax.dynamic_update_slice(
+                ru, cr_u[0].astype(ru.dtype), (cy0, cx0))
+            rv2 = jax.lax.dynamic_update_slice(
+                rv, cr_v[0].astype(rv.dtype), (cy0, cx0))
+            ry = jnp.where(live, ry2, ry)
+            ru = jnp.where(live, ru2, ru)
+            rv = jnp.where(live, rv2, rv)
+            mbk = jnp.where(live, mb, jnp.int32(n))
+            acc = dict(
+                luma_dc=acc["luma_dc"].at[mbk].set(dc_zz[0], mode="drop"),
+                luma_ac=acc["luma_ac"].at[mbk].set(ac_zz[0], mode="drop"),
+                luma_nnz=acc["luma_nnz"].at[mbk].set(nnz_b[0],
+                                                     mode="drop"),
+                nnz_deblock=acc["nnz_deblock"].at[mbk].set(nnz_b[0],
+                                                           mode="drop"),
+                cbp_luma=acc["cbp_luma"].at[mbk].set(cbp_b[0],
+                                                     mode="drop"),
+                chroma_dc=acc["chroma_dc"].at[mbk].set(cdc_b[0],
+                                                       mode="drop"),
+                chroma_ac=acc["chroma_ac"].at[mbk].set(cac_b[0],
+                                                       mode="drop"),
+                chroma_nnz=acc["chroma_nnz"].at[mbk].set(cnnz_b[0],
+                                                         mode="drop"),
+                cbp_chroma=acc["cbp_chroma"].at[mbk].set(cbpc_b[0],
+                                                         mode="drop"),
+                i16_mode=acc["i16_mode"].at[mbk].set(mode[0],
+                                                     mode="drop"),
+                chroma_mode=acc["chroma_mode"].at[mbk].set(cmode[0],
+                                                           mode="drop"),
+                mb_cost=acc["mb_cost"].at[mbk].set(mcost[0], mode="drop"),
+                intra_mask=acc["intra_mask"].at[mbk].set(True,
+                                                         mode="drop"),
+                t8=acc["t8"].at[mbk].set(False, mode="drop"),
+            )
+        return (ry, ru, rv, acc), None
+
+    (ry_pl, ru_pl, rv_pl, acc), _ = jax.lax.scan(
+        step, (ry_pl.astype(jnp.int32), ru_pl.astype(jnp.int32),
+               rv_pl.astype(jnp.int32), acc),
+        jnp.arange(mbh, dtype=jnp.int32))
+    return ry_pl, ru_pl, rv_pl, acc
+
+
 def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                      mbw: int, mbh: int, me_range: int, cqp_off: int,
                      n_words: int = 24, subpel: int = 0,
                      entropy: str = "cavlc", lv_cap: int = 64,
                      t8: bool = False, wts=None, trellis_tbl=None,
-                     parts: bool = False, decimate: bool = True):
+                     parts: bool = False, decimate: bool = True,
+                     pir_ncols: int = 0, pir_col=None, pir_bound=None):
     """All-device P-frame pixel pipeline on *pre-padded* reference planes
     (so the sharded band path can hand in halo slices — parallel/sliced.py).
     y/u/v: source planes (uint8, H=16*mbh x W=16*mbw); ref_*_pad: STACKED
@@ -121,6 +247,24 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
     refbits = _te_ref_bits(n_refs)
 
     src_mbs = T.plane_to_mbs(y.astype(jnp.int32), mbh, mbw, 16)
+
+    # ---- periodic intra refresh (PIR; reference encoder/encoder.c:3626
+    # refresh-bar state machine + encoder/analyse.c:340 MV clamp).
+    # pir_ncols > 0 enables it (static): pir_col (traced) = first MB
+    # column forced intra this frame; pir_bound (traced, px) = the
+    # reference's refreshed boundary.  MBs LEFT of the refresh bar may
+    # only predict from the reference's refreshed region: their mvx is
+    # clamped so the interpolation window (qpel taps + subpel refine
+    # margin, 8 px) stays below pir_bound. ----
+    pir = pir_ncols > 0
+    mbx_of = jnp.arange(n, dtype=jnp.int32) % mbw
+
+    def _pir_clamp_mvx(mvx_q, x0_px):
+        """Clamp qpel mvx for units whose left edge (px) is x0_px."""
+        maxq = 4 * (pir_bound - x0_px - 16 - 8)
+        lim = mbx_of < pir_col
+        return jnp.where(lim, jnp.minimum(mvx_q, maxq), mvx_q)
+
     shape = None
     if parts:
         # partition path (16x16/16x8/8x16/8x8): one exhaustive pass
@@ -151,6 +295,14 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                         u_k[key], units[key])
                     for key in units}
         shape, mv8, _ = choose_shape(units, lam)
+        if pir:
+            qx_px = (mbx_of[:, None] * 16
+                     + jnp.asarray([0, 8, 0, 8], jnp.int32)[None, :])
+            maxq8 = 4 * (pir_bound - qx_px - 8 - 8)
+            lim8 = (mbx_of < pir_col)[:, None]
+            mv8 = mv8.at[:, :, 0].set(
+                jnp.where(lim8, jnp.minimum(mv8[:, :, 0], maxq8),
+                          mv8[:, :, 0]))
         if jax.default_backend() == "tpu":
             from x264_tpu.ops.device.wingather import pack_planes4
             planes = jnp.stack([mc_hpel_planes(ref_y_pad[k])
@@ -182,6 +334,8 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                 mv = jnp.where(better[:, None], mv_k, mv)
                 ref = jnp.where(better, k, ref)
 
+        if pir:
+            mv = mv.at[:, 0].set(_pir_clamp_mvx(mv[:, 0], mbx_of * 16))
         if subpel > 0:
             planes = jnp.stack([mc_hpel_planes(ref_y_pad[k])
                                 for k in range(n_refs)])  # (K,4,Hp,Wp)
@@ -271,6 +425,13 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
     # intra pass is ONE batched computation under a lax.cond that costs
     # nothing when no MB goes intra (the common case). ----
     cand = (icost + 8 * lam) < mb_cost
+    if pir:
+        # refresh-bar interaction: the batch intra fixup predicts from
+        # the PRE-column recon, but the decoder sees the column's final
+        # recon — exclude the bar itself and its right-adjacent MBs
+        # (their left/topleft neighbours are bar MBs)
+        in_bar = (mbx_of >= pir_col) & (mbx_of < pir_col + pir_ncols)
+        cand = cand & ~in_bar & (mbx_of != pir_col + pir_ncols)
     cg = cand.reshape(mbh, mbw)
 
     def _sh(g, dy, dx):
@@ -368,8 +529,73 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
         intra_mask.any(), _intra_fixup, _no_intra, None)
     t8_flag = t8_flag & ~intra_mask & (cbp_l > 0)
 
-    # device MB classification (shared by both entropy modes)
+    ry_out = T.mbs_to_plane(recon_y_mbs, mbh, mbw, 16)
+    ru_out = T.mbs_to_plane(ru_mbs, mbh, mbw, 8)
+    rv_out = T.mbs_to_plane(rv_mbs, mbh, mbw, 8)
+    if pir:
+        pacc = dict(luma_dc=luma_dc, luma_ac=ac_zz, luma_nnz=nnz,
+                    nnz_deblock=nnz_deblock, cbp_luma=cbp_l,
+                    chroma_dc=cdc, chroma_ac=cac, chroma_nnz=cnnz,
+                    cbp_chroma=cbp_c, i16_mode=i16_mode,
+                    chroma_mode=chroma_mode, mb_cost=mb_cost,
+                    intra_mask=intra_mask, t8=t8_flag)
+        ry_out, ru_out, rv_out, pacc = _pir_column_pass(
+            y, u, v, ry_out, ru_out, rv_out, pacc, qp, qpc,
+            jnp.asarray(pir_col, jnp.int32), mbw, mbh, pir_ncols)
+        (luma_dc, ac_zz, nnz, nnz_deblock, cbp_l, cdc, cac, cnnz,
+         cbp_c, i16_mode, chroma_mode, mb_cost, intra_mask,
+         t8_flag) = (pacc["luma_dc"], pacc["luma_ac"], pacc["luma_nnz"],
+                     pacc["nnz_deblock"], pacc["cbp_luma"],
+                     pacc["chroma_dc"], pacc["chroma_ac"],
+                     pacc["chroma_nnz"], pacc["cbp_chroma"],
+                     pacc["i16_mode"], pacc["chroma_mode"],
+                     pacc["mb_cost"], pacc["intra_mask"], pacc["t8"])
+
+    pre = dict(
+        mb_cost=mb_cost, qp_mb=qp, icost=icost,
+        mv=mv, ref_mb=ref,
+        i16_mode=i16_mode, chroma_mode=chroma_mode, luma_dc=luma_dc,
+        luma_ac=ac_zz, luma_nnz=nnz, nnz_deblock=nnz_deblock,
+        t8=t8_flag, cbp_luma=cbp_l,
+        chroma_dc=cdc, chroma_ac=cac, chroma_nnz=cnnz, cbp_chroma=cbp_c,
+        intra_mask=intra_mask,
+        recon_y=ry_out.astype(jnp.uint8),
+        recon_u=ru_out.astype(jnp.uint8),
+        recon_v=rv_out.astype(jnp.uint8),
+    )
     if parts:
+        pre.update(shape=shape, mv8=mv8)
+    if entropy == "pixels":
+        # staged mode: the classification + entropy tail runs as a
+        # SECOND device program (p_entropy_tail).  Monolithic compiles
+        # of the parts path hit a backend miscompile (worker kernel
+        # fault, content-independent — bisected to the classify stage
+        # being fused into the full program); two programs sidestep it
+        # with device-resident intermediates and one extra dispatch.
+        return pre
+    return p_entropy_tail(pre, mbw=mbw, mbh=mbh, n_refs=n_refs,
+                          n_words=n_words, entropy=entropy,
+                          lv_cap=lv_cap, t8=t8, parts=parts)
+
+
+def p_entropy_tail(pre: dict, mbw: int, mbh: int, n_refs: int,
+                   n_words: int, entropy: str, lv_cap: int,
+                   t8: bool, parts: bool):
+    """Classification + entropy packing over the pixel stage's
+    intermediates (see p_frame_pipeline's staging note)."""
+    n = mbw * mbh
+    qp = pre["qp_mb"]
+    mb_cost, icost = pre["mb_cost"], pre["icost"]
+    mv, ref = pre["mv"], pre["ref_mb"]
+    intra_mask = pre["intra_mask"]
+    luma_dc, ac_zz, nnz = pre["luma_dc"], pre["luma_ac"], pre["luma_nnz"]
+    cbp_l, cbp_c = pre["cbp_luma"], pre["cbp_chroma"]
+    cdc, cac, cnnz = pre["chroma_dc"], pre["chroma_ac"], pre["chroma_nnz"]
+    i16_mode, chroma_mode = pre["i16_mode"], pre["chroma_mode"]
+    t8_flag = pre["t8"]
+
+    if parts:
+        mv8, shape = pre["mv8"], pre["shape"]
         ref8 = jnp.broadcast_to(ref[:, None], (n, 4))
         mb_class, mvd_part, _ = dheader.classify_p_parts(
             mv8, ref8, shape, cbp_l, cbp_c, mbw, mbh, intra=intra_mask)
@@ -382,18 +608,8 @@ def p_frame_pipeline(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad, qp, lam,
                                            intra=intra_mask)
     ref = jnp.where(mb_class == dheader.MB_PSKIP_D, 0, ref)
 
-    outs = dict(
-        mb_class=mb_class, mvd=mvd,
-        mb_cost=mb_cost, qp_mb=qp, icost=icost,
-        mv=mv, ref_mb=ref,
-        i16_mode=i16_mode, chroma_mode=chroma_mode, luma_dc=luma_dc,
-        luma_ac=ac_zz, luma_nnz=nnz, nnz_deblock=nnz_deblock,
-        t8=t8_flag, cbp_luma=cbp_l,
-        chroma_dc=cdc, chroma_ac=cac, chroma_nnz=cnnz, cbp_chroma=cbp_c,
-        recon_y=T.mbs_to_plane(recon_y_mbs, mbh, mbw, 16).astype(jnp.uint8),
-        recon_u=T.mbs_to_plane(ru_mbs, mbh, mbw, 8).astype(jnp.uint8),
-        recon_v=T.mbs_to_plane(rv_mbs, mbh, mbw, 8).astype(jnp.uint8),
-    )
+    outs = dict(pre, mb_class=mb_class, mvd=mvd, ref_mb=ref)
+    del outs["intra_mask"]
     if parts:
         # quadrant-granular motion for deblock bS and temporal direct
         # (intra MBs' mvs are never consulted: bS intra rules win, and
@@ -448,21 +664,20 @@ p_band_core = aot_jit(
     p_frame_pipeline,
     static_argnames=("mbw", "mbh", "me_range", "cqp_off",
                      "n_words", "subpel", "entropy",
-                     "lv_cap", "t8", "parts", "decimate"))
+                     "lv_cap", "t8", "parts", "decimate", "pir_ncols"))
 
 
 @aot_jit(static_argnames=("mbw", "mbh", "me_range", "cqp_off",
                           "n_words", "subpel", "entropy",
-                          "lv_cap", "t8", "parts", "decimate"))
-def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
-                 mbw: int, mbh: int, me_range: int, cqp_off: int,
-                 n_words: int = 24, subpel: int = 0,
-                 entropy: str = "cavlc", lv_cap: int = 64,
-                 t8: bool = False, wts=None, trellis_tbl=None,
-                 parts: bool = False, decimate: bool = True):
-    """Single-chip entry: edge-pad the references on device, run the
-    pipeline (see p_frame_pipeline for the contract).  ref_* may be
-    (H, W) single-ref or stacked (K, H, W) in list0 order."""
+                          "lv_cap", "t8", "parts", "decimate",
+                          "pir_ncols"))
+def _p_frame_core_jit(y, u, v, ref_y, ref_u, ref_v, qp, lam,
+                      mbw: int, mbh: int, me_range: int, cqp_off: int,
+                      n_words: int = 24, subpel: int = 0,
+                      entropy: str = "cavlc", lv_cap: int = 64,
+                      t8: bool = False, wts=None, trellis_tbl=None,
+                      parts: bool = False, decimate: bool = True,
+                      pir_ncols: int = 0, pir_col=None, pir_bound=None):
     def padk(p, pad):
         if p.ndim == 2:
             return _pad_edge(p, pad)[None]
@@ -476,7 +691,52 @@ def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
                             n_words=n_words, subpel=subpel,
                             entropy=entropy, lv_cap=lv_cap, t8=t8,
                             wts=wts, trellis_tbl=trellis_tbl,
-                            parts=parts, decimate=decimate)
+                            parts=parts, decimate=decimate,
+                            pir_ncols=pir_ncols, pir_col=pir_col,
+                            pir_bound=pir_bound)
+
+
+p_entropy_core = aot_jit(
+    p_entropy_tail,
+    static_argnames=("mbw", "mbh", "n_refs", "n_words", "entropy",
+                     "lv_cap", "t8", "parts"))
+
+
+def p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, lam,
+                 mbw: int, mbh: int, me_range: int, cqp_off: int,
+                 n_words: int = 24, subpel: int = 0,
+                 entropy: str = "cavlc", lv_cap: int = 64,
+                 t8: bool = False, wts=None, trellis_tbl=None,
+                 parts: bool = False, decimate: bool = True,
+                 pir_ncols: int = 0, pir_col=None, pir_bound=None):
+    """Single-chip entry: edge-pad the references on device, run the
+    pipeline (see p_frame_pipeline for the contract).  ref_* may be
+    (H, W) single-ref or stacked (K, H, W) in list0 order.
+
+    The parts path runs as TWO device programs (pixels, then
+    classification+entropy) — see p_frame_pipeline's staging note; the
+    non-parts path stays monolithic."""
+    if not parts:
+        return _p_frame_core_jit(y, u, v, ref_y, ref_u, ref_v, qp, lam,
+                                 mbw=mbw, mbh=mbh, me_range=me_range,
+                                 cqp_off=cqp_off, n_words=n_words,
+                                 subpel=subpel, entropy=entropy,
+                                 lv_cap=lv_cap, t8=t8, wts=wts,
+                                 trellis_tbl=trellis_tbl, parts=False,
+                                 decimate=decimate, pir_ncols=pir_ncols,
+                                 pir_col=pir_col, pir_bound=pir_bound)
+    pre = _p_frame_core_jit(y, u, v, ref_y, ref_u, ref_v, qp, lam,
+                            mbw=mbw, mbh=mbh, me_range=me_range,
+                            cqp_off=cqp_off, n_words=n_words,
+                            subpel=subpel, entropy="pixels",
+                            lv_cap=lv_cap, t8=t8, wts=wts,
+                            trellis_tbl=trellis_tbl, parts=True,
+                            decimate=decimate, pir_ncols=pir_ncols,
+                            pir_col=pir_col, pir_bound=pir_bound)
+    n_refs = 1 if ref_y.ndim == 2 else int(ref_y.shape[0])
+    return p_entropy_core(pre, mbw=mbw, mbh=mbh, n_refs=n_refs,
+                          n_words=n_words, entropy=entropy,
+                          lv_cap=lv_cap, t8=t8, parts=True)
 
 
 def classify_pframe_vec(syn, mv: np.ndarray, cbp_l: np.ndarray,

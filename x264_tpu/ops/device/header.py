@@ -160,18 +160,25 @@ def classify_p_parts(mv8, ref8, shape, cbp_luma, cbp_chroma, mbw: int,
         mv4 = jnp.where(ig[..., None], 0, mv4)
         ref4 = jnp.where(ig, -1, ref4)
 
-    # pad 4 blocks on top/left/right so any (oy, ox) in [-1, 5] resolves
-    mv4p = jnp.pad(mv4, ((4, 0), (4, 4), (0, 0)))
-    ref4p = jnp.pad(ref4, ((4, 0), (4, 4)), constant_values=-1)
+    # pad 4 blocks on every side so any (oy, ox) in [-1, 5] resolves
+    # (bottom pad feeds only the contiguous-slice length in samp(), the
+    # picked rows never reach it)
+    mv4p = jnp.pad(mv4, ((4, 4), (4, 4), (0, 0)))
+    ref4p = jnp.pad(ref4, ((4, 4), (4, 4)), constant_values=-1)
 
     def samp(oy: int, ox: int):
         """Grid values at (4*my + oy, 4*mx + ox) for all MBs -> flat
-        (mv (N,2), ref (N,))."""
-        mvs = mv4p[oy + 4: oy + 4 + 4 * mbh: 4,
-                   ox + 4: ox + 4 + 4 * mbw: 4]
-        rfs = ref4p[oy + 4: oy + 4 + 4 * mbh: 4,
-                    ox + 4: ox + 4 + 4 * mbw: 4]
-        return mvs.reshape(n, 2), rfs.reshape(n)
+        (mv (N,2), ref (N,)).  Written as contiguous slice + reshape
+        (not a doubly-strided slice): the strided form, fused into a
+        larger program, hits a backend miscompile (worker kernel
+        fault) — the reshape lowering is equivalent and safe."""
+        def pick(a):
+            rows = a[oy + 4: oy + 4 + 4 * mbh]
+            rows = rows.reshape((mbh, 4) + rows.shape[1:])[:, 0]
+            cols = rows[:, ox + 4: ox + 4 + 4 * mbw]
+            cols = cols.reshape((mbh, mbw, 4) + cols.shape[2:])[:, :, 0]
+            return cols
+        return pick(mv4p).reshape(n, 2), pick(ref4p).reshape(n)
 
     mbyv = (jnp.arange(n, dtype=jnp.int32) // mbw)
     mbxv = (jnp.arange(n, dtype=jnp.int32) % mbw)
@@ -187,8 +194,9 @@ def classify_p_parts(mv8, ref8, shape, cbp_luma, cbp_chroma, mbw: int,
         return mv, rf, avail
 
     def median3(a, b, c):
-        st = jnp.sort(jnp.stack([a, b, c], axis=0), axis=0)
-        return st[1]
+        # comparison form (no sort op): exact median of three ints
+        return jnp.maximum(jnp.minimum(a, b),
+                           jnp.minimum(jnp.maximum(a, b), c))
 
     def mvp_of(A, B, C, cur_ref, directional=None):
         """8.4.1.3 / 8.4.1.3.1 from neighbour triples (mv, ref, avail)."""

@@ -171,7 +171,23 @@ class EncoderParams:
         # round-1 review flagged silently-dead fields; anything here is
         # either consumed somewhere or rejected — tests/test_params.py)
         if p.intra_refresh:
-            raise NotImplementedError("--intra-refresh: pending")
+            # PIR: a moving forced-intra column replaces periodic IDRs
+            # (reference encoder/encoder.c:3626 refresh bar).  Round-4
+            # scope: single-slice P GOPs on the device backend.
+            if p.bframes:
+                raise NotImplementedError("--intra-refresh with bframes:"
+                                          " pending (x264 also restricts"
+                                          " PIR GOP shapes)")
+            if p.slices > 1:
+                raise NotImplementedError("--intra-refresh with slices:"
+                                          " pending")
+            if p.backend in ("reference", "device_host_entropy"):
+                raise NotImplementedError(
+                    "--intra-refresh: device pipeline only")
+            if p.i4x4 and not p.cabac:
+                raise NotImplementedError(
+                    "--intra-refresh: i4x4+CAVLC host-syntax path"
+                    " unsupported")
         if p.constrained_intra:
             raise NotImplementedError("--constrained-intra: pending")
         if p.p8x8:
