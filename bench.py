@@ -144,7 +144,7 @@ def main():
             x264_psnr = float("nan")
         vs = ours_fps / x264_fps
         print(f"ours: {ours_fps:.2f} fps, {ours_bytes*8/N_FRAMES/1000:.0f} "
-              f"kbit/frame, last-frame Y-PSNR {ours_psnr:.2f} dB | "
+              f"kbit/frame, mean Y-PSNR {ours_psnr:.2f} dB | "
               f"x264 medium qp{QP} ({os.cpu_count()} cores): "
               f"{x264_fps:.2f} fps, {x264_bytes*8/N_FRAMES/1000:.0f} "
               f"kbit/frame, Y-PSNR {x264_psnr:.2f} dB", file=sys.stderr)

@@ -15,7 +15,6 @@ ROOT = pathlib.Path(__file__).resolve().parents[1] / "x264_tpu"
 # fields whose non-default values are REJECTED at validate() until the
 # capability lands (fail-loudly contract)
 REJECTED = {
-    "intra_refresh": True,
     "constrained_intra": True,
     "i16x16": False,
     "p16x16": False,

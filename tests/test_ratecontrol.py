@@ -223,3 +223,41 @@ def test_vbv_frame_reencode_hard_guarantee():
     # conformance survives the re-encode (recon == decoder)
     dec = decode_annexb(out, W, H)
     assert len(dec) == N
+
+
+@pytest.mark.parametrize("mode", ["bframes", "pipelined"])
+def test_vbv_reencode_no_drift_in_dependent_paths(rng, mode):
+    """Round-5 regression (advisor high): the VBV re-encode rewrites the
+    anchor's DPB recon in place, so nothing may be SUBMITTED against an
+    anchor that hasn't cleared its VBV check — otherwise the dispatched
+    B / next-P computation predicts from the pre-retry arrays while the
+    decoder predicts from the re-encoded anchor (silent drift).  Long
+    P-chain (no mid IDR) so any drift survives to the final recon."""
+    from x264_tpu.utils.yuv import Frame420
+    W2, H2, N2 = 96, 64, 14
+    yy, xx = np.mgrid[0:H2, 0:W2]
+    frames = []
+    for t in range(N2):
+        y = np.clip(120 + 70 * np.sin((xx + 5 * t) / 9.0)
+                    * np.cos((yy - 3 * t) / 11.0)
+                    + rng.normal(0, 6, (H2, W2)), 0, 255).astype(np.uint8)
+        u = np.full((H2 // 2, W2 // 2), 120, np.uint8)
+        frames.append(Frame420(y, u, u))
+    p = EncoderParams(width=W2, height=H2, rc_method=RC_ABR, bitrate=110,
+                      vbv_maxrate=110, vbv_bufsize=40, fps_num=25,
+                      backend="device", deblock=True, cabac=True,
+                      keyint_max=0, scenecut_threshold=0,
+                      bframes=2 if mode == "bframes" else 0)
+    enc = Encoder(p)
+    assert enc.rc.vbv_on
+    out = b""
+    for f in frames:
+        out += (enc.encode_pipelined(f) if mode == "pipelined"
+                else enc.encode(f))
+    out += enc.flush()
+    dec = decode_annexb(out, W2, H2)
+    assert len(dec) == N2
+    r = enc.last_recon
+    ly = np.asarray(r.y)[:H2, :W2]
+    assert any(np.array_equal(ly, d[0]) for d in dec[-3:]), \
+        "final recon diverged from decoder (re-encode drift)"

@@ -897,6 +897,10 @@ class Encoder:
         rc = self.rc
         if not rc.vbv_on or job.get("vbv_tries", 0) >= 8:
             return None
+        # NOTE: the hard guarantee is wired into the single-slice anchor
+        # finalizers only; sliced (_finalize_device_sliced) and B
+        # (_finalize_b) frames rely on the soft clip_qscale bound —
+        # x264's row-VBV covers those, ours is tracked in STATUS.md.
         budget = min(rc.vbv_fill + rc.vbv_max / rc.fps, rc.vbv_size)
         if nbytes * 8 <= max(budget, 1.0):
             return None
@@ -1217,18 +1221,29 @@ class Encoder:
         # dispatch + a one-GOP finalize delay)
         out = b""
         if self.rc.vbv_on:
-            # VBV re-encode may rewrite the previous anchor's recon —
-            # drain before submitting against it (overlap yields to
-            # buffer correctness, like x264's threads+VBV sync)
+            # VBV re-encode may rewrite a finalized frame's recon in
+            # place, so nothing may be submitted against a frame that
+            # hasn't cleared its VBV check yet: drain the queue, then
+            # finalize the NEW anchor (incl. any retry) before the GOP's
+            # B frames capture its arrays, and finalize the Bs eagerly
+            # (overlap yields to buffer correctness, like x264's
+            # threads+VBV sync)
             out += self._drain_gop_q()
             prev = self.dpb[0]
+            ajob = self._submit_anchor(anchor, ad, "P")
+            if self.p.b_adapt:
+                self._lookahead().push_anchor(self._pad(anchor)[0])
+            out += self._finalize_device(ajob)
+            nxt = self.dpb[0]
+            for (bf, bd) in pend[:-1]:
+                out += self._finalize_b(self._submit_b(bf, bd, prev, nxt))
+            return out
         ajob = self._submit_anchor(anchor, ad, "P")
         if self.p.b_adapt:
             self._lookahead().push_anchor(self._pad(anchor)[0])
         nxt = self.dpb[0]
         jobs = [self._submit_b(bf, bd, prev, nxt) for (bf, bd) in pend[:-1]]
-        if not self.rc.vbv_on:
-            out += self._drain_gop_q()
+        out += self._drain_gop_q()
         self._gop_q = [("a", ajob)] + [("b", j) for j in jobs]
         return out
 
@@ -1481,6 +1496,14 @@ class Encoder:
         """Submit this frame, return the PREVIOUS frame's bytes (b"" for
         the first call).  Overlaps device compute with host finalization —
         call flush() for the last frame.  Device backend only."""
+        out = b""
+        if self.rc.vbv_on and self._pending is not None:
+            # VBV re-encode rewrites the pending frame's DPB recon in
+            # place; finalize it (incl. any retry) BEFORE this frame's
+            # submit captures its reference arrays (overlap yields to
+            # buffer correctness)
+            out += self._finalize_device(self._pending)
+            self._pending = None
         y, u, v = self._pad(fr)
         ftype = self._decide_type()
         if ftype == "IDR":
@@ -1488,7 +1511,9 @@ class Encoder:
         job = self._submit_device(y, u, v, ftype, self._qp_for_frame(ftype))
         prev = self._pending
         self._pending = job
-        return self._finalize_device(prev) if prev is not None else b""
+        if prev is not None:
+            out += self._finalize_device(prev)
+        return out
 
     def flush(self) -> bytes:
         out = b""

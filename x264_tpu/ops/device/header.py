@@ -160,7 +160,9 @@ def classify_p_parts(mv8, ref8, shape, cbp_luma, cbp_chroma, mbw: int,
         mv4 = jnp.where(ig[..., None], 0, mv4)
         ref4 = jnp.where(ig, -1, ref4)
 
-    # pad 4 blocks on every side so any (oy, ox) in [-1, 5] resolves
+    # pad 4 blocks on every side so any (oy, ox) in [-1, 4] resolves
+    # (samp()'s contiguous-slice pick needs a full 4*mbh/4*mbw window,
+    # so 4 is the max offset this pad supports)
     # (bottom pad feeds only the contiguous-slice length in samp(), the
     # picked rows never reach it)
     mv4p = jnp.pad(mv4, ((4, 4), (4, 4), (0, 0)))

@@ -188,6 +188,13 @@ class EncoderParams:
                 raise NotImplementedError(
                     "--intra-refresh: i4x4+CAVLC host-syntax path"
                     " unsupported")
+            if p.ref_frames > 1:
+                # the PIR MV clamp bounds mvx against the CURRENT frame's
+                # refresh bar; older refs have a smaller refreshed region,
+                # so multi-ref would silently break the recovery guarantee.
+                # The reference likewise forces ref=1/dpb=1 for PIR
+                # (encoder.c:1092 validate_parameters).
+                p = p.clone(ref_frames=1)
         if p.constrained_intra:
             raise NotImplementedError("--constrained-intra: pending")
         if p.p8x8:
