@@ -78,7 +78,7 @@ def bench_ours(frames):
     # cache makes this fast after the first-ever run on a machine);
     # steady-state throughput is the metric, mid-stream XLA compiles
     # are not.  Bounded so a wedged remote compile can't hang the bench.
-    ok = enc.warm(1500)
+    ok = enc.warm(1500, full=True)
     print(f"compile warm-up complete: {ok}", file=sys.stderr)
     for i in range(warm):
         stream += enc.encode(Frame420(*frames[i]))

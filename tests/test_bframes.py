@@ -249,3 +249,34 @@ def test_bframes_i4x4_syn_path(rng):
         assert np.array_equal(dec[d][0], ry[:h, :w]), f"display {d}"
         assert np.array_equal(dec[d][1], ru[:h // 2, :w // 2])
         assert np.array_equal(dec[d][2], rv[:h // 2, :w // 2])
+
+
+def test_b_pair_core_bitexact_vs_single(rng):
+    """The mini-GOP pair core (both Bs in one vmapped program, shared
+    anchors/hpel planes — round-5 throughput lever) must produce a
+    bitstream IDENTICAL to two single b_frame_core submissions."""
+    yy, xx = np.mgrid[0:64, 0:96]
+    frames = []
+    for t in range(8):
+        y = (120 + 70 * np.sin((xx + 5 * t) / 13.0)
+             * np.cos((yy - 3 * t) / 19.0)).astype(np.uint8)
+        y += rng.integers(0, 5, (64, 96)).astype(np.uint8)
+        u = (128 + 40 * np.sin((xx[::2, ::2] + 5 * t) / 23.0)).astype(np.uint8)
+        v = (128 + 40 * np.cos((yy[::2, ::2] + 7 * t) / 29.0)).astype(np.uint8)
+        frames.append(Frame420(y, u, v))
+
+    def run(pair):
+        enc = Encoder(EncoderParams(width=96, height=64, qp=26, me_range=8,
+                                    backend="device", bframes=2,
+                                    keyint_max=250, cabac=True,
+                                    deblock=True, transform_8x8=True,
+                                    trellis=1, full_recon=True))
+        if not pair:
+            enc._submit_b_pair = lambda b1, b2, prev, nxt: [
+                enc._submit_b(b1[0], b1[1], prev, nxt),
+                enc._submit_b(b2[0], b2[1], prev, nxt)]
+        return b"".join(enc.encode(f) for f in frames) + enc.flush()
+
+    s_pair, s_single = run(True), run(False)
+    assert s_pair == s_single
+    assert len(decode_annexb(s_pair, 96, 64)) == 8

@@ -143,7 +143,8 @@ class Encoder:
                                          wts=wts)
                 last = out2["host_blob"]
                 if p.bframes:
-                    from x264_tpu.models.b_frame_device import b_frame_core
+                    from x264_tpu.models.b_frame_device import (
+                        b_frame_core, b_pair_core)
                     from x264_tpu.models.inter_frame import me_lambda, sad_lambda
                     ekw = (dict(entropy="cabac", lv_cap=n_words)
                            if self._cabac_fast() else dict(n_words=n_words))
@@ -157,6 +158,23 @@ class Encoder:
                         trellis_tbl=self._trellis_tbl(qp, "B"),
                         decimate=self.p.dct_decimate, **ekw)
                     last = ob["host_blob"]
+                    if p.bframes == 2 and self._cabac_fast():
+                        y2 = jnp.zeros((2, h, w), jnp.uint8)
+                        u2 = jnp.zeros((2, h // 2, w // 2), jnp.uint8)
+                        ob2 = b_pair_core(
+                            y2, u2, u2, yd, ud, vd, yd, ud, vd,
+                            jnp.zeros((n, 4, 2), jnp.int32),
+                            jnp.ones(n, bool),
+                            np.asarray([85, 171], np.int32),
+                            np.asarray([qp, qp], np.int32),
+                            np.int32(sad_lambda(qp)), mbw=mbw, mbh=mbh,
+                            me_range=p.me_range,
+                            cqp_off=p.chroma_qp_offset,
+                            subpel=p.subpel, t8_mode=p.transform_8x8,
+                            trellis_tbl=self._trellis_tbl(qp, "B"),
+                            decimate=self.p.dct_decimate,
+                            entropy="cabac", lv_cap=n_words)
+                        last = ob2["host_blob"]
                 if p.deblock:
                     self._deblock_device(out2, qp, mbw, mbh)
                 if rung_i == 0 and last is not None:
@@ -171,14 +189,24 @@ class Encoder:
         finally:
             self._warm_done.set()
 
-    def warm(self, timeout=None) -> bool:
+    def warm(self, timeout=None, full: bool = False) -> bool:
         """Block until the background compile warm-up has compiled every
         ladder rung of every frame core (bench and latency-sensitive
         callers).  Returns True when the warm-up provably completed;
-        False on timeout or when no warm-up thread was started."""
+        False on timeout or when no warm-up thread was started.
+
+        full=True joins the warm-up THREAD (not just the first-rung
+        event): the overflow-rung compiles otherwise continue in the
+        background and contend with measured frames through the
+        remote-compile tunnel (observed: two ~50 s stalls in the first
+        mini-GOPs on a cold compile cache)."""
         if self._warm_done is None:
             return False
-        return self._warm_done.wait(timeout)
+        ok = self._warm_done.wait(timeout)
+        if full and self._warm_thread is not None:
+            self._warm_thread.join(timeout)
+            return ok and not self._warm_thread.is_alive()
+        return ok
 
     # -- x264_encoder_reconfig (encoder/encoder.c:1955) ----------------------
     RECONFIG_OK = frozenset((
@@ -1242,7 +1270,12 @@ class Encoder:
         if self.p.b_adapt:
             self._lookahead().push_anchor(self._pad(anchor)[0])
         nxt = self.dpb[0]
-        jobs = [self._submit_b(bf, bd, prev, nxt) for (bf, bd) in pend[:-1]]
+        bs = pend[:-1]
+        if len(bs) == 2 and self._cabac_fast():
+            # both Bs of the mini-GOP in one program (b_pair_core)
+            jobs = self._submit_b_pair(bs[0], bs[1], prev, nxt)
+        else:
+            jobs = [self._submit_b(bf, bd, prev, nxt) for (bf, bd) in bs]
         out += self._drain_gop_q()
         self._gop_q = [("a", ajob)] + [("b", j) for j in jobs]
         return out
@@ -1373,6 +1406,76 @@ class Encoder:
                     frame_num=self.frame_num,
                     args=(yd, ud, vd, prev, nxt, dsf))
 
+    def _submit_b_pair(self, b1, b2, prev: "ReconFrame",
+                       nxt: "ReconFrame") -> list:
+        """Submit BOTH B frames of a mini-GOP as ONE device program
+        (models/b_frame_device.b_pair_core): anchors, hpel planes and
+        colocated motion are shared; the per-frame body is vmapped.
+        Returns two finalize jobs (same contract as _submit_b)."""
+        import jax
+
+        from x264_tpu.models.b_frame_device import b_pair_core
+        from x264_tpu.models.inter_frame import sad_lambda
+
+        (f1, d1), (f2, d2) = b1, b2
+        y1, u1, v1 = self._pad(f1)
+        y2, u2, v2 = self._pad(f2)
+        h, w = y1.shape
+        mbw, mbh = w // 16, h // 16
+        n = mbw * mbh
+        qps, dsfs, pocs = [], [], []
+        for d in (d1, d2):
+            q = self._zone_qp(d, self._qp_for_frame("B"))
+            f_qp = self._forced_for(d)[1]
+            if f_qp is not None:
+                q = int(np.clip(f_qp, self.p.qp_min, self.p.qp_max))
+            if self._mbt_off_by_disp:
+                self._mbt_off_by_disp.pop(d, None)
+            poc_cur = self._poc_lsb(d)
+            tb = int(np.clip(poc_cur - prev.poc, -128, 127))
+            td = int(np.clip(nxt.poc - prev.poc, -128, 127))
+            td = td or 1
+            tx = (16384 + abs(td) // 2) // td
+            dsfs.append(int(np.clip((tb * tx + 32) >> 6, -1024, 1023)))
+            qps.append(q)
+            pocs.append(poc_cur)
+        qp = qps[0]
+        ladder = self._ladder(qp)
+        n_words = ladder[0]
+
+        buf = np.empty((2, h + h // 2, w), np.uint8)
+        for i, (yy, uu, vv) in enumerate(((y1, u1, v1), (y2, u2, v2))):
+            buf[i, :h] = yy
+            buf[i, h:, :w // 2] = uu
+            buf[i, h:, w // 2:] = vv
+        d2d = jax.device_put(buf)
+        y2d, u2d, v2d = d2d[:, :h], d2d[:, h:, :w // 2], d2d[:, h:, w // 2:]
+
+        pair = b_pair_core(
+            y2d, u2d, v2d, prev.y, prev.u, prev.v, nxt.y, nxt.u, nxt.v,
+            nxt.col_mv, nxt.col_intra,
+            np.asarray(dsfs, np.int32), np.asarray(qps, np.int32),
+            np.int32(sad_lambda(qp)),
+            mbw=mbw, mbh=mbh, me_range=self.p.me_range,
+            cqp_off=self.p.chroma_qp_offset,
+            subpel=self.p.subpel, t8_mode=self.p.transform_8x8,
+            trellis_tbl=self._trellis_tbl(qp, "B"),
+            decimate=self.p.dct_decimate,
+            entropy="cabac", lv_cap=n_words)
+        try:
+            pair["host_blob"].copy_to_host_async()
+        except Exception:
+            pass
+        jobs = []
+        for i, (d, q, dsf) in enumerate(zip((d1, d2), qps, dsfs)):
+            jobs.append(dict(pair=pair, pidx=i, out=None, mbw=mbw,
+                             mbh=mbh, n=n, qp=q, ladder=ladder,
+                             n_words=n_words, poc_cur=pocs[i], disp=d,
+                             frame_num=self.frame_num,
+                             args=((y2d, u2d, v2d, i), None, None,
+                                   prev, nxt, dsf)))
+        return jobs
+
     def _finalize_b(self, job: dict) -> bytes:
         import jax.numpy as jnp
 
@@ -1391,7 +1494,26 @@ class Encoder:
         poc_cur = job["poc_cur"]
         n_words = job["n_words"]
         cab = self._cabac_fast()
-        blob = np.asarray(out["host_blob"])
+        if job.get("pair") is not None:
+            # pair-core job: ONE (2, L) blob serves both finalizes (the
+            # device->host pull is cached on the jax Array by the first)
+            blob = np.asarray(job["pair"]["host_blob"])[job["pidx"]]
+            if out is None:
+                # per-frame view of the stacked outputs — ONLY the
+                # fields this finalize will touch (each slice is an
+                # eagerly dispatched device op, so keep the set minimal:
+                # recon planes for last_recon, plus the deblock inputs
+                # when full_recon B deblocking is on)
+                i = job["pidx"]
+                pair = job["pair"]
+                keys = ["recon_y", "recon_u", "recon_v"]
+                if self.p.deblock and self.p.full_recon:
+                    keys += ["mb_class", "mv0", "mv1", "any0", "any1",
+                             "luma_nnz", "nnz_deblock", "t8"]
+                out = {k: pair[k][i] for k in keys if k in pair}
+                job["out"] = out
+        else:
+            blob = np.asarray(out["host_blob"])
 
         def _over(blob, n_words):
             if cab:
@@ -1402,6 +1524,9 @@ class Encoder:
 
         if _over(blob, n_words):
             yd, ud, vd, prev, nxt, dsf = job["args"]
+            if isinstance(yd, tuple):      # pair job: slice this frame
+                (y2d, u2d, v2d, i) = yd
+                yd, ud, vd = y2d[i], u2d[i], v2d[i]
             for n_words in job["ladder"][1:]:
                 ekw = (dict(entropy="cabac", lv_cap=n_words) if cab
                        else dict(n_words=n_words))
@@ -1469,19 +1594,25 @@ class Encoder:
         # skipped when full_recon is off — the x264 b_full_recon analog)
         ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
         if self.p.deblock and self.p.full_recon:
-            qpc = int(CHROMA_QP_TABLE[min(max(
-                qp + self.p.chroma_qp_offset, 0), 51)])
-            from x264_tpu.ops.device.deblock import deblock_impl
-            ry, ru, rv = deblock_core_b(
+            from x264_tpu.ops.device.deblock import (deblock_frame_b,
+                                                     deblock_impl)
+            if self._qpc_tab_dev is None:
+                import jax
+                self._qpc_tab_dev = jax.device_put(
+                    CHROMA_QP_TABLE.astype(np.int32))
+            has_t8 = self.p.transform_8x8 and "t8" in out
+            ry, ru, rv = deblock_frame_b(
                 ry, ru, rv,
                 out.get("nnz_deblock", out["luma_nnz"]),
                 out["mv0"], out["mv1"],
                 out["any0"], out["any1"],
-                jnp.full(n, qp, jnp.int32), jnp.full(n, qpc, jnp.int32),
+                np.int32(qp),
                 np.int32(self.p.deblock_alpha * 2),
                 np.int32(self.p.deblock_beta * 2), mbw=mbw, mbh=mbh,
-                impl=deblock_impl(), intra=out["mb_class"] == 0,
-                t8=out.get("t8") if self.p.transform_8x8 else None)
+                impl=deblock_impl(), cqp_off=self.p.chroma_qp_offset,
+                has_t8=has_t8, intra=out["mb_class"] == 0,
+                t8=out.get("t8") if has_t8 else None,
+                chroma_qp_table=self._qpc_tab_dev)
         self.last_recon = ReconFrame(ry, ru, rv)
         self._note_recon(job.get("disp"), self.last_recon)
         self.stats.append(FrameStats("B", len(data) * 8, qp))
@@ -1534,30 +1665,29 @@ class Encoder:
 
     _pending = None
 
+    _qpc_tab_dev = None
+
     def _deblock_device(self, out, qp, mbw, mbh):
-        """Enqueue device deblock on the core's outputs (device-resident)."""
+        """Enqueue device deblock on the core's outputs (device-resident).
+        The QP-chain/chroma-QP/bS prep is fused INTO the deblock jit
+        (deblock_frame): every eager jnp op here used to be its own
+        dispatched module, costing host tunnel latency per frame."""
         ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
         if not self.p.deblock:
             return ry, ru, rv
         import jax.numpy as jnp
 
         from x264_tpu.bitstream.tables import CHROMA_QP_TABLE
-        from x264_tpu.ops.device.deblock import deblock_core
-        import jax
+        from x264_tpu.ops.device.deblock import deblock_frame, deblock_impl
         n = mbw * mbh
-        # decoder-visible QP chain (7.4.5): carry over when no residual
-        qp_mb = out["qp_mb"]
-        mbc = out["mb_class"]
-        emits = (mbc != 3) & ((out["cbp_luma"] != 0)
-                              | (out["cbp_chroma"] != 0) | (mbc == 0))
-        idx = jnp.where(emits, jnp.arange(n, dtype=jnp.int32), -1)
-        last = jax.lax.cummax(idx)
-        qp_mb = jnp.where(last >= 0, qp_mb[jnp.maximum(last, 0)], qp_mb[0])
-        qpc_tab = jnp.asarray(CHROMA_QP_TABLE.astype(np.int32))
-        qpc_mb = qpc_tab[jnp.clip(qp_mb + self.p.chroma_qp_offset, 0, 51)]
-        from x264_tpu.ops.device.deblock import deblock_impl
-        return deblock_core(
-            ry, ru, rv, out["mb_class"] <= 1,   # I16 (0) or I_NxN (1)
+        if self._qpc_tab_dev is None:
+            import jax
+            self._qpc_tab_dev = jax.device_put(
+                CHROMA_QP_TABLE.astype(np.int32))
+        has_t8 = "t8" in out and self.p.transform_8x8
+        return deblock_frame(
+            ry, ru, rv, out["mb_class"], out["cbp_luma"],
+            out["cbp_chroma"],
             out["nnz_deblock"] if "nnz_deblock" in out else out["luma_nnz"],
             # quadrant-granular mvs/refs when partitions are active (the
             # internal-edge mv-discontinuity bS rule needs them)
@@ -1566,11 +1696,12 @@ class Encoder:
             out["ref8"] if "mv8" in out
             else out["ref_mb"] if "ref_mb" in out
             else jnp.zeros(n, jnp.int32),
-            qp_mb, qpc_mb,
+            out["qp_mb"],
             np.int32(self.p.deblock_alpha * 2),
             np.int32(self.p.deblock_beta * 2), mbw=mbw, mbh=mbh,
-            impl=deblock_impl(),
-            t8=out["t8"] if "t8" in out and self.p.transform_8x8 else None)
+            impl=deblock_impl(), cqp_off=self.p.chroma_qp_offset,
+            has_t8=has_t8, t8=out["t8"] if has_t8 else None,
+            chroma_qp_table=self._qpc_tab_dev)
 
     def _pad(self, fr: Frame420):
         y = pad_to_mb(fr.y, 16)

@@ -73,12 +73,84 @@ def b_frame_core(y, u, v,
     direct_8x8_inference corner rule resolves to the quadrant's own mv
     at our >= 8x8 partition grain); col_intra (N,) bool; dist_scale:
     temporal-direct DistScaleFactor (8.4.1.2.3), traced int32."""
+    l0y = _pad_edge(l0_y, PAD)
+    l1y = _pad_edge(l1_y, PAD)
+    planes0 = mc_hpel_planes(l0y)
+    planes1 = mc_hpel_planes(l1y)
+    mv0_fp, cost0_fp = full_search_16x16(y, l0y, lam, me_range=me_range,
+                                         mbw=mbw, mbh=mbh)
+    mv1_fp, cost1_fp = full_search_16x16(y, l1y, lam, me_range=me_range,
+                                         mbw=mbw, mbh=mbh)
+    return _b_body(y, u, v, planes0, planes1,
+                   _pad_edge(l0_u, PAD // 2), _pad_edge(l0_v, PAD // 2),
+                   _pad_edge(l1_u, PAD // 2), _pad_edge(l1_v, PAD // 2),
+                   col_mv, col_intra, dist_scale, qp, lam,
+                   mv0_fp, cost0_fp, mv1_fp, cost1_fp,
+                   mbw=mbw, mbh=mbh, me_range=me_range, cqp_off=cqp_off,
+                   n_words=n_words, subpel=subpel, entropy=entropy,
+                   lv_cap=lv_cap, t8_mode=t8_mode,
+                   trellis_tbl=trellis_tbl, decimate=decimate)
+
+
+@aot_jit(static_argnames=("mbw", "mbh", "me_range", "cqp_off",
+                          "n_words", "subpel", "entropy",
+                          "lv_cap", "t8_mode", "decimate"))
+def b_pair_core(y2, u2, v2,
+                l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
+                col_mv, col_intra, dist_scale2, qp2, lam,
+                mbw: int, mbh: int, me_range: int, cqp_off: int,
+                n_words: int = 24, subpel: int = 2,
+                entropy: str = "cabac", lv_cap: int = 64,
+                t8_mode: bool = False, trellis_tbl=None,
+                decimate: bool = True):
+    """Both B frames of a mini-GOP in ONE program: sources stacked on a
+    leading axis (y2 (2,H,W)), anchors/hpel planes/colocated motion
+    SHARED (computed once), the per-frame body vmapped.  Halves the
+    per-op dispatch count that dominates the B cores (see
+    doc/PROFILE_r5.md) and skips the second hpel filter bank.
+    dist_scale2/qp2: (2,) per-frame.  Every output gains a leading
+    frame axis; math is identical to b_frame_core per frame (vmap does
+    not change integer arithmetic), so streams are bit-identical."""
+    l0y = _pad_edge(l0_y, PAD)
+    l1y = _pad_edge(l1_y, PAD)
+    planes0 = mc_hpel_planes(l0y)
+    planes1 = mc_hpel_planes(l1y)
+    fp = [full_search_16x16(y2[i], ref, lam, me_range=me_range,
+                            mbw=mbw, mbh=mbh)
+          for i in range(2) for ref in (l0y, l1y)]
+    mv0_fp = jnp.stack([fp[0][0], fp[2][0]])
+    cost0_fp = jnp.stack([fp[0][1], fp[2][1]])
+    mv1_fp = jnp.stack([fp[1][0], fp[3][0]])
+    cost1_fp = jnp.stack([fp[1][1], fp[3][1]])
+    l0u, l0v = _pad_edge(l0_u, PAD // 2), _pad_edge(l0_v, PAD // 2)
+    l1u, l1v = _pad_edge(l1_u, PAD // 2), _pad_edge(l1_v, PAD // 2)
+
+    def body(y, u, v, dsf, qp, m0, c0, m1, c1):
+        return _b_body(y, u, v, planes0, planes1, l0u, l0v, l1u, l1v,
+                       col_mv, col_intra, dsf, qp, lam,
+                       m0, c0, m1, c1,
+                       mbw=mbw, mbh=mbh, me_range=me_range,
+                       cqp_off=cqp_off, n_words=n_words, subpel=subpel,
+                       entropy=entropy, lv_cap=lv_cap, t8_mode=t8_mode,
+                       trellis_tbl=trellis_tbl, decimate=decimate)
+
+    return jax.vmap(body)(y2, u2, v2, dist_scale2, qp2,
+                          mv0_fp, cost0_fp, mv1_fp, cost1_fp)
+
+
+def _b_body(y, u, v, planes0, planes1, l0u, l0v, l1u, l1v,
+            col_mv, col_intra, dist_scale, qp, lam,
+            mv0_fp, cost0_fp, mv1_fp, cost1_fp,
+            mbw: int, mbh: int, me_range: int, cqp_off: int,
+            n_words: int, subpel: int, entropy: str, lv_cap: int,
+            t8_mode: bool, trellis_tbl, decimate: bool):
+    """Per-frame B encode given shared padded refs / hpel planes and the
+    frame's fullpel ME results (hoisted so b_pair_core can vmap this
+    body over two sources while sharing the anchor-side work)."""
     n = mbw * mbh
     qp = jnp.broadcast_to(jnp.asarray(qp, jnp.int32).reshape(-1), (n,))
     qpc = _CHROMA_QP[jnp.clip(qp + cqp_off, 0, 51)]
 
-    l0y = _pad_edge(l0_y, PAD)
-    l1y = _pad_edge(l1_y, PAD)
     src_mbs = T.plane_to_mbs(y.astype(jnp.int32), mbh, mbw, 16)
 
     # ---- temporal direct MVs (8.4.1.2.3), per quadrant ----
@@ -91,13 +163,7 @@ def b_frame_core(y, u, v,
     dmv0 = jnp.clip(dmv0, -lim, lim)
     dmv1 = jnp.clip(dmv1, -lim, lim)
 
-    # ---- per-list ME ----
-    planes0 = mc_hpel_planes(l0y)
-    planes1 = mc_hpel_planes(l1y)
-
-    def me(plane_pad, planes):
-        mv, cost = full_search_16x16(y, plane_pad, lam, me_range=me_range,
-                                     mbw=mbw, mbh=mbh)
+    def me(planes, mv, cost):
         if subpel > 0:
             mv, cost, pred = subpel_refine(src_mbs, planes, mv, lam,
                                            me_range, subpel, mbw, mbh,
@@ -106,8 +172,8 @@ def b_frame_core(y, u, v,
             pred = mc_luma_qpel(planes, mv, mbw, mbh, PAD)
         return mv, cost, pred
 
-    mv0, cost0, pred0 = me(l0y, planes0)
-    mv1, cost1, pred1 = me(l1y, planes1)
+    mv0, cost0, pred0 = me(planes0, mv0_fp, cost0_fp)
+    mv1, cost1, pred1 = me(planes1, mv1_fp, cost1_fp)
     pred_bi = (pred0 + pred1 + 1) >> 1
     pd0 = mc_luma_qpel_quad(planes0, dmv0, mbw, mbh, PAD)
     pd1 = mc_luma_qpel_quad(planes1, dmv1, mbw, mbh, PAD)
@@ -168,10 +234,7 @@ def b_frame_core(y, u, v,
                                        trellis8=tr8, decimate=decimate)
 
     # chroma: per-list MC at the final mvs, averaged per mode
-    l0u = _pad_edge(l0_u, PAD // 2)
-    l0v = _pad_edge(l0_v, PAD // 2)
-    l1u = _pad_edge(l1_u, PAD // 2)
-    l1v = _pad_edge(l1_v, PAD // 2)
+    # (l0u/l0v/l1u/l1v arrive pre-padded from the callers)
     cu0, cv0 = mc_chroma_uv_quad(l0u, l0v, fmv0, mbw, mbh, PAD // 2)
     cu1, cv1 = mc_chroma_uv_quad(l1u, l1v, fmv1, mbw, mbh, PAD // 2)
     both = (any0 & any1)[:, None, None]

@@ -311,6 +311,32 @@ def _filter_by_impl(impl, y, u, v, bs_v, bs_h, qp_mb, qpc_mb,
                            off_a, off_b, mbw=mbw, mbh=mbh)
 
 
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "impl",
+                                             "cqp_off", "has_t8"))
+def deblock_frame(y, u, v, mb_class, cbp_luma, cbp_chroma, luma_nnz,
+                  mv, ref, qp_mb, off_a, off_b, mbw: int, mbh: int,
+                  impl: str = "xla", cqp_off: int = 0, has_t8: bool = False,
+                  t8=None, chroma_qp_table=None):
+    """One-dispatch anchor deblock: the decoder-visible QP chain (7.4.5
+    carry-over when a MB emits no residual), the chroma QP lookup, the
+    intra mask, and the filter — fused so the host issues ONE module
+    instead of ~25 eager ops per frame (each eager dispatch costs
+    milliseconds of tunnel latency; see round-5 stage profile)."""
+    n = mbw * mbh
+    qp_mb = jnp.broadcast_to(jnp.asarray(qp_mb, jnp.int32).reshape(-1),
+                             (n,))
+    emits = (mb_class != 3) & ((cbp_luma != 0) | (cbp_chroma != 0)
+                               | (mb_class == 0))
+    idx = jnp.where(emits, jnp.arange(n, dtype=jnp.int32), -1)
+    last = jax.lax.cummax(idx)
+    qp_mb = jnp.where(last >= 0, qp_mb[jnp.maximum(last, 0)], qp_mb[0])
+    qpc_mb = chroma_qp_table[jnp.clip(qp_mb + cqp_off, 0, 51)]
+    bs_v, bs_h = bs_grids(mb_class <= 1, luma_nnz, mv, ref, mbw, mbh,
+                          t8=t8 if has_t8 else None)
+    return _filter_by_impl(impl, y, u, v, bs_v, bs_h, qp_mb, qpc_mb,
+                           off_a, off_b, mbw, mbh)
+
+
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh", "impl"))
 def deblock_core(y, u, v, mb_intra, luma_nnz, mv, ref, qp_mb, qpc_mb,
                  off_a, off_b, mbw: int, mbh: int, impl: str = "xla",
@@ -325,6 +351,23 @@ def deblock_core(y, u, v, mb_intra, luma_nnz, mv, ref, qp_mb, qpc_mb,
     read-after-write order; see module docstring).  impl='pallas' runs
     the same schedule as one Mosaic kernel (deblock_pallas.py)."""
     bs_v, bs_h = bs_grids(mb_intra, luma_nnz, mv, ref, mbw, mbh, t8=t8)
+    return _filter_by_impl(impl, y, u, v, bs_v, bs_h, qp_mb, qpc_mb,
+                           off_a, off_b, mbw, mbh)
+
+
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "impl",
+                                             "cqp_off", "has_t8"))
+def deblock_frame_b(y, u, v, luma_nnz, mv0, mv1, any0, any1, qp,
+                    off_a, off_b, mbw: int, mbh: int, impl: str = "xla",
+                    cqp_off: int = 0, has_t8: bool = False,
+                    intra=None, t8=None, chroma_qp_table=None):
+    """One-dispatch B deblock: per-MB QP broadcast + chroma lookup +
+    strengths + filter fused (see deblock_frame's rationale)."""
+    n = mbw * mbh
+    qp_mb = jnp.full((n,), jnp.asarray(qp, jnp.int32))
+    qpc_mb = chroma_qp_table[jnp.clip(qp_mb + cqp_off, 0, 51)]
+    bs_v, bs_h = bs_grids_b(luma_nnz, mv0, mv1, any0, any1, mbw, mbh,
+                            intra=intra, t8=t8 if has_t8 else None)
     return _filter_by_impl(impl, y, u, v, bs_v, bs_h, qp_mb, qpc_mb,
                            off_a, off_b, mbw, mbh)
 

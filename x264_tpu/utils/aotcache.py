@@ -142,6 +142,12 @@ def aot_jit(fn=None, *, static_argnames=(), min_elems=2_000_000):
                 exported = None
         if exported is None:
             try:
+                if os.environ.get("X264_TPU_AOT_DEBUG"):
+                    import sys
+                    print(f"[aot MISS] {fn.__module__}.{fn.__qualname__} "
+                          f"key={key} sig="
+                          f"{','.join(_leaf_sig(x) for x in leaves)}",
+                          file=sys.stderr, flush=True)
                 exported = jax.export.export(jax.jit(flatfn))(*leaves)
                 tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
                 with open(tmp, "wb") as fh:
