@@ -280,3 +280,55 @@ def test_b_pair_core_bitexact_vs_single(rng):
     s_pair, s_single = run(True), run(False)
     assert s_pair == s_single
     assert len(decode_annexb(s_pair, 96, 64)) == 8
+
+
+@pytest.mark.parametrize("refs", [2, 3])
+def test_multiref_with_bframes(rng, refs):
+    """Round-5: multi-ref P anchors compose with B frames (the round-2
+    `bframes => ref_frames=1` gate dropped).  B slices stay one-ref-per-
+    list; temporal direct is barred at MBs whose colocated quad used an
+    older anchor (ref_idx > 0), so the one-entry list0 stays conformant.
+    Gate: display-order recon bit-exact vs libavcodec."""
+    w, h = 96, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(10):
+        # alternate content so older refs sometimes win (ref_idx > 0)
+        y = (120 + 70 * np.sin((xx + 5 * (t // 2 * 2)) / 13.0)
+             * np.cos((yy - 3 * t) / 19.0)).astype(np.uint8)
+        y += rng.integers(0, 6, (h, w)).astype(np.uint8)
+        u = (128 + 40 * np.sin((xx[::2, ::2] + 5 * t) / 23.0)).astype(np.uint8)
+        v = (128 + 40 * np.cos((yy[::2, ::2] + 7 * t) / 29.0)).astype(np.uint8)
+        frames.append(Frame420(y, u, v))
+    enc = Encoder(EncoderParams(width=w, height=h, qp=26, me_range=8,
+                                backend="device", bframes=2,
+                                ref_frames=refs, keyint_max=250,
+                                cabac=True, deblock=True,
+                                transform_8x8=True, trellis=1,
+                                full_recon=True))
+    recs = {}
+    _fin_b, _fin_a = enc._finalize_b, enc._finalize_device
+
+    def spy_b(job):
+        data = _fin_b(job)
+        r = enc.last_recon
+        recs[job["disp"]] = (np.asarray(r.y), np.asarray(r.u),
+                             np.asarray(r.v))
+        return data
+
+    def spy_a(job):
+        data = _fin_a(job)
+        r = job.get("rec") or enc.dpb[0]
+        d = job.get("poc_lsb", 0) // 2 + enc._idr_disp
+        recs[d] = (np.asarray(r.y), np.asarray(r.u), np.asarray(r.v))
+        return data
+
+    enc._finalize_b, enc._finalize_device = spy_b, spy_a
+    stream = b"".join(enc.encode(f) for f in frames) + enc.flush()
+    dec = decode_annexb(stream, w, h)
+    assert len(dec) == len(frames)
+    for d in range(len(frames)):
+        ry, ru, rv = recs[d]
+        assert np.array_equal(dec[d][0], ry[:h, :w]), f"display {d} luma"
+        assert np.array_equal(dec[d][1], ru[:h // 2, :w // 2]), d
+        assert np.array_equal(dec[d][2], rv[:h // 2, :w // 2]), d

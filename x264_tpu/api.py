@@ -39,6 +39,8 @@ class ReconFrame:
     # colocated motion field (temporal direct): per-MB mv + intra mask
     col_mv: object = None
     col_intra: object = None
+    # per-quad ref_idx of the anchor (multi-ref temporal-direct gate)
+    col_ref: object = None
 
 
 @dataclass
@@ -455,9 +457,11 @@ class Encoder:
             return None
         from x264_tpu.models.inter_frame import me_lambda, sad_lambda
         from x264_tpu.ops.device.trellis import frame_trellis
-        states = (self._cab_states or {}).get(slice_type)
+        # round 5: the live-state feedback measured worse than the
+        # static ctx-init tables at equal rate (see frame_trellis's
+        # calibration note) — states stay None
         return frame_trellis(qp, slice_type, me_lambda(qp),  # λ2: RD slope
-                             self.p.transform_8x8, states=states)
+                             self.p.transform_8x8, states=None)
 
     def _note_recon(self, disp, rec) -> None:
         if self.recon_hook is not None and disp is not None:
@@ -964,10 +968,14 @@ class Encoder:
             if "mv8" in out:
                 rec.col_mv = out["mv8"]
                 rec.col_intra = out["mb_class"] == 0
+                rec.col_ref = out.get("ref8")
             elif "mv" in out:
                 rec.col_mv = jnp.broadcast_to(
                     out["mv"][:, None], (out["mv"].shape[0], 4, 2))
                 rec.col_intra = out["mb_class"] == 0
+                r = out.get("ref_mb")
+                rec.col_ref = (None if r is None else jnp.broadcast_to(
+                    r[:, None], (n, 4)))
         self.last_recon = rec if rec is not None else self.last_recon
         return job
 
@@ -1306,6 +1314,9 @@ class Encoder:
                 jnp.asarray(syn.mv.astype(np.int32))[:, None],
                 (syn.mv.shape[0], 4, 2))
             rec.col_intra = jnp.asarray(syn.mb_class == 0)
+            rec.col_ref = (None if syn.ref is None else jnp.broadcast_to(
+                jnp.asarray(syn.ref.astype(np.int32))[:, None],
+                (syn.mv.shape[0], 4)))
             self._note_au(len(out_bytes), ftype, self._poc_lsb(disp))
             return out_bytes
         return self._finalize_device(self._submit_anchor(fr, disp, ftype))
@@ -1333,19 +1344,24 @@ class Encoder:
         rec = self.dpb[0]
         self._note_recon(disp, rec)
         rec.poc = self._poc_lsb(disp)
+        n = job["mbw"] * job["mbh"]
         if "mv8" in out:
             # quadrant-grain anchor motion (partitions): temporal direct
             # derives per-quad (direct_8x8_inference corner rule)
             rec.col_mv = out["mv8"]
             rec.col_intra = out["mb_class"] == 0
+            rec.col_ref = out.get("ref8")
         elif "mv" in out:
             rec.col_mv = jnp.broadcast_to(
                 out["mv"][:, None], (out["mv"].shape[0], 4, 2))
             rec.col_intra = out["mb_class"] == 0
+            r = out.get("ref_mb")
+            rec.col_ref = (None if r is None else
+                           jnp.broadcast_to(r[:, None], (n, 4)))
         else:
-            n = job["mbw"] * job["mbh"]
             rec.col_mv = jnp.zeros((n, 4, 2), jnp.int32)
             rec.col_intra = jnp.ones(n, bool)
+            rec.col_ref = None
         return job
 
     def _submit_b(self, fr: Frame420, disp: int,
@@ -1396,7 +1412,9 @@ class Encoder:
             cqp_off=self.p.chroma_qp_offset,
             subpel=self.p.subpel, t8_mode=self.p.transform_8x8,
             trellis_tbl=self._trellis_tbl(qp, "B"),
-            decimate=self.p.dct_decimate, **ekw)
+            decimate=self.p.dct_decimate,
+            col_ref=nxt.col_ref if self.p.ref_frames > 1 else None,
+            **ekw)
         try:
             out["host_blob"].copy_to_host_async()
         except Exception:
@@ -1461,6 +1479,7 @@ class Encoder:
             subpel=self.p.subpel, t8_mode=self.p.transform_8x8,
             trellis_tbl=self._trellis_tbl(qp, "B"),
             decimate=self.p.dct_decimate,
+            col_ref=nxt.col_ref if self.p.ref_frames > 1 else None,
             entropy="cabac", lv_cap=n_words)
         try:
             pair["host_blob"].copy_to_host_async()
@@ -1540,7 +1559,9 @@ class Encoder:
                     subpel=self.p.subpel,
                     t8_mode=self.p.transform_8x8,
                     trellis_tbl=self._trellis_tbl(qp, "B"),
-                    decimate=self.p.dct_decimate, **ekw)
+                    decimate=self.p.dct_decimate,
+                    col_ref=nxt.col_ref if self.p.ref_frames > 1
+                    else None, **ekw)
                 blob = np.asarray(out["host_blob"])
                 if not _over(blob, n_words):
                     break

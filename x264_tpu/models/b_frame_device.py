@@ -66,13 +66,20 @@ def b_frame_core(y, u, v,
                  n_words: int = 24, subpel: int = 2,
                  entropy: str = "cavlc", lv_cap: int = 64,
                  t8_mode: bool = False, trellis_tbl=None,
-                 decimate: bool = True):
+                 decimate: bool = True, col_ref=None):
     """Encode one B frame.  col_mv (N,4,2): the L1 anchor's QUADRANT-
     grain motion field (uniform quads when the anchor is 16x16-only;
     distinct when the anchor used partitions — 8.4.1.2.2's
     direct_8x8_inference corner rule resolves to the quadrant's own mv
     at our >= 8x8 partition grain); col_intra (N,) bool; dist_scale:
-    temporal-direct DistScaleFactor (8.4.1.2.3), traced int32."""
+    temporal-direct DistScaleFactor (8.4.1.2.3), traced int32.
+
+    col_ref (N,4) int32 or None: the L1 anchor's per-quad ref_idx
+    field.  With multi-ref anchors, a colocated quad that referenced
+    an older anchor (ref_idx > 0) would make the spec's temporal
+    derivation (8.4.1.2.3 MapColToList0) point outside our one-entry
+    B list0 — such MBs simply never choose direct (explicit L0/L1/BI
+    instead), keeping num_ref_idx_l0_active = 1 conformant."""
     l0y = _pad_edge(l0_y, PAD)
     l1y = _pad_edge(l1_y, PAD)
     planes0 = mc_hpel_planes(l0y)
@@ -89,7 +96,8 @@ def b_frame_core(y, u, v,
                    mbw=mbw, mbh=mbh, me_range=me_range, cqp_off=cqp_off,
                    n_words=n_words, subpel=subpel, entropy=entropy,
                    lv_cap=lv_cap, t8_mode=t8_mode,
-                   trellis_tbl=trellis_tbl, decimate=decimate)
+                   trellis_tbl=trellis_tbl, decimate=decimate,
+                   col_ref=col_ref)
 
 
 @aot_jit(static_argnames=("mbw", "mbh", "me_range", "cqp_off",
@@ -102,7 +110,7 @@ def b_pair_core(y2, u2, v2,
                 n_words: int = 24, subpel: int = 2,
                 entropy: str = "cabac", lv_cap: int = 64,
                 t8_mode: bool = False, trellis_tbl=None,
-                decimate: bool = True):
+                decimate: bool = True, col_ref=None):
     """Both B frames of a mini-GOP in ONE program: sources stacked on a
     leading axis (y2 (2,H,W)), anchors/hpel planes/colocated motion
     SHARED (computed once), the per-frame body vmapped.  Halves the
@@ -132,7 +140,8 @@ def b_pair_core(y2, u2, v2,
                        mbw=mbw, mbh=mbh, me_range=me_range,
                        cqp_off=cqp_off, n_words=n_words, subpel=subpel,
                        entropy=entropy, lv_cap=lv_cap, t8_mode=t8_mode,
-                       trellis_tbl=trellis_tbl, decimate=decimate)
+                       trellis_tbl=trellis_tbl, decimate=decimate,
+                       col_ref=col_ref)
 
     return jax.vmap(body)(y2, u2, v2, dist_scale2, qp2,
                           mv0_fp, cost0_fp, mv1_fp, cost1_fp)
@@ -143,7 +152,7 @@ def _b_body(y, u, v, planes0, planes1, l0u, l0v, l1u, l1v,
             mv0_fp, cost0_fp, mv1_fp, cost1_fp,
             mbw: int, mbh: int, me_range: int, cqp_off: int,
             n_words: int, subpel: int, entropy: str, lv_cap: int,
-            t8_mode: bool, trellis_tbl, decimate: bool):
+            t8_mode: bool, trellis_tbl, decimate: bool, col_ref=None):
     """Per-frame B encode given shared padded refs / hpel planes and the
     frame's fullpel ME results (hoisted so b_pair_core can vmap this
     body over two sources while sharing the anchor-side work)."""
@@ -189,6 +198,11 @@ def _b_body(y, u, v, planes0, planes1, l0u, l0v, l1u, l1v,
 
     # mode decision (SATD + mv bits + ue(mb_type) bits, analyse.c B path)
     cost_dir = P.satd(src_mbs, pred_dir) + lam * 1
+    if col_ref is not None:
+        # multi-ref anchors: direct barred where any colocated quad
+        # referenced an older anchor (see b_frame_core docstring)
+        dir_ok = (col_ref.astype(jnp.int32) == 0).all(axis=1)
+        cost_dir = jnp.where(dir_ok, cost_dir, jnp.int32(1 << 29))
     cost_bi = (P.satd(src_mbs, pred_bi) + (cost0 - P.satd(src_mbs, pred0))
                + (cost1 - P.satd(src_mbs, pred1)) + lam * 5)
     costs = jnp.stack([cost_dir, cost0 + lam * 3, cost1 + lam * 3, cost_bi])

@@ -337,9 +337,31 @@ def i4_frame_core(y, u, v, qp, lam, mbw: int, mbh: int, cqp_off: int,
         rec16, dc_zz, ac16_zz, nnz16, cbp16 = encode_i16_luma(
             src, pred16, qp_l, trellis=tr16)
 
+        # ---- true-cost luma-size arbitration (round 5) ----
+        # The I16-vs-I4x4-vs-I8x8 choice used to compare prediction
+        # SATDs, which is blind to the transform-size coding gain (the
+        # whole point of I8x8 on smooth content: x264 codes ~87% of I
+        # MBs as I8x8 on the bench clip, this core picked ~8%).  All
+        # three candidates are encoded anyway, so arbitrate like
+        # select_transform_8x8: J = recon SSD + lambda2 * rate proxy
+        # (reference analyse.c intra_rd_refine's role, done batched).
+        lam2 = jnp.maximum(lam * lam * 9 // 10, jnp.int32(1))
+
+        def _rate_proxy(lv):
+            a = jnp.abs(lv.reshape(lv.shape[0], -1).astype(jnp.int32))
+            nbits = jnp.zeros_like(a)
+            for kbit in range(14):
+                nbits = nbits + (a >= (1 << kbit)).astype(jnp.int32)
+            return (2 * nbits + (a > 0).astype(jnp.int32)).sum(-1)
+
+        j16 = (P.ssd(src, rec16)
+               + lam2 * (_rate_proxy(dc_zz) + _rate_proxy(ac16_zz) + 8))
+
         # ---- I4x4 candidate (writes blocks into ry as it goes; the
         # I16x16 winner overwrites the whole MB afterwards) ----
         cost4 = jnp.full(xs.shape, 24, jnp.int32) * lam   # x264 i4x4 const
+        ssd4_acc = jnp.zeros(xs.shape, jnp.int32)
+        rb4_acc = jnp.full(xs.shape, 24, jnp.int32)   # header-cost const
         modes4 = jnp.zeros((d_lanes, 16), jnp.int32)
         acs4 = jnp.zeros((d_lanes, 16, 16), jnp.int32)
         nnzs4 = jnp.zeros((d_lanes, 16), jnp.int32)
@@ -399,6 +421,14 @@ def i4_frame_core(y, u, v, qp, lam, mbw: int, mbh: int, cqp_off: int,
                     lv.reshape(-1, 16), axis=1).astype(jnp.int32)
                 rec4 = jnp.clip(psel + T.idct4x4(T.dequant4x4(lv, qp_l)),
                                 0, 255)
+                mb4_sel = jnp.take_along_axis(
+                    jnp.broadcast_to(mbits, (d_lanes, 9)),
+                    m4[:, None], axis=1)[:, 0]
+                sb = src4 - rec4
+                ssd4_acc = ssd4_acc + jnp.where(
+                    valid, (sb * sb).sum((1, 2)), 0)
+                rb4_acc = rb4_acc + jnp.where(
+                    valid, _rate_proxy(lv.reshape(-1, 16)) + mb4_sel, 0)
                 oob = jnp.where(valid, by, jnp.int32(H16))
                 yy4 = oob[:, None, None] + r4[None, :, None]
                 xx4 = bx[:, None, None] + r4[None, None, :]
@@ -423,6 +453,8 @@ def i4_frame_core(y, u, v, qp, lam, mbw: int, mbh: int, cqp_off: int,
         if t8_mode:
             i8tile = jnp.zeros((d_lanes, 16, 16), jnp.int32)
             cost8t = jnp.full(xs.shape, 24, jnp.int32) * lam
+            ssd8_acc = jnp.zeros(xs.shape, jnp.int32)
+            rb8_acc = jnp.full(xs.shape, 24, jnp.int32)
             modes8 = jnp.zeros((d_lanes, 4), jnp.int32)
             lv64s = jnp.zeros((d_lanes, 4, 64), jnp.int32)
             notlast = xs < (mbw - 1)
@@ -498,6 +530,14 @@ def i4_frame_core(y, u, v, qp, lam, mbw: int, mbh: int, cqp_off: int,
                 lv8b = T.quant8x8(T.dct8x8(src8 - psel8), qp_l, intra=True)
                 rec8b = jnp.clip(
                     psel8 + T.idct8x8(T.dequant8x8(lv8b, qp_l)), 0, 255)
+                mb8_sel = jnp.take_along_axis(
+                    jnp.broadcast_to(mbits8, (d_lanes, 9)),
+                    m8[:, None], axis=1)[:, 0]
+                sb8 = src8 - rec8b
+                ssd8_acc = ssd8_acc + jnp.where(
+                    valid, (sb8 * sb8).sum((1, 2)), 0)
+                rb8_acc = rb8_acc + jnp.where(
+                    valid, _rate_proxy(lv8b.reshape(-1, 64)) + mb8_sel, 0)
                 i8tile = i8tile.at[:, 8 * y8:8 * y8 + 8,
                                    8 * x8:8 * x8 + 8].set(rec8b)
                 lv64s = lv64s.at[:, b8].set(T.zigzag8(lv8b))
@@ -513,10 +553,12 @@ def i4_frame_core(y, u, v, qp, lam, mbw: int, mbh: int, cqp_off: int,
             cells8 = inter8.reshape(d_lanes, 16, 16)[:, _R2C_I8]
             nnz8c = jnp.count_nonzero(cells8, axis=2).astype(jnp.int32)
 
-        best4 = cost4 < cost16
-        cost_n = jnp.minimum(cost4, cost16)
+        j4 = ssd4_acc + lam2 * rb4_acc
+        best4 = j4 < j16
+        cost_n = jnp.minimum(j4, j16)
         if t8_mode:
-            sel8x8 = valid & (cost8t < cost_n)
+            j8 = ssd8_acc + lam2 * rb8_acc
+            sel8x8 = valid & (j8 < cost_n)
         else:
             sel8x8 = jnp.zeros_like(valid)
         sel4 = valid & best4 & ~sel8x8

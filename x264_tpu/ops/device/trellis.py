@@ -216,7 +216,20 @@ def frame_trellis(slice_qp: int, slice_type: str, lam: int,
     the reference's x264_lambda2_tab rate-distortion slope) — the ME
     SAD-lambda role it plays elsewhere over-weights mv bits rather than
     under-weighting them, but for RD it IS lambda2; squaring it would
-    over-penalize bits ~45x and zero out most residual."""
+    over-penalize bits ~45x and zero out most residual.
+
+    CALIBRATION (round 5): the ctx-init bit-cost tables are a
+    stationary model of a coder whose contexts ADAPT far below the
+    init operating point on real residual streams, so they overprice
+    bits ~3x; with the distortion model verified exact against pixel
+    SSD, the correction rides lambda.  An RD sweep on the bench-style
+    clip (doc/PROFILE_r5.md): raw lambda2 lost 0.5-0.9 dB vs trellis
+    OFF at equal rate; x0.35 puts the encoder within ~0.1 dB of
+    x264-medium's (rate, PSNR) point.  The one-frame-stale live-state
+    feedback measured slightly WORSE than the init tables at equal
+    rate (stale states mis-rank sig flags) and cost a host sync per
+    frame, so frames use the static tables."""
+    lam = lam * 0.35
     if states is not None:
         src = lambda cat: tables_from_states(states, cat)  # noqa: E731
     else:

@@ -224,7 +224,12 @@ class EncoderParams:
         if p.qp_min > p.qp:
             p = p.clone(qp_min=p.qp)
         if p.bframes:
-            assert p.ref_frames == 1, "bframes requires ref_frames=1 (r2)"
+            # multi-ref P with B frames (round 5): P slices search all
+            # ref_frames anchors; B slices use one ref per list (past /
+            # future anchor), which is a legal H.264 combination — the
+            # decoder's default B lists order past refs by POC desc
+            # (list0[0] = nearest past) and future by POC asc (list1[0]
+            # = nearest future), matching the encoder's choice.
             assert p.slices == 1, "B+slices: round 2"
         if p.i4x4 and p.slices > 1:
             raise NotImplementedError("i4x4 + slices: pending")
