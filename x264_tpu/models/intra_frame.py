@@ -152,12 +152,18 @@ def encode_i4x4_mb(src: np.ndarray, ry: np.ndarray, mode_grid: np.ndarray,
     path + encoder/macroblock.c x264_mb_encode_i4x4).  WRITES the luma
     recon into ry[y0:y0+16, x0:x0+16] and the chosen modes into mode_grid
     (caller overwrites both if I16x16 wins the mb_type decision).
-    Returns (modes(16,) raster, ac_zz(16,16), nnz(16,), cbp_luma, cost)."""
+    Returns (modes(16,) raster, ac_zz(16,16), nnz(16,), cbp_luma, cost,
+    ssd, rate): cost is the SATD+mode-bit accumulation (mb_cost
+    bookkeeping), ssd/rate feed the round-5 true-cost I16-vs-NxN
+    arbitration (recon SSD / rate proxy incl. the 24-bit header const
+    and the te() mode bits)."""
     h_img, w_img = ry.shape
     modes = np.zeros(16, np.int32)
     ac_zz = np.zeros((16, 16), np.int32)
     nnz = np.zeros(16, np.int32)
     cost = 24 * lam          # x264's i4x4 header-overhead constant
+    ssd_sum = 0
+    rate_sum = 24
     for r in range(16):      # raster order satisfies left/top recon deps
         y4, x4 = divmod(r, 4)
         by, bx = y0 + 4 * y4, x0 + 4 * x4
@@ -196,8 +202,11 @@ def encode_i4x4_mb(src: np.ndarray, ry: np.ndarray, mode_grid: np.ndarray,
         nnz[r] = np.count_nonzero(lv)
         ac_zz[r] = zigzag(lv[None])[0]
         rec = transform.idct4x4(quant.dequant4x4(lv[None], qp))[0]
-        ry[by:by + 4, bx:bx + 4] = np.clip(
-            preds[mode].astype(np.int64) + rec, 0, 255).astype(np.uint8)
+        rec4 = np.clip(preds[mode].astype(np.int64) + rec, 0, 255)
+        ry[by:by + 4, bx:bx + 4] = rec4.astype(np.uint8)
+        d = sblk.astype(np.int64) - rec4
+        ssd_sum += int((d * d).sum())
+        rate_sum += int(_rate_proxy(lv)) + int(mbits[mode])
     cbp_l = 0
     for q8 in range(4):
         qy, qx = divmod(q8, 2)
@@ -205,7 +214,18 @@ def encode_i4x4_mb(src: np.ndarray, ry: np.ndarray, mode_grid: np.ndarray,
                 for dy in range(2) for dx in range(2)]
         if nnz[blks].any():
             cbp_l |= 1 << q8
-    return modes, ac_zz, nnz, cbp_l, cost
+    return modes, ac_zz, nnz, cbp_l, cost, ssd_sum, rate_sum
+
+
+def _rate_proxy(lv) -> int:
+    """Exp-golombish level-rate proxy: sum(2*bitlen(|l|)+1) over the
+    nonzeros, bitlen capped at 14 — MUST match intra_device's
+    _rate_proxy to the bit (tier parity)."""
+    a = np.abs(np.asarray(lv).astype(np.int64)).reshape(-1)
+    nb = np.zeros_like(a)
+    for k in range(14):
+        nb += (a >= (1 << k)).astype(np.int64)
+    return int((2 * nb + (a > 0)).sum())
 
 
 def encode_iframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
@@ -250,15 +270,23 @@ def encode_iframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         qpc = chroma_qp(qp_i, chroma_qp_offset)
         cost16 = int(costs[mode])
 
+        # I16 candidate is always encoded (its recon SSD + rate feed
+        # the round-5 true-cost arbitration, mirroring intra_device)
+        recon, dc_zz, ac_zz, nnz, cbp_l = encode_i16x16_mb(
+            src, preds[mode], qp_i)
         use_i4 = False
         if i4x4:
-            i4_modes, i4_ac, i4_nnz, i4_cbp, cost4 = encode_i4x4_mb(
+            lam2 = max(lam * lam * 9 // 10, 1)
+            j16 = (int(((src.astype(np.int64) - recon) ** 2).sum())
+                   + lam2 * (int(_rate_proxy(dc_zz))
+                             + int(_rate_proxy(ac_zz)) + 8))
+            (i4_modes, i4_ac, i4_nnz, i4_cbp, cost4, i4_ssd,
+             i4_rate) = encode_i4x4_mb(
                 src, ry, mode_grid, y0, x0, mby, mbx, mbw, qp_i, lam)
-            use_i4 = cost4 < cost16
+            j4 = i4_ssd + lam2 * i4_rate
+            use_i4 = j4 < j16
         syn.mb_cost[mb] = cost4 if use_i4 else cost16
         if not use_i4:
-            recon, dc_zz, ac_zz, nnz, cbp_l = encode_i16x16_mb(
-                src, preds[mode], qp_i)
             ry[y0:y0 + 16, x0:x0 + 16] = recon
             mode_grid[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
 
