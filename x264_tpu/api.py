@@ -94,6 +94,7 @@ class Encoder:
         # (big frames); tiny test encoders would pay thread+compile churn
         if self._use_device() and not self._syn_path() \
                 and self.p.slices == 1 \
+                and not getattr(Encoder, "_no_warm", False) \
                 and self.p.mb_width * self.p.mb_height >= 2000:
             import threading
             self._warm_done = threading.Event()
@@ -101,89 +102,70 @@ class Encoder:
                 target=self._warm_compiles, daemon=True)
             self._warm_thread.start()
 
-    def _warm_compiles(self):
-        """Pre-trace every entropy-ladder rung of the frame cores on
-        dummy data (background thread at open).  n_words/lv_cap is a
-        STATIC jit parameter: without this, the first frame that steps
-        the ladder pays a full XLA compile (~30-100 s at 1080p through
-        the remote-compile tunnel) mid-stream.  The jit caches are
-        global, so this throwaway work warms the real path; the exact
-        call signatures (qp_arr kind, wts, trellis tables, parts) must
-        mirror the real encode paths or a variant escapes the warm-up.
-        Sets _warm_done when EVERY ladder rung of every frame core has
-        been compiled — warm() keys off the event, not the thread."""
+    def _warm_twin(self):
+        """Warm by ENCODING real zero frames through a throwaway twin
+        Encoder.  Hand-crafted warm-up calls used to mirror the real
+        call signatures — but jit's in-process cache also keys on
+        argument COMMITTED-ness (device_put'ed views vs fresh
+        jnp.zeros), so the first real frames still missed it and paid a
+        persistent-cache READ per program, which round-trips the
+        remote-compile tunnel at ~10-40 s each (round-5 faulthandler
+        capture: compilation_cache.get_executable_and_time inside the
+        first P/B-pair submits).  Driving the genuine encode path makes
+        the warm signatures identical by construction: IDR, a full
+        P+B..B mini-GOP, and a short tail GOP (the single-B core)."""
+        from x264_tpu.utils.yuv import Frame420
+        p = self.p
+        h, w = 16 * p.mb_height, 16 * p.mb_width
         try:
-            import jax.numpy as jnp
-            p = self.p
-            h, w = 16 * p.mb_height, 16 * p.mb_width
-            mbw, mbh = p.mb_width, p.mb_height
-            yd = jnp.zeros((h, w), jnp.uint8)
-            ud = jnp.zeros((h // 2, w // 2), jnp.uint8)
-            vd = ud
-            qp = p.qp
-            n = mbw * mbh
-            qp_arr = (np.full(n, qp, np.int32)
-                      if (p.aq_mode or self._mbtree_on())
-                      else np.int32(qp))
-            refs = [ReconFrame(yd, ud, vd) for _ in range(p.ref_frames)]
-            wts = None
-            if p.weightp:
-                from x264_tpu.models.weightp import NEUTRAL
-                wts = jnp.asarray(np.asarray([NEUTRAL] * p.ref_frames,
-                                             np.int32))
-            last = None
-            full = [96, 408] if self._cabac_fast() else [64, 416]
-            # first rung is the one every frame starts at: signal
-            # readiness as soon as it is compiled; the overflow-fallback
-            # rung warms afterwards, best-effort (rare, and the
-            # persistent compile cache amortizes it across processes)
-            for rung_i, n_words in enumerate(full):
-                out, _ = self._run_core(yd, ud, vd, None, True, qp,
-                                        qp_arr, n_words, mbw, mbh)
-                out2, _ = self._run_core(yd, ud, vd, refs, False, qp,
-                                         qp_arr, n_words, mbw, mbh,
-                                         wts=wts)
-                last = out2["host_blob"]
-                if p.bframes:
-                    from x264_tpu.models.b_frame_device import (
-                        b_frame_core, b_pair_core)
-                    from x264_tpu.models.inter_frame import me_lambda, sad_lambda
-                    ekw = (dict(entropy="cabac", lv_cap=n_words)
-                           if self._cabac_fast() else dict(n_words=n_words))
-                    ob = b_frame_core(
-                        yd, ud, vd, yd, ud, vd, yd, ud, vd,
-                        jnp.zeros((n, 4, 2), jnp.int32), jnp.ones(n, bool),
-                        np.int32(128), np.int32(qp),
-                        np.int32(sad_lambda(qp)), mbw=mbw, mbh=mbh,
-                        me_range=p.me_range, cqp_off=p.chroma_qp_offset,
-                        subpel=p.subpel, t8_mode=p.transform_8x8,
-                        trellis_tbl=self._trellis_tbl(qp, "B"),
-                        decimate=self.p.dct_decimate, **ekw)
-                    last = ob["host_blob"]
-                    if p.bframes == 2 and self._cabac_fast():
-                        y2 = jnp.zeros((2, h, w), jnp.uint8)
-                        u2 = jnp.zeros((2, h // 2, w // 2), jnp.uint8)
-                        ob2 = b_pair_core(
-                            y2, u2, u2, yd, ud, vd, yd, ud, vd,
-                            jnp.zeros((n, 4, 2), jnp.int32),
-                            jnp.ones(n, bool),
-                            np.asarray([85, 171], np.int32),
-                            np.asarray([qp, qp], np.int32),
-                            np.int32(sad_lambda(qp)), mbw=mbw, mbh=mbh,
-                            me_range=p.me_range,
-                            cqp_off=p.chroma_qp_offset,
-                            subpel=p.subpel, t8_mode=p.transform_8x8,
-                            trellis_tbl=self._trellis_tbl(qp, "B"),
-                            decimate=self.p.dct_decimate,
-                            entropy="cabac", lv_cap=n_words)
-                        last = ob2["host_blob"]
-                if p.deblock:
-                    self._deblock_device(out2, qp, mbw, mbh)
-                if rung_i == 0 and last is not None:
-                    last.block_until_ready()
-                    self._warm_done.set()
-            if last is not None:
-                last.block_until_ready()
+            Encoder._no_warm = True
+            tw = Encoder(p)
+        finally:
+            Encoder._no_warm = False
+        # STATIC textured content (not zeros): the lowres scenecut on an
+        # all-zero clip reads inter-cost == intra-cost == 0 and promotes
+        # every frame to IDR, which would skip the P/B cores entirely
+        rng = np.random.default_rng(0)
+        z = Frame420(rng.integers(0, 256, (h, w)).astype(np.uint8),
+                     np.full((h // 2, w // 2), 128, np.uint8),
+                     np.full((h // 2, w // 2), 128, np.uint8))
+        # IDR, one full mini-GOP, then a tail that exercises the OTHER
+        # B-core arity at flush (pair for bframes=2 covers the single-B
+        # tail with bframes extra frames; bframes=3 runs singles in the
+        # main GOP and the pair in the tail)
+        n = max(1 + (p.bframes + 1) + p.bframes, 2)
+        for _ in range(n):
+            tw.encode(z)
+            # a noisy I frame overflows the first rung and would ratchet
+            # the twin's ladder floor away from it — pin group 1 there
+            tw._rung_floor = 0
+        tw.flush()
+        if self._warm_done is not None:
+            self._warm_done.set()      # first rung provably warm
+        # overflow rung, same REAL signatures: ratchet the twin's
+        # ladder floor to the last rung and run another GOP group (the
+        # I-frame blob routinely overflows the first rung on busy
+        # content, ratcheting the floor for the whole stream — so the
+        # 408-rung cores are a hot path, and hand-written warm calls
+        # for them kept missing the jit cache on kwarg-signature
+        # details, costing ~40 s stalls in the first real mini-GOPs)
+        tw._rung_floor = tw._ladder(p.qp)[-1]
+        for _ in range(n):
+            tw.encode(z)
+        tw.flush()
+
+    def _warm_compiles(self):
+        """Warm-up (background thread at open): encode real frames
+        through a twin Encoder at BOTH entropy-ladder rungs
+        (_warm_twin) — exact-signature warm of every core, finalizer
+        and deblock variant the real stream dispatches.  n_words/lv_cap
+        is a STATIC jit parameter: without this, the first frame that
+        steps the ladder pays a full XLA compile (~30-100 s at 1080p
+        through the remote-compile tunnel) mid-stream.  Sets _warm_done
+        once the first rung is covered — warm(full=True) joins the
+        thread for both."""
+        try:
+            self._warm_twin()
         except Exception as e:
             # warm-up is best-effort (the real path compiles lazily), but
             # record the failure and release warm() waiters
